@@ -1,0 +1,47 @@
+"""Parquet IO layer.
+
+The reference's storage edge is PostgREST with pushed-down predicates
+(reference ``utils/database.py:60-66``); here the edge is columnar
+parquet and Catalyst does the pushdown (column pruning + predicate
+pushdown reach the scan automatically — verify with
+``df.explain('formatted')`` → ``PushedFilters`` / ``ReadSchema``).
+
+At 100 TB the same API reads partitioned datasets: fact tables
+(``lineitem``, ``events``, ``source_mention``) are expected to be
+date-partitioned directories and dimensions are small single files —
+``read_table`` is agnostic, partition pruning happens in Catalyst.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Dimension tables small enough to broadcast at any realistic scale.
+BROADCAST_TABLES = frozenset({"region", "nation", "source_catalog", "city_profiles"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Schema comes from parquet footers (exact);
+    the declared StructType in ``schemas.py`` is the contract tests assert
+    against, not an inference override."""
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register fixture tables as temp views for the SQL surface."""
+    from . import schemas
+
+    for n in names or list(schemas.GENERIC):
+        read_table(spark, sf_dir, n).createOrReplaceTempView(n)
