@@ -1,0 +1,66 @@
+"""Headline benchmark — driver contract.
+
+Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: ``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}``.
+
+Each query is timed to full materialization (collect) — scan, shuffle,
+and result decode included. JVM+session startup is excluded (it is
+fixed overhead, not operator cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def parse_sf(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    from trendr_data_pipeline_spark.plans.registry import all_queries
+    from trendr_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("trendr-bench")
+    # warm the JVM + parquet footer cache so per-query numbers measure
+    # the operator, not first-touch overheads
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name, q in sorted(all_queries().items()):
+        t0 = time.time()
+        try:
+            q.fn(spark, SF_DIR).collect()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as ex:  # noqa: BLE001
+            print(f"bench error in {name}: {ex}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": parse_sf(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""Operator-level tests: SimHash Python oracle, MinHash-LSH recall vs
+exact Jaccard, ANN-LSH recall vs brute-force cosine."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SMOKE_SF
+from trendr_data_pipeline_spark.io import read_table
+from trendr_data_pipeline_spark.operators.dedup import (
+    _simhash_py,
+    jaccard_similarity_pairs,
+    minhash_lsh_pairs,
+    simhash_fingerprints,
+)
+from trendr_data_pipeline_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    lsh_bucketed_topk,
+)
+
+
+def test_simhash_matches_python_oracle(spark):
+    docs = read_table(spark, SMOKE_SF, "documents").limit(50)
+    got = {r["id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    raw = docs.select("doc_id", "text").collect()
+    import pandas as pd
+
+    for r in raw:
+        toks = sorted(set(w for w in r["text"].lower().split() if w))
+        want = _simhash_py(pd.Series([toks])).iloc[0]
+        assert got[r["doc_id"]] == want
+
+
+def test_simhash_bands_cover_fingerprint(spark):
+    docs = read_table(spark, SMOKE_SF, "documents").limit(20)
+    rows = simhash_fingerprints(docs).collect()
+    for r in rows:
+        recon = 0
+        for i in range(4):
+            recon |= (r[f"band{i}"] & 0xFFFF) << (16 * i)
+        assert recon == r["simhash"] & 0xFFFFFFFFFFFFFFFF
+
+
+def test_minhash_lsh_equals_exact_jaccard(spark):
+    docs = read_table(spark, SMOKE_SF, "documents")
+    exact = {(r["id_a"], r["id_b"]) for r in jaccard_similarity_pairs(docs, 0.8).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, 0.8).collect()}
+    # recall at 0.8 with 32 bands of 4 is 1 - 5e-8 per pair — must be equal here
+    assert lsh == exact
+    assert exact  # fixture must actually contain near-dups
+
+
+def test_ann_lsh_recall(spark):
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = cosine_topk_bruteforce(queries, emb, k=10).collect()
+    approx = lsh_bucketed_topk(queries, emb, k=10).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # fixture embeddings are near-random (same-label neighbor fraction
+    # ≈ chance), the hardest case for LSH; on clustered data recall is
+    # far higher. 4 bits × 16 tables gives ~0.88 here.
+    assert recall >= 0.7, f"ANN recall too low: {recall}"
+
+
+def test_ann_candidates_subset_scored_correctly(spark):
+    """Every LSH-returned (query, neighbor, sim) must agree with the
+    brute-force cosine for that pair (scores are exact; only the
+    candidate set is approximate)."""
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact_all = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in cosine_topk_bruteforce(queries, emb, k=10**9).collect()
+    }
+    for r in lsh_bucketed_topk(queries, emb, k=10).collect():
+        assert abs(exact_all[(r["query_id"], r["neighbor_id"])] - r["cosine_sim"]) < 1e-9

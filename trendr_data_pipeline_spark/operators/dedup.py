@@ -1,0 +1,266 @@
+"""Deduplication operators for document corpora (⊕ SURVEY §2, J13;
+north-star LLM-pipeline ops).
+
+Four strategies, in increasing tolerance:
+
+- :func:`exact_duplicate_groups` — hash-groupBy on a canonical
+  fingerprint. One shuffle on the (short) fingerprint.
+- :func:`jaccard_similarity_pairs` — **exact** token-set Jaccard join
+  with prefix filtering: candidate pairs must share a token from each
+  document's rarest-token prefix, which bounds the inverted-index
+  fan-out while keeping exact results (Chaudhuri et al., "A Primitive
+  Operator for Similarity Joins", ICDE'06 — public algorithm).
+- :func:`minhash_lsh_pairs` — MinHash signatures + LSH banding, then
+  exact verification of candidates. The scale path: shuffle volume is
+  O(docs × bands), never O(docs²).
+- :func:`simhash64` — 64-bit SimHash fingerprints for
+  hamming-distance near-dup bucketing.
+
+All hashing uses Spark's builtin ``xxhash64`` with literal seeds —
+deterministic, JVM-side, no Python in the hot path except the SimHash
+bit-vote (vectorized pandas UDF).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import tokens
+
+# ---------------------------------------------------------------------------
+# canonical token set
+# ---------------------------------------------------------------------------
+
+
+def token_set(col: Column) -> Column:
+    """Sorted distinct lowercase tokens — the document's set
+    representation for Jaccard-family ops."""
+    return F.array_sort(F.array_distinct(tokens(F.lower(col))))
+
+
+def bow_fingerprint(col: Column) -> Column:
+    """md5 of the sorted distinct-token bag — exact-dup key invariant
+    to word order and repetition."""
+    return F.md5(F.array_join(token_set(col), " "))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of documents with identical token bags.
+
+    Returns (fingerprint, canonical_id, n_dups). One shuffle on the
+    128-bit fingerprint; at 100 TB this is the cheapest possible dedup
+    (map-side partial agg collapses most of the stream)."""
+    return (
+        df.select(F.col(id_col), bow_fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact Jaccard with prefix filtering
+# ---------------------------------------------------------------------------
+
+
+def jaccard_similarity_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs with token-set Jaccard ≥ threshold — exact.
+
+    Plan: tokenize → global token document-frequency → per-doc prefix
+    (the ⌈(1−t)·|A|⌉+1 globally-rarest tokens; any qualifying pair must
+    share a prefix token) → equi-join on prefix token → exact verify on
+    the full sets. The prefix step turns the classic inverted-index
+    self-join from quadratic blowup on frequent tokens into a join
+    keyed (mostly) by rare tokens; at 100 TB add a document-frequency
+    cap as a pre-filter for stop-tokens.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    toks = df.select(F.col(id_col).alias("id"), token_set(F.col(text_col)).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    exploded = toks.select("id", F.size("toks").alias("set_size"), F.explode("toks").alias("token"))
+
+    freq = exploded.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+
+    ranked = exploded.join(freq, "token").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("token").asc())
+        ),
+    )
+    prefix_len = F.ceil(F.lit(1.0 - threshold) * F.col("set_size")).cast("int") + 1
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select("id", "token")
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    ta = toks.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
+    tb = toks.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    union = F.size(F.array_union("toks_a", "toks_b")).cast("double")
+    return (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(toks: Column, n_hashes: int = 128) -> Column:
+    """Array of n MinHash values: for seed i, min over tokens of
+    xxhash64(token, i). Computed entirely with higher-order builtins —
+    no explode, no shuffle, no Python."""
+    seeds = F.sequence(F.lit(0), F.lit(n_hashes - 1))
+    return F.transform(
+        seeds,
+        lambda s: F.array_min(F.transform(toks, lambda t: F.xxhash64(t, s))),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, exact-verified.
+
+    With 128 hashes in 32 bands of 4 rows, a pair at Jaccard 0.8 is
+    banded together with probability 1−(1−0.8⁴)³² ≈ 1−5·10⁻⁸ — the
+    exact-verify step then makes the *output* exact for qualifying
+    pairs (up to that negligible recall loss). Shuffle volume is
+    O(docs·bands), the 100 TB-safe property brute-force lacks.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    rows_per_band = n_hashes // bands
+    toks = df.select(F.col(id_col).alias("id"), token_set(F.col(text_col)).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    sig = toks.withColumn("sig", minhash_signature(F.col("toks"), n_hashes))
+
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    ta = toks.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
+    tb = toks.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    union = F.size(F.array_union("toks_a", "toks_b")).cast("double")
+    return (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _simhash_py(token_lists: pd.Series) -> pd.Series:
+    """64-bit SimHash: per-token FNV-1a 64 hash, bitwise ±1 vote,
+    sign → bit. Pure-Python but vectorized per Arrow batch."""
+    out = []
+    for toks in token_lists:
+        if toks is None or len(toks) == 0:
+            out.append(0)
+            continue
+        votes = [0] * 64
+        for t in toks:
+            h = 0xCBF29CE484222325
+            for ch in t.encode("utf-8"):
+                h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            for i in range(64):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        v = 0
+        for i in range(64):
+            if votes[i] > 0:
+                v |= 1 << i
+        # two's-complement into signed 64-bit for Spark LongType
+        out.append(v - (1 << 64) if v >= (1 << 63) else v)
+    return pd.Series(out)
+
+
+def simhash64(col: Column) -> Column:
+    """pandas-UDF wrapper built at call time (module import must stay
+    session-free for executor-side re-imports)."""
+    return F.pandas_udf(_simhash_py, "long")(col)
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash, band0..band3): 16-bit bands of the fingerprint.
+    Near-dups (hamming ≤ 3) agree on ≥1 band (pigeonhole over 4 bands),
+    so banding gives candidate buckets with an equi-join, no O(n²)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash64(token_set(F.col(text_col))).alias("simhash")
+    )
+    for i in range(4):
+        sh = sh.withColumn(f"band{i}", F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(0xFFFF))
+    return sh

@@ -1,1 +1,221 @@
-"""Placeholder — populated in later milestones."""
+"""Text-analysis queries over ``documents`` (north-star LLM-pipeline
+ops: language-ID, quality scoring, token counting, fingerprinting;
+exercises ST1/ST5 machinery from SURVEY §2.7 at corpus scale).
+
+Everything here is JVM-side builtins (split / higher-order array
+functions / md5) — the exact-parity pandas UDFs (ST1–ST3) are covered
+by unit tests, not needed on this hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..io import read_table
+from ._numeric import davg, dsum, sql_davg, sql_dsum
+from .registry import register
+
+#: DuckDB expression for the same token list Spark's ``tokens()`` builds
+_SQL_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)"
+
+# ---------------------------------------------------------------------------
+# t01 — per-source token statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t01_token_stats",
+    f"""
+    WITH t AS (
+        SELECT source, lang, n_chars,
+               len({_SQL_TOKS}) AS n_tokens,
+               list_aggregate(list_transform({_SQL_TOKS}, x -> len(x)), 'sum') AS tok_chars
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           {sql_davg('n_tokens')} AS avg_tokens,
+           {sql_dsum('tok_chars * 1.0 / n_tokens')} AS sum_avg_token_len,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM t
+    GROUP BY source
+    """,
+)
+def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting at corpus scale: whitespace tokens via split +
+    higher-order filter; aggregates per source."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    t = docs.select(
+        "source",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x).alias("tok_chars"),
+    )
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        davg("n_tokens").alias("avg_tokens"),
+        dsum(F.col("tok_chars") * 1.0 / F.col("n_tokens")).alias("sum_avg_token_len"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t02 — language identification (marker-word heuristic)
+# ---------------------------------------------------------------------------
+
+_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "fr": ["le", "la", "les", "et", "une"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "los", "las", "y", "es"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+_LANG_ORDER = ["en", "fr", "de", "es", "zh"]
+
+
+@register(
+    "t02_language_id",
+    f"""
+    WITH t AS (
+        SELECT lang,
+               {_SQL_TOKS} AS toks
+        FROM documents
+    ), h AS (
+        SELECT lang,
+               len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS hits_en,
+               len(list_filter(toks, x -> list_contains(['le','la','les','et','une'], x))) AS hits_fr,
+               len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS hits_de,
+               len(list_filter(toks, x -> list_contains(['el','los','las','y','es'], x))) AS hits_es,
+               len(list_filter(toks, x -> list_contains(['的','是','了','在','和'], x))) AS hits_zh
+        FROM t
+    ), p AS (
+        SELECT lang,
+               CASE
+                 WHEN greatest(hits_en, hits_fr, hits_de, hits_es, hits_zh) = 0 THEN 'unknown'
+                 WHEN hits_en >= greatest(hits_fr, hits_de, hits_es, hits_zh) THEN 'en'
+                 WHEN hits_fr >= greatest(hits_de, hits_es, hits_zh) THEN 'fr'
+                 WHEN hits_de >= greatest(hits_es, hits_zh) THEN 'de'
+                 WHEN hits_es >= hits_zh THEN 'es'
+                 ELSE 'zh'
+               END AS predicted_lang
+        FROM h
+    )
+    SELECT lang, predicted_lang, COUNT(*) AS n_docs
+    FROM p GROUP BY lang, predicted_lang
+    """,
+)
+def t02_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID: per-language stopword hit counts, argmax
+    with fixed precedence (deterministic ties), confusion counts vs the
+    labeled ``lang`` column."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    t = docs.select("lang", toks.alias("toks"))
+    for lang, markers in _MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        t = t.withColumn(
+            f"hits_{lang}", F.size(F.filter(F.col("toks"), lambda x: F.array_contains(arr, x)))
+        )
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in _LANG_ORDER])
+    pred = F.when(best == 0, F.lit("unknown"))
+    for i, lang in enumerate(_LANG_ORDER[:-1]):
+        rest_cols = [F.col(f"hits_{x}") for x in _LANG_ORDER[i + 1 :]]
+        rest = rest_cols[0] if len(rest_cols) == 1 else F.greatest(*rest_cols)
+        pred = pred.when(F.col(f"hits_{lang}") >= rest, F.lit(lang))
+    pred = pred.otherwise(F.lit(_LANG_ORDER[-1]))
+    return (
+        t.withColumn("predicted_lang", pred)
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# t03 — quality scoring
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t03_quality_score",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               len({_SQL_TOKS}) AS n_tok,
+               list_aggregate(list_transform({_SQL_TOKS}, x -> len(x)), 'sum') AS tok_chars,
+               len(list_filter({_SQL_TOKS},
+                   x -> list_contains(['the','a','of','and','is','to','in'], x))) AS stop_hits
+        FROM documents
+    )
+    SELECT doc_id,
+           ROUND(40 * least(n_tok / 50.0, 1.0)
+                 + 30 * greatest(1.0 - abs(tok_chars * 1.0 / n_tok - 4.5) / 4.5, 0.0)
+                 + 30 * least(stop_hits * 5.0 / n_tok, 1.0), 6) AS quality,
+           CASE WHEN 40 * least(n_tok / 50.0, 1.0)
+                 + 30 * greatest(1.0 - abs(tok_chars * 1.0 / n_tok - 4.5) / 4.5, 0.0)
+                 + 30 * least(stop_hits * 5.0 / n_tok, 1.0) >= 60 THEN 'high'
+                WHEN 40 * least(n_tok / 50.0, 1.0)
+                 + 30 * greatest(1.0 - abs(tok_chars * 1.0 / n_tok - 4.5) / 4.5, 0.0)
+                 + 30 * least(stop_hits * 5.0 / n_tok, 1.0) >= 35 THEN 'medium'
+                ELSE 'low' END AS quality_class
+    FROM t WHERE n_tok > 0
+    """,
+)
+def t03_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality heuristic (length / word-shape / stopword-rate
+    blend, reference M1/M2 clamp+blend style) with a when-ladder class
+    (reference F6 threshold-decision shape)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "is", "to", "in"]])
+    t = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x).alias("tok_chars"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop, x))).alias("stop_hits"),
+    ).filter(F.col("n_tok") > 0)
+    len_part = 40 * F.least(F.col("n_tok") / 50.0, F.lit(1.0))
+    shape_part = 30 * F.greatest(
+        1.0 - F.abs(F.col("tok_chars") * 1.0 / F.col("n_tok") - 4.5) / 4.5, F.lit(0.0)
+    )
+    stop_part = 30 * F.least(F.col("stop_hits") * 5.0 / F.col("n_tok"), F.lit(1.0))
+    q = len_part + shape_part + stop_part
+    return t.select(
+        "doc_id",
+        F.round(q, 6).alias("quality"),
+        F.when(q >= 60, "high").when(q >= 35, "medium").otherwise("low").alias("quality_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t04 — document fingerprinting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t04_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(trim(text))) AS fingerprint,
+           md5(array_to_string(list_sort(list_distinct(
+               list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0))), ' '))
+             AS bow_fingerprint
+    FROM documents
+    """,
+)
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two content fingerprints per document: raw (md5 of the
+    lower/trimmed text) and order-invariant bag-of-words (md5 of the
+    sorted distinct token list) — the exact-dedup keys."""
+    from ..operators.dedup import bow_fingerprint
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+        bow_fingerprint(F.col("text")).alias("bow_fingerprint"),
+    )
