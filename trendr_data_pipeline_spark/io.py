@@ -31,8 +31,29 @@ def table_path(sf_dir: str, name: str) -> str:
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Schema comes from parquet footers (exact);
     the declared StructType in ``schemas.py`` is the contract tests assert
-    against, not an inference override."""
+    against, not an inference override.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; we read it as long (legacy conf) and floor-divide to
+    micros — the same truncation DuckDB applies, so oracle comparisons
+    agree."""
+    if name in _NANO_TS_TABLES:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        from pyspark.sql import functions as F
+
+        for f in df.schema.fields:
+            if f.name in _NANO_TS_COLS and f.dataType.simpleString() == "bigint":
+                # integer division — going through double would lose
+                # precision beyond 2^53 ns and shift timestamps by 1 µs
+                df = df.withColumn(f.name, F.expr(f"timestamp_micros({f.name} div 1000)"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+#: tables whose timestamp columns are nanosecond-precision in parquet
+_NANO_TS_TABLES = frozenset({"events"})
+_NANO_TS_COLS = frozenset({"ts"})
 
 
 def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -37,8 +37,12 @@ def _map_lit(d: dict[str, float]) -> Column:
 def days_trunc(as_of: Column, ts: Column) -> Column:
     """Python ``(a - b).days`` semantics: whole elapsed days,
     truncated — NOT calendar datediff. The reference ages everything
-    this way (``intelligent_classifier.py:83``, ``:170``)."""
-    return F.floor((as_of.cast("long") - ts.cast("long")) / F.lit(86400))
+    this way (``intelligent_classifier.py:83``, ``:170``). The extra
+    timestamp cast normalizes TIMESTAMP_NTZ inputs (parquet columns
+    with isAdjustedToUTC=false) — NTZ cannot cast to long directly."""
+    return F.floor(
+        (as_of.cast("timestamp").cast("long") - ts.cast("timestamp").cast("long")) / F.lit(86400)
+    )
 
 
 def within_days(ts: Column, as_of: Column, days: int) -> Column:
@@ -47,7 +51,9 @@ def within_days(ts: Column, as_of: Column, days: int) -> Column:
     return ts >= as_of - F.expr(f"INTERVAL {days} DAYS")
 
 
-def mention_aggregates(mentions: DataFrame, as_of: Column) -> DataFrame:
+def mention_aggregates(
+    mentions: DataFrame, as_of: Column, exact_sums: bool = False
+) -> DataFrame:
     """All per-POI mention statistics the classifier needs, in one
     groupBy: A1 raw authority plus the badge/bonus counters.
 
@@ -73,11 +79,17 @@ def mention_aggregates(mentions: DataFrame, as_of: Column) -> DataFrame:
         * w_time_eff
         * F.coalesce(F.col("match_score"), F.lit(1.0))
     )
+    if exact_sums:
+        # decimal accumulation: summation order stops mattering, so the
+        # result is reproducible across partitionings AND engines (the
+        # driver's DuckDB oracle). Quantization at 1e-8 is far below
+        # any score threshold.
+        contribution = contribution.cast("decimal(28,8)")
     w_stored = F.coalesce(F.col("w_time"), F.lit(0.0))
     in_30d = within_days(F.col("created_at"), as_of, 30)
     in_60d = within_days(F.col("created_at"), as_of, 60)
     return mentions.groupBy("poi_id").agg(
-        F.sum(contribution).alias("raw_authority"),
+        F.sum(contribution).cast("double").alias("raw_authority"),
         F.count(F.when(in_30d & (w_stored > 0.8), 1)).alias("n_recent_w08_30d"),
         F.count(F.when(in_60d & (w_stored > 0.6), 1)).alias("n_recent_w06_60d"),
         # badge counters filter on the RAW source_type (reference uses
@@ -109,11 +121,12 @@ def classify(
     snapshots: DataFrame,
     as_of: Column,
     city_p95_reviews: float = 5.0,
+    exact_sums: bool = False,
 ) -> DataFrame:
     """A1–A6 in one pass. Returns poi columns + authority_score,
     review_score, momentum_score, gatto_score, badges,
     eligibility_status."""
-    m = mention_aggregates(mentions, as_of)
+    m = mention_aggregates(mentions, as_of, exact_sums=exact_sums)
     s = snapshot_aggregates(snapshots, as_of)
 
     df = (

@@ -1,0 +1,131 @@
+"""POI-ingestion operators (SURVEY §2.2/§2.1): the filter/projection/
+novelty stages of the Places ingester and H3 scheduler, as column
+expressions.
+
+Citations: reference ``scripts/google_places_ingester.py`` (F1-F4,
+S10, S15) and ``scripts/h3_scheduler.py:619-670`` (A16 novelty).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# F1 — type allowlist (google_places_ingester.py:76-79)
+ALLOWED_TYPES = ["restaurant", "bar", "cafe", "bakery"]
+
+
+def type_allowlist(types: Column, allowed: list[str] | None = None) -> Column:
+    return F.arrays_overlap(types, F.array(*[F.lit(t) for t in (allowed or ALLOWED_TYPES)]))
+
+
+# F2 — quality gate (google_places_ingester.py:81-85; config.json:197-200)
+def quality_gate(rating: Column, reviews: Column, min_rating: float = 4.3, min_reviews: int = 50) -> Column:
+    return (rating >= min_rating) & (reviews >= min_reviews)
+
+
+# F3 — category mapping (google_places_ingester.py:87-104): first
+# allowed type wins, in allowlist order; remaining types → subcategories
+def primary_category(types: Column, allowed: list[str] | None = None) -> Column:
+    order = allowed or ALLOWED_TYPES
+    out = F.lit(None).cast("string")
+    for t in reversed(order):
+        out = F.when(F.array_contains(types, t), F.lit(t)).otherwise(out)
+    return out
+
+
+# A16 — novelty score (h3_scheduler.py:619-659)
+NAME_SIGNALS = ["new", "nouveau", "fresh", "recent", "opening", "2025"]
+ADDRESS_SIGNALS = ["new", "recent", "opening"]
+
+
+def novelty_score(
+    rating: Column,
+    reviews_count: Column,
+    name: Column,
+    types: Column,
+    address: Column,
+    exists_in_db: Column,
+) -> Column:
+    """Additive rule score, capped at 1.0. ``exists_in_db`` is a
+    boolean column — at scale it comes from a left-anti/semi join
+    against the poi table keyed by place_id, not a per-row lookup."""
+    reviews_part = (
+        F.when(rating.isNull() & reviews_count.isNull(), 0.4)
+        .when(reviews_count.isNotNull() & (reviews_count < 5), 0.35)
+        .when(
+            reviews_count.isNotNull()
+            & (reviews_count < 20)
+            & rating.isNotNull()
+            & (rating > 4.5),
+            0.25,
+        )
+        .otherwise(0.0)
+    )
+    unseen_part = F.when(~exists_in_db, 0.3).otherwise(0.0)
+    lname = F.lower(F.coalesce(name, F.lit("")))
+    name_part = F.when(
+        F.exists(F.array(*[F.lit(s) for s in NAME_SIGNALS]), lambda s: F.contains(lname, s)),
+        0.15,
+    ).otherwise(0.0)
+    type_part = F.when(
+        F.arrays_overlap(types, F.array(*[F.lit(t) for t in ALLOWED_TYPES])), 0.1
+    ).otherwise(0.0)
+    laddr = F.lower(F.coalesce(address, F.lit("")))
+    addr_part = F.when(
+        F.exists(F.array(*[F.lit(s) for s in ADDRESS_SIGNALS]), lambda s: F.contains(laddr, s)),
+        0.05,
+    ).otherwise(0.0)
+    return F.least(reviews_part + unseen_part + name_part + type_part + addr_part, F.lit(1.0))
+
+
+def classify_novelty(score: Column) -> Column:
+    """h3_scheduler.py:661-670."""
+    return (
+        F.when(score >= 0.8, "highly_likely_new")
+        .when(score >= 0.6, "likely_new")
+        .when(score >= 0.4, "potentially_new")
+        .otherwise("established")
+    )
+
+
+# S10 — batch upsert as window-dedup-latest (no Delta in this image):
+def upsert_latest(
+    existing: DataFrame, incoming: DataFrame, key: str, version_col: str
+) -> DataFrame:
+    """MERGE-equivalent for append-only storage: union both sides, keep
+    the newest row per key. At scale this is the standard
+    'window-dedup-latest' rewrite of MERGE INTO; with Delta/Iceberg on
+    the classpath the same call becomes a real MERGE (SURVEY §2.1 S10,
+    reference google_places_ingester.py:445-514)."""
+    w = Window.partitionBy(key).orderBy(F.col(version_col).desc())
+    return (
+        existing.unionByName(incoming, allowMissingColumns=True)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# S15 — rating-snapshot cadence append (google_places_ingester.py:516-555)
+def snapshot_if_due(
+    existing_snapshots: DataFrame,
+    incoming: DataFrame,
+    as_of: Column,
+    interval_days: int = 7,
+) -> DataFrame:
+    """Append an incoming (poi_id, source_id, …) snapshot only if the
+    latest stored one is older than the interval — expressed as an
+    aggregate + left join + filter (set-oriented, not per-row)."""
+    latest = existing_snapshots.groupBy("poi_id", "source_id").agg(
+        F.max("captured_at").alias("last_captured_at")
+    )
+    return (
+        incoming.join(latest, ["poi_id", "source_id"], "left")
+        .filter(
+            F.col("last_captured_at").isNull()
+            | (F.col("last_captured_at") <= F.date_sub(as_of, interval_days))
+        )
+        .drop("last_captured_at")
+    )

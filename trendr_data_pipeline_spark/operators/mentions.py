@@ -139,32 +139,37 @@ def score_candidates(
         else F.lit(1.0)
     )
     c = c.withColumn("final_score", after_pen * decay)
+    return with_decision(
+        c, F.col("final_score"), F.col("authority"), F.col("geo_sc"), F.col("pen_country")
+    )
 
-    # F6 decision ladder (reference scoring.py:138-179)
-    c = c.withColumn(
+
+def with_decision(
+    df: DataFrame, final_score: Column, authority: Column, geo: Column, pen_country: Column
+) -> DataFrame:
+    """F6 decision ladder (reference scoring.py:138-179): priority-
+    ordered rules → (decision, accepted_by) columns."""
+    return df.withColumn(
         "decision",
-        F.when((F.col("authority") >= 1.0) & (F.col("pen_country") == 0), "ACCEPT")
-        .when(F.col("pen_country") > 0, "REJECT")
-        .when(F.col("final_score") >= HIGH_THRESHOLD, "ACCEPT")
+        F.when((authority >= 1.0) & (pen_country == 0), "ACCEPT")
+        .when(pen_country > 0, "REJECT")
+        .when(final_score >= HIGH_THRESHOLD, "ACCEPT")
         .when(
-            (F.col("final_score") >= MID_THRESHOLD)
-            & ((F.col("geo_sc") >= 0.25) | (F.col("authority") >= 0.60)),
+            (final_score >= MID_THRESHOLD) & ((geo >= 0.25) | (authority >= 0.60)),
             "REVIEW",
         )
         .otherwise("REJECT"),
     ).withColumn(
         "accepted_by",
-        F.when((F.col("authority") >= 1.0) & (F.col("pen_country") == 0), "confirmed_domain")
-        .when(F.col("pen_country") > 0, F.lit(""))
-        .when(F.col("final_score") >= HIGH_THRESHOLD, "score_high")
+        F.when((authority >= 1.0) & (pen_country == 0), "confirmed_domain")
+        .when(pen_country > 0, F.lit(""))
+        .when(final_score >= HIGH_THRESHOLD, "score_high")
         .when(
-            (F.col("final_score") >= MID_THRESHOLD)
-            & ((F.col("geo_sc") >= 0.25) | (F.col("authority") >= 0.60)),
+            (final_score >= MID_THRESHOLD) & ((geo >= 0.25) | (authority >= 0.60)),
             "mid_conditional",
         )
         .otherwise(F.lit("")),
     )
-    return c
 
 
 def windowed_dedup(
