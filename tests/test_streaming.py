@@ -1,0 +1,101 @@
+"""Streaming jobs replayed over the events fixture must agree with
+their batch twins (SURVEY §5 test plan, item 5)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SMOKE_SF
+from trendr_data_pipeline_spark.io import read_table
+from trendr_data_pipeline_spark.streaming import jobs
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """Stage a directory holding only events.parquet (file-stream source)."""
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(os.path.join(SMOKE_SF, "events.parquet"), d / "events.parquet")
+    return str(d)
+
+
+def test_daily_counters_match_batch(spark, events_dir):
+    got = jobs.run_to_memory(
+        spark, events_dir, jobs.daily_usage_counters, "t_daily", output_mode="complete"
+    )
+    ev = read_table(spark, SMOKE_SF, "events")
+    want = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_value"),
+        )
+    )
+    g = {(r["day"], r["event_type"]): (r["n_events"], r["total_value"]) for r in got.collect()}
+    w = {(r["day"], r["event_type"]): (r["n_events"], r["total_value"]) for r in want.collect()}
+    assert g == w
+
+
+def test_session_windows_match_batch(spark, events_dir):
+    got = jobs.run_to_memory(
+        spark, events_dir, jobs.session_windows, "t_sessions", output_mode="complete"
+    )
+    # batch twin: e02 sessionization (gap 30 min)
+    from trendr_data_pipeline_spark.plans.events_ops import e02_sessionization
+
+    want = e02_sessionization(spark, SMOKE_SF)
+    g = {
+        (r["user_id"], r["session_start"]): r["n_events"] for r in got.collect()
+    }
+    w = {
+        (r["user_id"], r["session_start"]): r["n_events"] for r in want.collect()
+    }
+    # session_window end = last_ts + gap; starts and counts must agree
+    assert g == w
+
+
+def test_sliding_momentum_runs(spark, events_dir):
+    got = jobs.run_to_memory(
+        spark, events_dir, jobs.sliding_value_momentum, "t_momentum", output_mode="complete"
+    )
+    rows = got.collect()
+    assert rows
+    # every (window, user) sum must equal the batch range sum
+    ev = read_table(spark, SMOKE_SF, "events")
+    sample = rows[:5]
+    for r in sample:
+        win_end = r["win_end"]
+        want = (
+            ev.filter(
+                (F.col("ts") >= F.lit(win_end) - F.expr("INTERVAL 14 DAYS"))
+                & (F.col("ts") < F.lit(win_end))
+                & (F.col("user_id") == r["user_id"])
+            )
+            .agg(F.sum(F.col("value").cast("decimal(28,6)")).cast("double"))
+            .first()[0]
+        )
+        assert r["value_14d"] == pytest.approx(want, abs=1e-9)
+
+
+def test_stateful_topn_dedup(spark, events_dir):
+    got = jobs.run_to_memory(
+        spark, events_dir, lambda s: jobs.topn_dedup_stateful(s, max_per_key=2), "t_topn"
+    )
+    rows = got.collect()
+    # ≤2 per (user, type), and they are the earliest two by (ts, event_id)
+    ev = read_table(spark, SMOKE_SF, "events").collect()
+    from collections import defaultdict
+
+    first_two = defaultdict(list)
+    for e in sorted(ev, key=lambda e: (e["ts"], e["event_id"])):
+        k = (e["user_id"], e["event_type"])
+        if len(first_two[k]) < 2:
+            first_two[k].append(e["event_id"])
+    got_by_key = defaultdict(set)
+    for r in rows:
+        got_by_key[(r["user_id"], r["event_type"])].add(r["event_id"])
+    assert all(len(v) <= 2 for v in got_by_key.values())
+    assert {k: set(v) for k, v in first_two.items()} == dict(got_by_key)

@@ -1,0 +1,170 @@
+"""Streaming jobs over the ``events`` fixture.
+
+Each builder takes a streaming DataFrame (``spark.readStream``) and
+returns the transformed streaming DataFrame; ``run_to_memory`` drives
+any of them to completion against the parquet fixture with an
+available-now-style replay and returns the materialized rows.
+
+Watermarks are generous (the fixture replays historical data); in a
+live deployment they bound state by event-time lag, which is the
+100 TB-critical property: state size is O(keys in window), not O(all
+history).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..io import table_path
+from ..schemas import GENERIC
+
+# ---------------------------------------------------------------------------
+# stream source
+# ---------------------------------------------------------------------------
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver's events table as a file stream. The fixture stores
+    ts as TIMESTAMP(NANOS); the reader needs the same legacy-long
+    conversion as the batch path."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, value double, props string"
+    )
+    raw = spark.readStream.schema(schema).parquet(sf_dir)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+# ---------------------------------------------------------------------------
+# SS2 — tumbling daily counters with watermark
+# ---------------------------------------------------------------------------
+
+
+def daily_usage_counters(stream: DataFrame, watermark: str = "2 days") -> DataFrame:
+    """Streaming twin of e04: per (day, event_type) counts/sums —
+    reference api_usage daily upsert (utils/api_usage.py:14-46)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("win.start").alias("day"), "event_type", "n_events", "total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SS6 — sliding momentum window
+# ---------------------------------------------------------------------------
+
+
+def sliding_value_momentum(stream: DataFrame, watermark: str = "30 days") -> DataFrame:
+    """14-day sliding (1-day step) per-user value sums — the momentum
+    window shape (intelligent_classifier.py:184-209) as a stream."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "14 days", "1 day").alias("win"), "user_id")
+        .agg(F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("value_14d"))
+        .select(F.col("win.end").alias("win_end"), "user_id", "value_14d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SS10 — session windows
+# ---------------------------------------------------------------------------
+
+
+def session_windows(stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 days") -> DataFrame:
+    """Native session_window sessionization — streaming twin of e02."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SS3 — ≤N-per-key dedup within a window (stateful)
+# ---------------------------------------------------------------------------
+
+
+def topn_dedup_stateful(
+    stream: DataFrame,
+    max_per_key: int = 2,
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Keep at most N events per (user_id, event_type) — the stateful
+    generalization of the reference's 21-day mention dedup
+    (dedup.py:47-96, config max_per_window). State per key is a single
+    counter; the watermark bounds how long keys live.
+
+    Built on ``applyInPandasWithState`` (the documented custom-stateful
+    path); emits rows in (ts, event_id) order per key, first N win —
+    deterministic under replay because the per-batch group is sorted."""
+    out_schema = "user_id long, event_type string, event_id long, ts timestamp"
+    state_schema = "n long"
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (n,) = state.get if state.exists else (0,)
+        batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        keep = batch.iloc[: max(0, max_per_key - n)]
+        n = min(max_per_key, n + len(batch))
+        state.update((n,))
+        yield keep[["user_id", "event_type", "event_id", "ts"]]
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+
+def run_to_memory(
+    spark: SparkSession,
+    sf_dir_file: str,
+    build: Callable[[DataFrame], DataFrame],
+    name: str = "stream_out",
+    output_mode: str = "append",
+) -> DataFrame:
+    """Replay the events fixture through a streaming job synchronously
+    (memory sink + processAllAvailable) and return the result table.
+    ``sf_dir_file`` is a directory containing only events parquet —
+    callers stage a symlink/copy dir because readStream treats the path
+    as a file-source directory."""
+    stream = events_stream(spark, sf_dir_file)
+    q = (
+        build(stream)
+        .writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
