@@ -1,0 +1,69 @@
+"""Multimodal plumbing: binary columns through mapInPandas — schema,
+determinism, size-aware partitioning, quality blend, frame sampling."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from trendr_data_pipeline_spark.operators import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    rows = [(i, bytes([i % 256]) * (1000 + i * 37)) for i in range(50)]
+    return spark.createDataFrame(rows, "item_id long, data binary")
+
+
+def test_extract_features_schema_and_determinism(images):
+    out = MM.extract_image_features(images)
+    assert out.schema.simpleString() == (
+        "struct<item_id:bigint,width:int,height:int,format:string,"
+        "n_bytes:bigint,content_hash:string,brightness:double>"
+    )
+    rows1 = {r["item_id"]: r for r in out.collect()}
+    rows2 = {r["item_id"]: r for r in MM.extract_image_features(images).collect()}
+    assert len(rows1) == 50
+    for k in rows1:
+        assert rows1[k] == rows2[k]  # deterministic decode
+    # content hash matches local computation
+    data0 = bytes([0]) * 1000
+    assert rows1[0]["content_hash"] == hashlib.sha256(data0).hexdigest()[:16]
+    assert rows1[0]["n_bytes"] == 1000
+
+
+def test_strict_mode_raises_without_codec(images):
+    if MM.HAVE_PIL:
+        pytest.skip("PIL present — strict mode would decode")
+    with pytest.raises(NotImplementedError):
+        MM.extract_image_features(images, strict=True)
+
+
+def test_quality_score_range(images):
+    scored = MM.photo_quality_score(MM.extract_image_features(images))
+    rows = scored.collect()
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in rows)
+    # weights sum to 1 → max possible is 1
+    assert sum(MM.QUALITY_WEIGHTS.values()) == pytest.approx(1.0)
+
+
+def test_size_aware_partitioning(spark):
+    big = spark.createDataFrame(
+        [(i, bytes(1 << 20)) for i in range(10)], "item_id long, data binary"
+    )
+    n = MM.estimate_partitions(big, "data", target_batch_bytes=4 << 20)
+    assert n == 3  # 10 MB / 4 MB → 3 partitions
+
+
+def test_video_frame_sampling(spark):
+    videos = spark.createDataFrame(
+        [(1, b"xx", 12.0), (2, b"yy", 0.5)], "item_id long, data binary, duration_s double"
+    )
+    rows = MM.sample_video_frames(videos, every_n_seconds=5.0).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["item_id"], []).append(r["frame_ts"])
+    assert sorted(by_id[1]) == [0.0, 5.0, 10.0]
+    assert by_id[2] == [0.0]
