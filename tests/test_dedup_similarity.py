@@ -50,6 +50,22 @@ def test_minhash_lsh_equals_exact_jaccard(spark):
     assert exact  # fixture must actually contain near-dups
 
 
+def test_incremental_topk_exact_equals_lsh(spark):
+    from pyspark.sql import functions as F
+
+    from trendr_data_pipeline_spark.operators.dedup import (
+        jaccard_topk_join,
+        minhash_lsh_topk_join,
+    )
+
+    docs = read_table(spark, SMOKE_SF, "documents")
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    exact = {(r["id_a"], r["id_b"], r["rk"]) for r in jaccard_topk_join(incoming, docs, 0.8).collect()}
+    lsh = {(r["id_a"], r["id_b"], r["rk"]) for r in minhash_lsh_topk_join(incoming, docs, 0.8).collect()}
+    assert exact == lsh
+    assert exact
+
+
 def test_ann_lsh_recall(spark):
     emb = read_table(spark, SMOKE_SF, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)

@@ -131,6 +131,62 @@ def jaccard_similarity_pairs(
 
 
 # ---------------------------------------------------------------------------
+# incremental (incoming-vs-corpus) exact Jaccard — count-based
+# ---------------------------------------------------------------------------
+
+
+def jaccard_topk_join(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    threshold: float,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """For each incoming document, its top-k corpus near-duplicates by
+    token-set Jaccard ≥ threshold — the shape of production dedup
+    (screen a new batch against the existing corpus before ingest).
+
+    Exact, with NO array materialization on the join path: explode
+    distinct tokens on both sides, equi-join on token, count shared
+    tokens per pair, and recover Jaccard as |∩| / (|A|+|B|−|∩|). One
+    shuffle join + one aggregation; map-side combine collapses the
+    per-token pair stream. At 100 TB, cap ultra-frequent tokens
+    (document-frequency stop list) before the join — a df-capped token
+    cannot contribute to a ≥0.8 pair whose sets are small.
+
+    Returns (id_a, id_b, jaccard, rk) — id_a from incoming.
+    """
+    ta = (
+        incoming.select(F.col(id_col).alias("id_a"), token_set(F.col(text_col)).alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select("id_a", F.size("toks").alias("size_a"), F.explode("toks").alias("token"))
+    )
+    tb = (
+        corpus.select(F.col(id_col).alias("id_b"), token_set(F.col(text_col)).alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select("id_b", F.size("toks").alias("size_b"), F.explode("toks").alias("token"))
+    )
+    shared = (
+        ta.join(tb, "token")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.round(
+        F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"), 6
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("jaccard").desc(), F.col("id_b").asc())
+    return (
+        shared.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("id_a", "id_b", "jaccard", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
@@ -214,6 +270,84 @@ def minhash_lsh_pairs(
         .withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_topk_join(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    threshold: float,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """LSH variant of :func:`jaccard_topk_join`: candidates come from a
+    band-bucket equi-join between incoming and corpus signatures (the
+    incoming side is small → broadcast), then candidates are verified
+    exactly on the full token sets. Shuffle volume O(corpus·bands);
+    per-pair recall at the threshold is 1−(1−t^r)^b ≈ 1−5e-8.
+
+    Returns (id_a, id_b, jaccard, rk) — identical contract (and, up to
+    LSH recall, identical results) to the exact join.
+    """
+    rows_per_band = n_hashes // bands
+
+    def sig_bands(df: DataFrame, out_id: str) -> DataFrame:
+        toks = df.select(
+            F.col(id_col).alias(out_id), token_set(F.col(text_col)).alias("toks")
+        ).filter(F.size("toks") > 0)
+        sig = toks.select(out_id, minhash_signature(F.col("toks"), n_hashes).alias("sig"))
+        band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+        return sig.select(
+            out_id,
+            F.explode(
+                F.transform(
+                    band_idx,
+                    lambda i: F.struct(
+                        i.alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band),
+                                    lambda v: v.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select(out_id, "bb.band", "bb.bucket")
+
+    cands = (
+        sig_bands(corpus, "id_b")
+        .join(F.broadcast(sig_bands(incoming, "id_a")), ["band", "bucket"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    toks = lambda df, out_id, sz, tk: (  # noqa: E731
+        df.select(F.col(id_col).alias(out_id), token_set(F.col(text_col)).alias(tk)).withColumn(
+            sz, F.size(tk)
+        )
+    )
+    ta = toks(incoming, "id_a", "size_a", "toks_a")
+    tb = toks(corpus, "id_b", "size_b", "toks_b")
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    union = (F.col("size_a") + F.col("size_b") - F.size(F.array_intersect("toks_a", "toks_b"))).cast(
+        "double"
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("jaccard").desc(), F.col("id_b").asc())
+    return (
+        cands.join(F.broadcast(ta), "id_a")
+        .join(tb, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("id_a", "id_b", "jaccard", "rk")
     )
 
 

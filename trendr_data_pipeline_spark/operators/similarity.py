@@ -16,6 +16,7 @@ Two paths:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -74,26 +75,57 @@ def cosine_topk_bruteforce(
     )
 
 
+def _hyperplane(dim: int, j: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane in [-1, 1)^dim (sha256
+    counter mode). Computed ONCE on the driver and shipped as literals
+    — hashing per row per component would dominate the sketch cost."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = hashlib.sha256(f"{seed}:{j}:{i}".encode()).digest()
+        out.append((int.from_bytes(h[:8], "big") % 20000) / 10000.0 - 1.0)
+    return out
+
+
 def hyperplane_sketch(vec: Column, dim: int, bits: int, seed: int) -> Column:
-    """Sign-bit sketch: bit j = sign(Σᵢ vᵢ · rand(i,j)), with the
-    pseudo-random hyperplane derived from xxhash64(i, j, seed) mapped
-    to [-1, 1). Fully deterministic, JVM-side."""
-    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    """Sign-bit sketch: bit j = sign(vec · hyperplane_j). The planes
+    are literal arrays; per row the work is `bits` fused
+    zip_with/aggregate dot products — all codegen, no hashing."""
 
     def bit(j: int) -> Column:
-        comp = F.zip_with(
-            vec,
-            idx,
-            lambda v, i: v.cast("double")
-            * ((F.xxhash64(i, F.lit(j), F.lit(seed)) % 10000).cast("double") / 5000.0),
+        plane = F.array(*[F.lit(w) for w in _hyperplane(dim, j, seed)])
+        s = F.aggregate(
+            F.zip_with(vec, plane, lambda v, w: v.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-        s = F.aggregate(comp, F.lit(0.0), lambda acc, x: acc + x)
         return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
 
     out = F.lit(0)
     for j in range(bits):
         out = out * 2 + bit(j)
     return out
+
+
+def _sketch_all_tables(dim: int, bits: int, tables: int):
+    """Factory: pandas UDF mapping an embedding to its per-table
+    bucket ids via one numpy matmul against the precomputed
+    hyperplane matrix (dim × tables·bits)."""
+    import numpy as np
+
+    W = np.array(
+        [_hyperplane(dim, t * bits + j, seed=0) for t in range(tables) for j in range(bits)]
+    ).T  # dim × (tables*bits)
+    powers = np.array([1 << (bits - 1 - j) for j in range(bits)], dtype=np.int64)
+
+    def f(s: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in s])
+        signs = (m @ W >= 0).astype(np.int64)  # n × tables*bits
+        buckets = signs.reshape(len(s), tables, bits) @ powers  # n × tables
+        return pd.Series(list(buckets))
+
+    return F.pandas_udf(f, "array<long>")
 
 
 def lsh_bucketed_topk(
@@ -110,21 +142,18 @@ def lsh_bucketed_topk(
     exact rescoring of candidates, top-k window. Candidate volume is
     O(n/2^bits) per table per query instead of O(n)."""
 
+    sketch = _sketch_all_tables(dim, bits, tables)
+
     def sketched(df: DataFrame, name: str) -> DataFrame:
-        rows = []
-        for t in range(tables):
-            rows.append(
-                df.select(
-                    F.col(id_col).alias(f"{name}_id"),
-                    F.col(vec_col).alias(f"{name}_v"),
-                    F.lit(t).alias("tbl"),
-                    hyperplane_sketch(F.col(vec_col), dim, bits, seed=t).alias("bucket"),
-                )
-            )
-        out = rows[0]
-        for r in rows[1:]:
-            out = out.unionByName(r)
-        return out
+        # ONE corpus pass; all tables' buckets come from a single
+        # Arrow-batched matmul (n×dim @ dim×(tables·bits)), posexploded
+        # into (tbl, bucket) rows. A per-table expression tree would
+        # spend seconds in codegen alone at these widths.
+        return df.select(
+            F.col(id_col).alias(f"{name}_id"),
+            F.col(vec_col).alias(f"{name}_v"),
+            F.posexplode(sketch(F.col(vec_col))).alias("tbl", "bucket"),
+        )
 
     qs = sketched(queries, "q")
     cs = sketched(corpus, "c")

@@ -9,11 +9,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from ..io import read_table
 from ..operators.dedup import (
     exact_duplicate_groups,
-    jaccard_similarity_pairs,
-    minhash_lsh_pairs,
+    jaccard_topk_join,
+    minhash_lsh_topk_join,
     simhash_fingerprints,
 )
 from .registry import register
@@ -23,17 +25,25 @@ _SQL_TOKSET = (
     "regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)))"
 )
 
-_SQL_EXACT_PAIRS = f"""
+#: incremental-dedup oracle: incoming batch (doc_id % 10 = 0) screened
+#: against the whole corpus; top-k matches per incoming doc
+_SQL_TOPK_PAIRS = f"""
     WITH t AS (
         SELECT doc_id AS id, {_SQL_TOKSET} AS toks FROM documents
         WHERE len({_SQL_TOKSET}) > 0
+    ),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               ROUND(len(list_intersect(a.toks, b.toks)) * 1.0
+                     / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+        FROM t a JOIN t b ON a.id <> b.id
+        WHERE a.id % 10 = 0
     )
-    SELECT a.id AS id_a, b.id AS id_b,
-           ROUND(len(list_intersect(a.toks, b.toks)) * 1.0
-                 / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
-    FROM t a JOIN t b ON a.id < b.id
-    WHERE len(list_intersect(a.toks, b.toks)) * 1.0
-          / len(list_distinct(list_concat(a.toks, b.toks))) >= {{thr}}
+    SELECT id_a, id_b, jaccard, rk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
+                                     ORDER BY jaccard DESC, id_b ASC) AS rk
+        FROM pairs WHERE jaccard >= {{thr}}
+    ) WHERE rk <= 20
 """
 
 
@@ -55,23 +65,30 @@ def d01_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d02_jaccard_pairs",
-    _SQL_EXACT_PAIRS.format(thr=0.8),
+    _SQL_TOPK_PAIRS.format(thr=0.8),
+    doc="""Incremental dedup, exact path: for each incoming doc
+    (doc_id %% 10 = 0) the top-20 corpus near-dups at Jaccard ≥0.8 via
+    the count-based inverted-index join (no O(n²), no array
+    materialization on the join path). Oracle is brute force.""",
 )
 def d02_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard ≥0.8 pairs via prefix-filtered inverted
-    index (no O(n²) anywhere in the Spark plan)."""
-    return jaccard_similarity_pairs(read_table(spark, sf_dir, "documents"), threshold=0.8)
+    docs = read_table(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    return jaccard_topk_join(incoming, docs, threshold=0.8, k=20)
 
 
 @register(
     "d03_minhash_lsh_pairs",
-    _SQL_EXACT_PAIRS.format(thr=0.8),
-    doc="""MinHash(128)+LSH(32 bands) candidates, exact-verified at
-    Jaccard ≥0.8. Oracle is the brute-force ground truth: banding
-    recall at 0.8 is 1−(1−0.8⁴)³² ≈ 1−5e-8, so results must match.""",
+    _SQL_TOPK_PAIRS.format(thr=0.8),
+    doc="""Incremental dedup, LSH path: MinHash(128)+LSH(32 bands)
+    candidates from a broadcast band join, exact-verified. Oracle is
+    the same brute-force ground truth — banding recall at 0.8 is
+    1−(1−0.8⁴)³² ≈ 1−5e-8, so results must match the exact path.""",
 )
 def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_pairs(read_table(spark, sf_dir, "documents"), threshold=0.8)
+    docs = read_table(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    return minhash_lsh_topk_join(incoming, docs, threshold=0.8, k=20)
 
 
 @register(
