@@ -30,9 +30,11 @@ def parse_date_flexible(col: Column) -> Column:
     """coalesce-ladder over the reference's accepted formats: ISO
     (with/without Z), ``d mon yyyy``, ``mon d, yyyy``, ``d/m/yyyy``,
     ``yyyy-m-d``."""
-    iso = F.to_timestamp(F.regexp_replace(col, r"Z$", "+00:00"))
-    dmy_slash = F.to_timestamp(col, "d/M/yyyy")
-    ymd = F.to_timestamp(col, "yyyy-M-d")
+    # try_to_timestamp: under ANSI mode (Spark 4 default) a failed
+    # parse inside coalesce would throw, not yield NULL
+    iso = F.try_to_timestamp(F.regexp_replace(col, r"Z$", "+00:00"))
+    dmy_slash = F.try_to_timestamp(col, F.lit("d/M/yyyy"))
+    ymd = F.try_to_timestamp(col, F.lit("yyyy-M-d"))
     # '12 mar 2024' / 'mar 12, 2024' via a month-name map join-free rewrite
     mon_map = F.create_map(*[F.lit(x) for kv in _MONTHS.items() for x in kv])
     lower = F.lower(col)

@@ -19,3 +19,4 @@ def load_all() -> None:
     from . import similarity_ops  # noqa: F401
     from . import reference_ops  # noqa: F401
     from . import events_ops  # noqa: F401
+    from . import scalar_ops  # noqa: F401
