@@ -20,3 +20,4 @@ def load_all() -> None:
     from . import reference_ops  # noqa: F401
     from . import events_ops  # noqa: F401
     from . import scalar_ops  # noqa: F401
+    from . import pipeline_ops  # noqa: F401

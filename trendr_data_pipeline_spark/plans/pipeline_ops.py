@@ -1,0 +1,224 @@
+"""Pipeline-level queries: the full mention-scanning plan (§3.2) and
+the streaming surface exposed through the driver contract, plus the
+remaining small-operator coverage (F1/U3 allowlists, A12 keyword
+trends).
+
+The mention pipeline and streaming jobs are rows-only checks (difflib
+UDFs and streaming replay are not ANSI-SQL-expressible); their
+semantics are pinned by the pytest oracles instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# p01 — full mention pipeline (rows-only; pytest holds the oracle)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p01_mention_pipeline",
+    None,
+    doc="""End-to-end §3.2 plan on candidates synthesized from orders:
+    normalize → catalog resolve → name/geo/penalty scoring (difflib +
+    trigram UDFs) → decision ladder → windowed dedup. Rows-only here;
+    tests/test_mentions.py pins the per-component semantics.""",
+)
+def p01_mention_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mentions import score_candidates, windowed_dedup
+    from ..schemas import DOMAIN
+
+    # small candidate batch (the scanner processes per-POI batches of
+    # ~100 candidates); repartition keeps the pandas-UDF stages from
+    # scheduling 32 near-empty tasks
+    o = read_table(spark, sf_dir, "orders").limit(2000).repartition(8)
+    city = F.when(F.col("o_orderkey") % 3 == 0, "paris").otherwise("lyon")
+    cands = o.select(
+        F.col("o_custkey").cast("string").alias("poi_id"),
+        F.concat(F.lit("Venue "), (F.col("o_custkey") % 100).cast("string")).alias("poi_name"),
+        city.alias("city_slug"),
+        F.concat(
+            F.lit("https://site"),
+            (F.col("o_orderkey") % 9).cast("string"),
+            F.lit(".fr/"),
+            city,
+            F.lit("/venue-"),
+            (F.col("o_custkey") % 100).cast("string"),
+            F.when(F.col("o_orderkey") % 4 == 0, "-part2").otherwise(""),
+        ).alias("url"),
+        F.concat(
+            F.lit("Venue "),
+            (F.col("o_custkey") % 100).cast("string"),
+            F.when(F.col("o_orderkey") % 5 == 0, F.lit(" — best of paris 75011")).otherwise(
+                F.lit(" review")
+            ),
+            F.when(F.col("o_orderkey") % 17 == 0, F.lit(" (germany edition)")).otherwise(F.lit("")),
+        ).alias("title"),
+        F.lit("a nice spot in town").alias("snippet"),
+        F.lit(None).cast("string").alias("domain"),
+        (48.8 + (F.col("o_custkey") % 20) * 0.005).alias("poi_lat"),
+        (2.3 + (F.col("o_custkey") % 20) * 0.005).alias("poi_lng"),
+        F.lit(None).cast("timestamp").alias("published_at"),
+    )
+    profiles = spark.createDataFrame(
+        [
+            ("paris", ["paris"], "FR", ["île-de-france"], ["75", "750"],
+             48.8156, 48.9021, 2.2247, 2.4698, 48.8566, 2.3522, ["lyon", "marseille"]),
+            ("lyon", ["lyon"], "FR", ["rhône"], ["69", "690"],
+             45.7078, 45.8084, 4.7847, 4.9228, 45.7640, 4.8357, ["paris", "marseille"]),
+        ],
+        "city_slug string, city_names_aliases array<string>, country_code string,"
+        " admin_names array<string>, postal_prefixes array<string>, lat_min double,"
+        " lat_max double, lng_min double, lng_max double, centroid_lat double,"
+        " centroid_lng double, competing_cities array<string>",
+    )
+    cat_rows = [
+        ("site0", "https://site0.fr", "guide", 1.0),
+        ("site1", "https://site1.fr", "press", 0.8),
+        ("site2", "https://site2.fr", "local", 0.5),
+    ]
+    catalog = spark.createDataFrame(
+        [
+            tuple(
+                {**{f.name: None for f in DOMAIN["source_catalog"].fields},
+                 "source_id": sid, "base_url": url, "type": t, "authority_weight": w,
+                 "is_active": True}[f.name]
+                for f in DOMAIN["source_catalog"].fields
+            )
+            for sid, url, t, w in cat_rows
+        ],
+        DOMAIN["source_catalog"],
+    )
+    as_of = F.lit("2000-01-01").cast("timestamp")
+    scored = score_candidates(cands, profiles, catalog, as_of)
+    accepted = (
+        scored.filter(F.col("decision") == "ACCEPT")
+        .withColumn("source_id", F.coalesce(F.col("cat_source_id"), F.lit("discovered")))
+        # W1 ranks by stored authority_weight · w_time (dedup.py:83-86)
+        .withColumn("authority_weight", F.col("authority"))
+        .withColumn("w_time", F.lit(1.0))
+    )
+    deduped = windowed_dedup(accepted, as_of, max_per_window=2)
+    return deduped.select(
+        "poi_id", "url", "decision", "accepted_by",
+        F.round("final_score", 6).alias("final_score"), "dedup_rank",
+    )
+
+
+# ---------------------------------------------------------------------------
+# p02 — streaming sessionization under the driver (rows-only)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p02_streaming_sessions",
+    None,
+    doc="""SS10 session_window job replayed synchronously over the
+    events fixture (memory sink). Rows-only; equality with the batch
+    sessionizer is pinned in tests/test_streaming.py.""",
+)
+def p02_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming import jobs
+
+    # the file-stream source needs a directory; stage the events file
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet"))
+    stream = jobs.events_stream(spark, stage)
+    q = (
+        jobs.session_windows(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("p02_sessions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("p02_sessions")
+
+
+# ---------------------------------------------------------------------------
+# p03 — F1/U3 type allowlist via array overlap
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p03_type_allowlist",
+    """
+    WITH place AS (
+        SELECT p_partkey,
+               [CASE p_partkey % 5 WHEN 0 THEN 'restaurant' WHEN 1 THEN 'museum'
+                     WHEN 2 THEN 'bar' WHEN 3 THEN 'hotel' ELSE 'cafe' END,
+                CASE p_partkey % 3 WHEN 0 THEN 'bakery' ELSE 'shop' END] AS types
+        FROM part
+    )
+    SELECT p_partkey, types,
+           list_has_any(types, ['restaurant', 'bar', 'cafe', 'bakery']) AS allowed
+    FROM place
+    """,
+)
+def p03_type_allowlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 type allowlist (arrays_overlap) + U3 set-intersection
+    semantics on type arrays derived from part keys."""
+    from ..operators.ingestion import type_allowlist
+
+    p = read_table(spark, sf_dir, "part")
+    t1 = (
+        F.when(F.col("p_partkey") % 5 == 0, "restaurant")
+        .when(F.col("p_partkey") % 5 == 1, "museum")
+        .when(F.col("p_partkey") % 5 == 2, "bar")
+        .when(F.col("p_partkey") % 5 == 3, "hotel")
+        .otherwise("cafe")
+    )
+    t2 = F.when(F.col("p_partkey") % 3 == 0, "bakery").otherwise("shop")
+    place = p.select("p_partkey", F.array(t1, t2).alias("types"))
+    return place.select("p_partkey", "types", type_allowlist(F.col("types")).alias("allowed"))
+
+
+# ---------------------------------------------------------------------------
+# p04 — A12 keyword trend counts
+# ---------------------------------------------------------------------------
+
+_KEYWORDS = ["spark", "join", "merge", "stream", "window"]
+
+
+@register(
+    "p04_keyword_trends",
+    f"""
+    SELECT kw,
+           COUNT(CASE WHEN regexp_matches(lower(text), '\\b' || kw || '\\b') THEN 1 END)
+               AS n_docs,
+           CAST(SUM(len(regexp_extract_all(lower(text), '\\b' || kw || '\\b'))) AS BIGINT)
+               AS n_hits
+    FROM documents
+    CROSS JOIN (SELECT UNNEST(['{"','".join(_KEYWORDS)}']) AS kw)
+    GROUP BY kw
+    """,
+)
+def p04_keyword_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 trending-keyword counts (regexp hits per keyword across the
+    corpus, reference ai/collection_generator.py:577-616): keyword dim
+    crossed against documents, counted by containment and by total
+    occurrences."""
+    docs = read_table(spark, sf_dir, "documents")
+    kws = spark.createDataFrame([(k,) for k in _KEYWORDS], "kw string")
+    joined = docs.crossJoin(F.broadcast(kws))
+    hits = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.concat(F.lit(r"\b"), F.col("kw"), F.lit(r"\b")), F.lit(0)
+        )
+    )
+    return joined.groupBy("kw").agg(
+        F.count(F.when(hits > 0, 1)).alias("n_docs"),
+        F.sum(hits).cast("long").alias("n_hits"),
+    )
