@@ -386,3 +386,106 @@ def s06_ttl_due_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     as_of = F.lit(_S06_AS_OF).cast("timestamp")
     return st.filter(is_due(F.col("last_done"), as_of, 7))
+
+
+# ---------------------------------------------------------------------------
+# s07 — DT5 date hierarchy with confidence/method
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s07_date_hierarchy",
+    """
+    WITH m AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 4 = 0 THEN o_orderdate END AS rss_dt,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_orderdate + INTERVAL 1 DAY END AS schema_dt,
+               CASE WHEN o_orderkey % 2 = 0 THEN o_orderdate + INTERVAL 2 DAY END AS og_dt,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_orderdate + INTERVAL 3 DAY END AS url_dt
+        FROM orders
+    )
+    SELECT o_orderkey,
+           COALESCE(rss_dt, schema_dt, og_dt, url_dt) AS published_at,
+           CASE WHEN rss_dt IS NOT NULL THEN 'high'
+                WHEN schema_dt IS NOT NULL THEN 'high'
+                WHEN og_dt IS NOT NULL THEN 'medium'
+                WHEN url_dt IS NOT NULL THEN 'low' END AS confidence,
+           CASE WHEN rss_dt IS NOT NULL THEN 'rss'
+                WHEN schema_dt IS NOT NULL THEN 'schema_org'
+                WHEN og_dt IS NOT NULL THEN 'opengraph'
+                WHEN url_dt IS NOT NULL THEN 'url_inference' END AS method
+    FROM m
+    """,
+)
+def s07_date_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DT5: the priority coalesce-ladder over per-method date columns,
+    emitting (published_at, confidence, method) — reference
+    date_enricher.py:42-77 with its method→confidence table."""
+    from ..functions.dates import date_hierarchy
+
+    o = read_table(spark, sf_dir, "orders")
+    day = lambda n: F.col("o_orderdate") + F.expr(f"INTERVAL {n} DAYS")  # noqa: E731
+    m = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 4 == 0, F.col("o_orderdate")).alias("rss_dt"),
+        F.when(F.col("o_orderkey") % 3 == 0, day(1)).alias("schema_dt"),
+        F.when(F.col("o_orderkey") % 2 == 0, day(2)).alias("og_dt"),
+        F.when(F.col("o_orderkey") % 5 == 0, day(3)).alias("url_dt"),
+    )
+    published, conf, method = date_hierarchy(
+        rss=F.col("rss_dt"),
+        schema_org=F.col("schema_dt"),
+        opengraph=F.col("og_dt"),
+        url_inference=F.col("url_dt"),
+    )
+    return m.select(
+        "o_orderkey",
+        published.alias("published_at"),
+        conf.alias("confidence"),
+        method.alias("method"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# s08 — W5/W7 max_by + ordered limits
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s08_maxby_best_per_group",
+    """
+    WITH j AS (
+        SELECT n.n_name AS nation_name, c.c_name, c.c_acctbal, c.c_custkey
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY nation_name
+                                  ORDER BY c_acctbal DESC, c_custkey ASC) AS rk_hi,
+               ROW_NUMBER() OVER (PARTITION BY nation_name
+                                  ORDER BY c_acctbal ASC, c_custkey DESC) AS rk_lo
+        FROM j
+    )
+    SELECT nation_name,
+           MAX(CASE WHEN rk_hi = 1 THEN c_name END) AS richest_customer,
+           MAX(c_acctbal) AS max_acctbal,
+           MAX(CASE WHEN rk_lo = 1 THEN c_name END) AS poorest_customer
+    FROM r GROUP BY nation_name
+    """,
+)
+def s08_maxby_best_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 'best-of per group' via max_by/min_by (reference photo
+    best-of, utils/photo_manager.py:401-429) — tie-broken by key so
+    the argmax is deterministic."""
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    tie = F.struct(F.col("c_acctbal"), (-F.col("c_custkey")).alias("neg_key"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.max_by("c_name", tie).alias("richest_customer"),
+            F.max("c_acctbal").alias("max_acctbal"),
+            F.min_by("c_name", tie).alias("poorest_customer"),
+        )
+    )
