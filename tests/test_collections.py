@@ -97,3 +97,21 @@ def test_mood_distribution(spark):
     got = {r["neighbourhood_name"]: r for r in C.mood_distribution(pois).collect()}
     assert got["Marais"]["chill"] == 50 and got["Marais"]["trendy"] == 25 and got["Marais"]["hidden"] == 25
     assert got["Opera"]["chill"] == 100 and got["Opera"]["trendy"] == 0
+
+
+def test_structured_data_jsonld(spark):
+    import json as _json
+
+    cols = spark.createDataFrame(
+        [("date_spots", "Best Date Spots")], "template string, title string"
+    )
+    members = spark.createDataFrame(
+        [("date_spots", "p1", "Le Servan", 1), ("date_spots", "p2", "Cafe A", 2)],
+        "template string, id string, name string, rk int",
+    )
+    out = C.structured_data(cols, members).first()
+    sd = _json.loads(out["structured_data"])
+    assert sd["@type"] == "CollectionPage"
+    items = sd["mainEntity"]["itemListElement"]
+    assert [i["position"] for i in items] == [1, 2]
+    assert items[0]["item"]["name"] == "Le Servan"

@@ -158,3 +158,42 @@ def test_update_scanned(spark, city):
     assert r["results_last"] == 70 and r["next_due_at"] is not None
     other = next(v for k, v in updated.items() if k != target)
     assert other["status"] == "pending" and other["attempts"] == 0
+
+
+def test_ring_assembly():
+    """H5: segments in arbitrary order/orientation chain into a closed
+    ring; leftover open chains are dropped."""
+    from trendr_data_pipeline_spark.operators.spatial import (
+        assemble_rings,
+        rings_to_multipolygon,
+    )
+
+    a, b, c, d = [0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]
+    segments = [
+        [a, b],          # bottom
+        [c, b],          # right, reversed orientation
+        [c, d],          # top
+        [a, d],          # left, reversed
+        [[5.0, 5.0], [6.0, 6.0]],  # dangling chain — dropped
+    ]
+    rings = assemble_rings(segments)
+    assert len(rings) == 1
+    ring = rings[0]
+    assert ring[0] == ring[-1]
+    assert {tuple(p) for p in ring} == {tuple(p) for p in [a, b, c, d]}
+    geo = json.loads(rings_to_multipolygon(rings))
+    assert geo["type"] == "MultiPolygon" and len(geo["coordinates"]) == 1
+
+
+def test_assembled_ring_usable_by_covers(spark):
+    from trendr_data_pipeline_spark.operators.spatial import (
+        _covers,
+        assemble_rings,
+        rings_to_multipolygon,
+    )
+
+    segs = [[[0.0, 0.0], [2.0, 0.0]], [[2.0, 2.0], [2.0, 0.0]],
+            [[2.0, 2.0], [0.0, 2.0]], [[0.0, 2.0], [0.0, 0.0]]]
+    geom = json.loads(rings_to_multipolygon(assemble_rings(segs)))
+    assert _covers(1.0, 1.0, geom) is True
+    assert _covers(3.0, 1.0, geom) is False

@@ -99,3 +99,65 @@ def test_stateful_topn_dedup(spark, events_dir):
         got_by_key[(r["user_id"], r["event_type"])].add(r["event_id"])
     assert all(len(v) <= 2 for v in got_by_key.values())
     assert {k: set(v) for k, v in first_two.items()} == dict(got_by_key)
+
+
+def test_merge_sink_upserts(spark, events_dir, tmp_path):
+    """SS4: re-observed keys update in place; the target holds one row
+    per key with the newest version."""
+    from trendr_data_pipeline_spark.streaming.jobs import events_stream, merge_sink
+
+    target = str(tmp_path / "merged")
+    ckpt = str(tmp_path / "ckpt")
+    stream = events_stream(spark, events_dir)
+    # key = (user_id, event_type) encoded as one column for the merge
+    keyed = stream.withColumn(
+        "k", F.concat_ws("|", F.col("user_id"), F.col("event_type"))
+    )
+    q = merge_sink(keyed, target, key="k", version_col="ts", checkpoint_dir=ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    merged = spark.read.parquet(target)
+    total_keys = merged.count()
+    assert total_keys == merged.select("k").distinct().count()  # one row per key
+    # each kept row is the newest ts for its key
+    ev = read_table(spark, SMOKE_SF, "events")
+    want = (
+        ev.withColumn("k", F.concat_ws("|", F.col("user_id"), F.col("event_type")))
+        .groupBy("k")
+        .agg(F.max("ts").alias("ts"))
+    )
+    got = {(r["k"], r["ts"]) for r in merged.select("k", "ts").collect()}
+    assert got == {(r["k"], r["ts"]) for r in want.collect()}
+
+
+def test_cadence_gated_append(spark, events_dir):
+    """SS5: ≥interval gap between emitted events per key."""
+    from trendr_data_pipeline_spark.streaming.jobs import cadence_gated_append
+
+    got = jobs.run_to_memory(
+        spark, events_dir, lambda s: cadence_gated_append(s, interval_days=7.0), "t_cadence"
+    )
+    rows = got.collect()
+    assert rows
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[(r["user_id"], r["event_type"])].append(r["ts"])
+    for ts_list in by_key.values():
+        ts_sorted = sorted(ts_list)
+        for a, b in zip(ts_sorted, ts_sorted[1:]):
+            assert (b - a).total_seconds() >= 7 * 86400
+    # oracle: greedy first-fit over the sorted stream
+    ev = sorted(read_table(spark, SMOKE_SF, "events").collect(),
+                key=lambda e: (e["ts"], e["event_id"]))
+    want = defaultdict(list)
+    last = {}
+    for e in ev:
+        k = (e["user_id"], e["event_type"])
+        if k not in last or (e["ts"] - last[k]).total_seconds() >= 7 * 86400:
+            want[k].append(e["ts"])
+            last[k] = e["ts"]
+    assert {k: sorted(v) for k, v in by_key.items()} == {k: sorted(v) for k, v in want.items()}

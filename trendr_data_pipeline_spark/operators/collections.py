@@ -171,3 +171,49 @@ def mood_distribution(pois: DataFrame) -> DataFrame:
         "neighbourhood_name",
         *[F.round(F.col(m) * 100.0 / total).cast("long").alias(m) for m in MOOD_KEYS],
     )
+
+
+# ---------------------------------------------------------------------------
+# AM5 — structured-data assembly (collection_generator.py:1155-1233)
+# ---------------------------------------------------------------------------
+
+
+def structured_data(collections_df: DataFrame, members: DataFrame) -> DataFrame:
+    """JSON-LD CollectionPage per collection with nested POI entities:
+    collect_list of member structs → to_json(struct(...)). ``members``
+    carries (template, id, name, rk); order inside itemListElement
+    follows rank."""
+    items = (
+        members.groupBy("template")
+        .agg(F.array_sort(F.collect_list(F.struct("rk", "id", "name"))).alias("_m"))
+        .select(
+            "template",
+            F.transform(
+                F.col("_m"),
+                lambda m: F.struct(
+                    F.lit("ListItem").alias("@type"),
+                    m.getField("rk").alias("position"),
+                    F.struct(
+                        F.lit("LocalBusiness").alias("@type"),
+                        m.getField("name").alias("name"),
+                        m.getField("id").alias("identifier"),
+                    ).alias("item"),
+                ),
+            ).alias("elements"),
+        )
+    )
+    joined = collections_df.join(items, "template")
+    return joined.withColumn(
+        "structured_data",
+        F.to_json(
+            F.struct(
+                F.lit("https://schema.org").alias("@context"),
+                F.lit("CollectionPage").alias("@type"),
+                F.col("title").alias("name"),
+                F.struct(
+                    F.lit("ItemList").alias("@type"),
+                    F.col("elements").alias("itemListElement"),
+                ).alias("mainEntity"),
+            )
+        ),
+    ).drop("elements")

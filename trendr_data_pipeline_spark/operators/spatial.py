@@ -257,3 +257,50 @@ def radius_join(
     )
     dist = haversine_km(F.col(poi_lat), F.col(poi_lng), F.col(center_lat), F.col(center_lng))
     return cand.withColumn("distance_km", dist).filter(F.col("distance_km") <= radius_km)
+
+
+# ---------------------------------------------------------------------------
+# H5 — OSM ring assembly (reference neighbourhoods/extract_neighbourhoods.py:163-296)
+# ---------------------------------------------------------------------------
+
+
+def assemble_rings(segments: list[list[list[float]]]) -> list[list[list[float]]]:
+    """Order and flip way segments into closed rings — the OSM
+    relation→polygon step, pure Python (executor- or driver-side; runs
+    once per relation at ingestion time).
+
+    Each segment is a list of [lng, lat] points. Greedy chaining:
+    start a ring with any unused segment, repeatedly append the unused
+    segment whose endpoint touches the ring's open end (flipping when
+    it matches reversed), until the ring closes or no continuation
+    exists (unclosed chains are dropped, as the reference skips
+    incomplete relations)."""
+    unused = [list(s) for s in segments if len(s) >= 2]
+    rings: list[list[list[float]]] = []
+    while unused:
+        ring = unused.pop(0)
+        progress = True
+        while progress and ring[0] != ring[-1]:
+            progress = False
+            end = ring[-1]
+            for i, seg in enumerate(unused):
+                if seg[0] == end:
+                    ring.extend(seg[1:])
+                elif seg[-1] == end:
+                    ring.extend(list(reversed(seg))[1:])
+                else:
+                    continue
+                unused.pop(i)
+                progress = True
+                break
+        if len(ring) >= 4 and ring[0] == ring[-1]:
+            rings.append(ring)
+    return rings
+
+
+def rings_to_multipolygon(rings: list[list[list[float]]]) -> str:
+    """Closed rings → GeoJSON MultiPolygon text (outer rings only; the
+    reference treats each closed ring as a polygon shell)."""
+    return json.dumps(
+        {"type": "MultiPolygon", "coordinates": [[ring] for ring in rings]}
+    )

@@ -168,3 +168,97 @@ def run_to_memory(
     finally:
         q.stop()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# SS4 — upsert-on-conflict sink via foreachBatch
+# ---------------------------------------------------------------------------
+
+
+def merge_sink(
+    stream: DataFrame,
+    target_dir: str,
+    key: str,
+    version_col: str,
+    checkpoint_dir: str,
+):
+    """Streaming MERGE: each micro-batch is window-dedup-upserted into
+    a parquet target (late/duplicate arrivals update rather than
+    append — the reference's last_seen_at refresh,
+    utils/database.py:862-891). With Delta on the classpath the body
+    becomes a real MERGE INTO; the contract is identical.
+
+    Returns the started StreamingQuery."""
+    from ..operators.ingestion import upsert_latest
+
+    def do_merge(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        import os
+
+        if os.path.exists(target_dir):
+            existing = spark.read.parquet(target_dir)
+            merged = upsert_latest(existing, batch, key=key, version_col=version_col)
+        else:
+            merged = upsert_latest(
+                batch.limit(0), batch, key=key, version_col=version_col
+            )
+        # write to a temp dir then swap — parquet has no transactional
+        # overwrite; Delta/Iceberg make this atomic
+        tmp = target_dir + f"._epoch{epoch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        if os.path.exists(target_dir):
+            shutil.rmtree(target_dir)
+        os.rename(tmp, target_dir)
+
+    return (
+        stream.writeStream.foreachBatch(do_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SS5 — cadence-gated snapshot append (stateful)
+# ---------------------------------------------------------------------------
+
+
+def cadence_gated_append(
+    stream: DataFrame,
+    interval_days: float = 7.0,
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Emit at most one event per key per trailing interval: the
+    rating-snapshot cadence (≥7 d between snapshots per (poi, source),
+    reference google_places_ingester.py:516-555) generalized to
+    (user_id, event_type). State per key = last emitted timestamp."""
+    out_schema = "user_id long, event_type string, event_id long, ts timestamp, value double"
+    state_schema = "last_ts double"
+    interval_s = interval_days * 86400.0
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd  # noqa: PLC0415
+
+        (last_ts,) = state.get if state.exists else (float("-inf"),)
+        batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        keep_rows = []
+        for row in batch.itertuples(index=False):
+            t = row.ts.timestamp()
+            if t - last_ts >= interval_s:
+                keep_rows.append(row)
+                last_ts = t
+        state.update((last_ts,))
+        if keep_rows:
+            yield pd.DataFrame(keep_rows, columns=list(batch.columns))[
+                ["user_id", "event_type", "event_id", "ts", "value"]
+            ]
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
