@@ -37,6 +37,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reader rejects; we read it as long (legacy conf) and floor-divide to
     micros — the same truncation DuckDB applies, so oracle comparisons
     agree."""
+    # defensive: oracle comparability requires UTC timestamp semantics
+    # even when the caller's session (e.g. the driver's) didn't pin it;
+    # session timezone is runtime-settable
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name in _NANO_TS_TABLES:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
