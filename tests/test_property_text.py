@@ -1,0 +1,66 @@
+"""Property-based parity (hypothesis): the Spark text functions agree
+with their Python oracles on arbitrary generated input, not just the
+hand-picked cases."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tests.test_text_functions import (
+    oracle_dedupe_key,
+    oracle_fuzzy,
+    oracle_normalize,
+    oracle_trigram,
+)
+from trendr_data_pipeline_spark.functions import text as TX
+
+# text with accents, punctuation, venue words, whitespace runs
+_CHARS = st.text(alphabet=list("abcdefghij éèêëàâçœæ'’&.,-|\""), min_size=0, max_size=20)
+_WORDS = st.lists(
+    st.sampled_from(["café", "st", "Bar", "Restaurant", "cœur", "&"]), min_size=0, max_size=4
+)
+TEXT = st.builds(lambda c, ws: (c + " " + " ".join(ws)).strip(), _CHARS, _WORDS)
+
+_SETTINGS = settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.data_too_large],
+)
+
+
+@given(texts=st.lists(TEXT, min_size=1, max_size=8))
+@_SETTINGS
+def test_normalize_property(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r[0] for r in df.select(TX.normalize_text(F.col("t"))).collect()]
+    assert got == [oracle_normalize(t) for t in texts]
+
+
+@given(pairs=st.lists(st.tuples(TEXT, TEXT), min_size=1, max_size=6))
+@_SETTINGS
+def test_trigram_fuzzy_property(spark, pairs):
+    df = spark.createDataFrame(pairs, "a string, b string")
+    tri = [r[0] for r in df.select(TX.trigram_similarity(F.col("a"), F.col("b"))).collect()]
+    fuz = [r[0] for r in df.select(TX.fuzzy_ratio(F.col("a"), F.col("b"))).collect()]
+    for (a, b), t, fz in zip(pairs, tri, fuz):
+        assert abs(t - oracle_trigram(a, b)) < 1e-12, (a, b)
+        assert abs(fz - oracle_fuzzy(a, b)) < 1e-12, (a, b)
+
+
+URL = st.builds(
+    lambda host, path, suffix, lang: f"https://{host}.fr/{lang}{path}{suffix}",
+    host=st.sampled_from(["www.site", "blog.site", "a.b.site"]),
+    path=st.sampled_from(["articles/x", "p/deep/path", "x.html", "y.php"]),
+    suffix=st.sampled_from(["", "-part2", "-v3", "-update", "-12"]),
+    lang=st.sampled_from(["", "fr/", "en/", "us/en/"]),
+)
+
+
+@given(urls=st.lists(URL, min_size=1, max_size=8))
+@_SETTINGS
+def test_dedupe_key_property(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r[0] for r in df.select(TX.dedupe_key(F.col("url"))).collect()]
+    assert got == [oracle_dedupe_key(u) for u in urls]

@@ -40,8 +40,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # defensive: oracle comparability requires UTC timestamp semantics
     # even when the caller's session (e.g. the driver's) didn't pin it;
     # session timezone is runtime-settable
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ensure_session_conf(spark)
     if name in _NANO_TS_TABLES:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
@@ -59,6 +58,28 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: tables whose timestamp columns are nanosecond-precision in parquet
 _NANO_TS_TABLES = frozenset({"events"})
 _NANO_TS_COLS = frozenset({"ts"})
+
+
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """Pin the runtime-settable confs correctness and performance
+    depend on, for sessions we did not build (the external driver's):
+    UTC timestamps (oracle comparability), right-sized shuffle
+    partitions instead of the 200 default, AQE."""
+    try:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:  # noqa: BLE001 — unset: resolver validates defaults
+        tz = None
+    if tz != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
+            )
+    except Exception:  # noqa: BLE001
+        pass
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
 
 
 def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
