@@ -223,7 +223,10 @@ def associate_pois(pois: DataFrame, urban_areas: DataFrame) -> DataFrame:
     neigh = best.filter(F.col("admin_level") == "10").select(
         "id", F.col("area_name").alias("neighbourhood_name")
     )
-    return pois.join(districts, "id", "left").join(neigh, "id", "left")
+    # poi may already carry (null) association columns — the join result
+    # replaces them (the reference's UPDATE semantics, db.py:247-278)
+    base = pois.drop("district_name", "neighbourhood_name")
+    return base.join(districts, "id", "left").join(neigh, "id", "left")
 
 
 # ---------------------------------------------------------------------------
