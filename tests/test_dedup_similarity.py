@@ -92,3 +92,27 @@ def test_ann_candidates_subset_scored_correctly(spark):
     }
     for r in lsh_bucketed_topk(queries, emb, k=10).collect():
         assert abs(exact_all[(r["query_id"], r["neighbor_id"])] - r["cosine_sim"]) < 1e-9
+
+
+def test_ivf_recall_and_score_exactness(spark):
+    from trendr_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = cosine_topk_bruteforce(queries, emb, k=10).collect()
+    ivf = ivf_topk(queries, emb, k=10, nlist=8, nprobe=3).collect()
+    exact_map = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in cosine_topk_bruteforce(queries, emb, k=10**9).collect()
+    }
+    # scores of returned pairs are exact
+    for r in ivf:
+        assert abs(exact_map[(r["query_id"], r["neighbor_id"])] - r["cosine_sim"]) < 1e-9
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    ivf_set = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    recall = len(exact_set & ivf_set) / len(exact_set)
+    # near-random vectors cluster poorly — still demand a useful floor
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+    # determinism: same seed → same result
+    ivf2 = {(r["query_id"], r["neighbor_id"]) for r in ivf_topk(queries, emb, k=10, nlist=8, nprobe=3).collect()}
+    assert ivf_set == ivf2

@@ -108,6 +108,65 @@ def hyperplane_sketch(vec: Column, dim: int, bits: int, seed: int) -> Column:
     return out
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: a k-means coarse quantizer (pyspark.ml, fixed
+    seed) partitions the corpus into ``nlist`` cells; each query is
+    scored only against its ``nprobe`` nearest cells' members, then
+    exact cosine + top-k. Candidate volume ≈ corpus·nprobe/nlist.
+
+    The trained centroids are a tiny broadcast literal; cell
+    assignment of the corpus is one ML transform (done once and
+    reusable across query batches in a real serving setup)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_vec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    km = KMeans(k=nlist, seed=seed, maxIter=10)
+    model = km.fit(corpus_vec)
+    assigned = model.transform(corpus_vec).withColumnRenamed("prediction", "cell")
+
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+
+    # nprobe nearest centroids per query by cosine, via sorted struct array
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored_cells = F.transform(
+        cent_arr,
+        lambda c, i: F.struct((-cosine(F.col("qv"), c)).alias("neg_sim"), i.alias("cell")),
+    )
+    probes = q.withColumn(
+        "probe_cells",
+        F.transform(
+            F.slice(F.array_sort(scored_cells), 1, nprobe), lambda s: s.getField("cell")
+        ),
+    )
+    cands = probes.join(
+        assigned, F.array_contains(probes["probe_cells"], assigned["cell"]), "inner"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cands.withColumn("cosine_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rk")
+    )
+
+
 def _sketch_all_tables(dim: int, bits: int, tables: int):
     """Factory: pandas UDF mapping an embedding to its per-table
     bucket ids via one numpy matmul against the precomputed

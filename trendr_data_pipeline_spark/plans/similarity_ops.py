@@ -58,3 +58,17 @@ def m02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return lsh_bucketed_topk(queries, emb, k=10, dim=64, bits=4, tables=16)
+
+
+@register(
+    "m03_ivf_topk",
+    None,  # approximate by construction — rows-only; recall asserted in tests
+)
+def m03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means(16) coarse quantizer, 4-cell probe, exact
+    rescoring — the inverted-file scale path beside the LSH one."""
+    from ..operators.similarity import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_topk(queries, emb, k=10, nlist=16, nprobe=4)
