@@ -167,9 +167,14 @@ def jaccard_topk_join(
         .filter(F.size("toks") > 0)
         .select("id_b", F.size("toks").alias("size_b"), F.explode("toks").alias("token"))
     )
+    # size-compatibility bound: J(A,B) ≥ t forces t·|A| ≤ |B| ≤ |A|/t —
+    # prunes incompatible pairs inside the join before the aggregation
+    size_ok = (F.col("size_b") >= F.ceil(F.lit(threshold) * F.col("size_a"))) & (
+        F.col("size_b") <= F.floor(F.col("size_a") / F.lit(threshold))
+    )
     shared = (
         ta.join(tb, "token")
-        .filter(F.col("id_a") != F.col("id_b"))
+        .filter((F.col("id_a") != F.col("id_b")) & size_ok)
         .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
