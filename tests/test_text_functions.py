@@ -151,3 +151,43 @@ def test_domain_of(spark):
         assert r["got"] == r["want"]
     apex = df.select(TX.apex_domain(TX.domain_of(F.col("url"))).alias("a")).collect()
     assert [r[0] for r in apex] == ["lefooding.com", "example.com", "timeout.fr"]
+
+
+def test_date_from_url(spark):
+    # DT3 — reference date_enricher.py:265-297
+    cases = [
+        ("https://a.fr/2024/03/15/article/", "2024-03-15"),
+        ("https://a.fr/posts/2023-7-4-title", "2023-07-04"),
+        ("https://a.fr/x?date=2022-12-01", "2022-12-01"),
+        ("https://a.fr/no-date-here", None),
+    ]
+    from trendr_data_pipeline_spark.functions.dates import date_from_url
+
+    df = spark.createDataFrame(cases, "url string, want string")
+    rows = df.select(date_from_url(F.col("url")).alias("got"), "want").collect()
+    for r in rows:
+        got = r["got"].date().isoformat() if r["got"] else None
+        assert got == r["want"], r
+
+
+def test_is_valid_published_date(spark):
+    # DT2 — reject future (+24h skew) and pre-1990
+    from datetime import datetime
+
+    from trendr_data_pipeline_spark.functions.dates import is_valid_published_date
+
+    as_of = datetime(2026, 8, 1)
+    cases = [
+        (datetime(2026, 7, 31), True),
+        (datetime(2026, 8, 1, 23, 0), True),    # within +24h skew
+        (datetime(2026, 8, 3), False),          # future
+        (datetime(1989, 12, 31), False),        # pre-1990
+        (datetime(1990, 1, 1), True),
+    ]
+    df = spark.createDataFrame(cases, "ts timestamp, want boolean")
+    rows = df.select(
+        is_valid_published_date(F.col("ts"), F.lit(as_of.isoformat()).cast("timestamp")).alias("got"),
+        "want",
+    ).collect()
+    for r in rows:
+        assert r["got"] == r["want"], r

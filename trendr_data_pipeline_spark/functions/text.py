@@ -158,19 +158,34 @@ def remove_stopwords(col: Column, stopwords: list[str] | None = None) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def _name_score_py(poi_name: str | None, title: str | None, snippet: str | None) -> float:
+    """Direct transcription of the reference's
+    `_calculate_name_score_kiss` (scoring.py:209-230)."""
+    if not poi_name:
+        return 0.0
+    text = f"{title or ''} {snippet or ''}"
+    if not text.strip():
+        return 0.0
+    fuzzy = difflib.SequenceMatcher(None, poi_name.lower(), text.lower()).ratio()
+    tri = _trigram_sim_py(poi_name, text)
+    sw = set(KISS_STOPWORDS)
+    strip = lambda s: " ".join(w for w in s.lower().split() if w not in sw and len(w) > 2)  # noqa: E731
+    np_, nt = strip(poi_name), strip(text)
+    if np_ and nt:
+        fuzzy = max(fuzzy, difflib.SequenceMatcher(None, np_.lower(), nt.lower()).ratio())
+    return max(fuzzy, tri)
+
+
 def name_score(poi_name: Column, title: Column, snippet: Column) -> Column:
-    """max(fuzzy(poi, title+snippet), fuzzy(stopword-stripped), trigram).
-    The two exact-parity UDFs run once each per row; everything else is
-    JVM-side."""
-    text = F.concat_ws(" ", title, snippet)
-    base_fuzzy = fuzzy_ratio(poi_name, text)
-    norm_fuzzy = fuzzy_ratio(remove_stopwords(poi_name), remove_stopwords(text))
-    tri = trigram_similarity(poi_name, text)
-    has_both = (F.length(F.trim(remove_stopwords(poi_name))) > 0) & (
-        F.length(F.trim(remove_stopwords(text))) > 0
-    )
-    fuzzy_best = F.when(has_both, F.greatest(base_fuzzy, norm_fuzzy)).otherwise(base_fuzzy)
-    return F.greatest(fuzzy_best, tri)
+    """ST4 — max(fuzzy(poi, title+snippet), fuzzy(stopword-stripped),
+    trigram). ONE fused pandas UDF (a composition of three separate
+    UDF calls costs 3× the Arrow transfers and interleaves JVM
+    expression trees between Python stages)."""
+
+    def batch(p: pd.Series, t: pd.Series, s: pd.Series) -> pd.Series:
+        return pd.Series([_name_score_py(a, b, c) for a, b, c in zip(p, t, s)])
+
+    return F.pandas_udf(batch, "double")(poi_name, title, snippet)
 
 
 # ---------------------------------------------------------------------------
