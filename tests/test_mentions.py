@@ -245,3 +245,40 @@ def test_windowed_dedup_w1(spark):
     assert oracle_dedupe_key("https://a.fr/art/x-part1") == "a.fr/art/x"
     assert got == [("s1", "https://a.fr/art/x-part1"), ("s1", "https://a.fr/art/x-part2"),
                    ("s2", "https://b.fr/other")]
+
+
+def test_enrich_poi_names_j6(spark):
+    from trendr_data_pipeline_spark.operators.mentions import enrich_poi_names
+
+    poi = spark.createDataFrame(
+        [("p1", "Le Servan", "paris", 48.88, 2.38),
+         ("p2", "Le Servan Annexe", "paris", 48.89, 2.39),
+         ("p3", "Le Servan", "lyon", 45.76, 4.83)],
+        "id string, name string, city_slug string, lat double, lng double",
+    )
+    names = spark.createDataFrame(
+        [("servan", "paris"), ("servan", "lyon"), ("unknown", "paris")],
+        "query_name string, city_slug string",
+    )
+    rows = {(r["query_name"], r["city_slug"]): r for r in enrich_poi_names(names, poi).collect()}
+    assert rows[("servan", "paris")]["id"] == "p1"   # first by name asc
+    assert rows[("servan", "lyon")]["id"] == "p3"
+    assert rows[("unknown", "paris")]["id"] is None  # left join keeps the query
+
+
+def test_date_from_snippet_dt4(spark):
+    from trendr_data_pipeline_spark.functions.dates import date_from_snippet
+
+    cases = [
+        ("published 12 Mar 2024 by x", "2024-03-12"),
+        ("posted 2023-07-04 evening", "2023-07-04"),
+        ("le 5/3/2022 à Paris", "2022-03-05"),
+        ("no date in here", None),
+        # first pattern wins when several present (reference loop order)
+        ("1 jan 2020 and 2021-02-03", "2020-01-01"),
+    ]
+    df = spark.createDataFrame(cases, "snippet string, want string")
+    rows = df.select(date_from_snippet(F.col("snippet")).alias("got"), "want").collect()
+    for r in rows:
+        got = r["got"].date().isoformat() if r["got"] else None
+        assert got == r["want"], r

@@ -196,3 +196,51 @@ def season_of(as_of: Column) -> Column:
         .when(m.isin(6, 7, 8), "summer")
         .otherwise("autumn")
     )
+
+
+# ---------------------------------------------------------------------------
+# DT4 — SERP snippet date (reference date_enricher.py:79-102)
+# ---------------------------------------------------------------------------
+
+_MON_GROUP = "(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)"
+
+
+def date_from_snippet(snippet: Column) -> Column:
+    """First match of the reference's three snippet patterns:
+    'd mon 20yy', '20yy-mm-dd', 'd/m/20yy' (case-insensitive)."""
+    s = F.lower(snippet)
+    mon_map = F.create_map(
+        *[F.lit(x) for kv in
+          {m: i + 1 for i, m in
+           enumerate(["jan", "feb", "mar", "apr", "may", "jun",
+                      "jul", "aug", "sep", "oct", "nov", "dec"])}.items()
+          for x in kv]
+    )
+    p1 = rf"(\d{{1,2}})\s+{_MON_GROUP}\s+(20\d{{2}})"
+    d_mon = F.when(
+        F.regexp_extract(s, p1, 0) != "",
+        F.make_date(
+            F.regexp_extract(s, p1, 3).cast("int"),
+            F.element_at(mon_map, F.regexp_extract(s, p1, 2)),
+            F.regexp_extract(s, p1, 1).cast("int"),
+        ),
+    )
+    p2 = r"(20\d{2})-(\d{2})-(\d{2})"
+    iso = F.when(
+        F.regexp_extract(s, p2, 0) != "",
+        F.make_date(
+            F.regexp_extract(s, p2, 1).cast("int"),
+            F.regexp_extract(s, p2, 2).cast("int"),
+            F.regexp_extract(s, p2, 3).cast("int"),
+        ),
+    )
+    p3 = r"(\d{1,2})/(\d{1,2})/(20\d{2})"
+    dmy = F.when(
+        F.regexp_extract(s, p3, 0) != "",
+        F.make_date(
+            F.regexp_extract(s, p3, 3).cast("int"),
+            F.regexp_extract(s, p3, 2).cast("int"),
+            F.regexp_extract(s, p3, 1).cast("int"),
+        ),
+    )
+    return F.coalesce(d_mon, iso, dmy).cast("timestamp")

@@ -210,3 +210,26 @@ def order_candidates(scored: DataFrame) -> DataFrame:
         eps_band(F.col("authority")).desc(),
         F.col("domain").asc(),
     )
+
+
+def enrich_poi_names(names: DataFrame, poi: DataFrame) -> DataFrame:
+    """J6 — batch coordinate/metadata enrichment: each queried name
+    matches POIs whose name CONTAINS it (case-insensitive) in the same
+    city; first match per (name, city) by (poi name asc, id asc) —
+    replaces the reference's ilike-per-name loop
+    (utils/database.py:140-201, scanner.py:217-285) with one broadcast
+    theta-join + rank."""
+    cand = F.broadcast(names).join(
+        poi,
+        F.contains(F.lower(poi["name"]), F.lower(names["query_name"]))
+        & (poi["city_slug"] == names["city_slug"]),
+        "left",
+    )
+    w = Window.partitionBy(names["query_name"], names["city_slug"]).orderBy(
+        poi["name"].asc_nulls_last(), poi["id"].asc_nulls_last()
+    )
+    return (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
