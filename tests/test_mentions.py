@@ -282,3 +282,24 @@ def test_date_from_snippet_dt4(spark):
     for r in rows:
         got = r["got"].date().isoformat() if r["got"] else None
         assert got == r["want"], r
+
+
+def test_observed_run_summary_a13(spark, scored):
+    """Counters must equal groupBy counts without a second scan."""
+    from collections import Counter
+
+    from trendr_data_pipeline_spark.operators.mentions import observed_run_summary
+
+    cand_schema = (
+        "poi_id string, decision string"
+    )
+    rows = [(r["poi_id"], r["decision"]) for r in scored.values()]
+    df = spark.createDataFrame(rows, cand_schema)
+    observed, obs = observed_run_summary(df)
+    observed.collect()
+    got = obs.get
+    want = Counter(d for _, d in rows)
+    assert got["n_candidates"] == len(rows)
+    assert got["n_accepted"] == want.get("ACCEPT", 0)
+    assert got["n_review"] == want.get("REVIEW", 0)
+    assert got["n_rejected"] == want.get("REJECT", 0)

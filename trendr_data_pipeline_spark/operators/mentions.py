@@ -233,3 +233,25 @@ def enrich_poi_names(names: DataFrame, poi: DataFrame) -> DataFrame:
         .filter(F.col("_rk") == 1)
         .drop("_rk")
     )
+
+
+def observed_run_summary(scored: DataFrame):
+    """A13 — run-summary counters (reference logging_ext.py:14-86) as
+    ``df.observe`` metrics: candidates / accepted / review / rejected
+    counts ride along with the action that materializes the plan — no
+    second pass over the data (the streaming twin is the same call on
+    a streaming DataFrame).
+
+    Returns (df, Observation); read ``observation.get`` after an
+    action."""
+    from pyspark.sql import Observation
+
+    obs = Observation("mention_run_summary")
+    observed = scored.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.count(F.when(F.col("decision") == "ACCEPT", 1)).alias("n_accepted"),
+        F.count(F.when(F.col("decision") == "REVIEW", 1)).alias("n_review"),
+        F.count(F.when(F.col("decision") == "REJECT", 1)).alias("n_rejected"),
+    )
+    return observed, obs
