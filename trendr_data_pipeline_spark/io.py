@@ -60,6 +60,20 @@ _NANO_TS_TABLES = frozenset({"events"})
 _NANO_TS_COLS = frozenset({"ts"})
 
 
+def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Repartition a DataFrame that arrived under-parallel (the test
+    fixtures are single-row-group parquet files → one input partition,
+    so every downstream stage would run on one core). Only shuffles
+    when the current partition count is well below the target — on
+    properly laid-out multi-file data this is a no-op. Use before
+    CPU-heavy per-row work (UDF fan-out, explode joins)."""
+    spark = df.sparkSession
+    target = min_parallelism or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def _ensure_session_conf(spark: SparkSession) -> None:
     """Pin the runtime-settable confs correctness and performance
     depend on, for sessions we did not build (the external driver's):

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import tokens
+from ..io import spread
 
 # ---------------------------------------------------------------------------
 # canonical token set
@@ -163,7 +164,8 @@ def jaccard_topk_join(
         .select("id_a", F.size("toks").alias("size_a"), F.explode("toks").alias("token"))
     )
     tb = (
-        corpus.select(F.col(id_col).alias("id_b"), token_set(F.col(text_col)).alias("toks"))
+        spread(corpus)
+        .select(F.col(id_col).alias("id_b"), token_set(F.col(text_col)).alias("toks"))
         .filter(F.size("toks") > 0)
         .select("id_b", F.size("toks").alias("size_b"), F.explode("toks").alias("token"))
     )
@@ -324,9 +326,9 @@ def minhash_lsh_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    toks = df.select(F.col(id_col).alias("id"), token_set(F.col(text_col)).alias("toks")).filter(
-        F.size("toks") > 0
-    )
+    toks = spread(df).select(
+        F.col(id_col).alias("id"), token_set(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") > 0)
     banded = toks.select(
         "id",
         F.posexplode(minhash_band_buckets(F.col("toks"), n_hashes, bands)).alias(
@@ -379,7 +381,7 @@ def minhash_lsh_topk_join(
     LSH recall, identical results) to the exact join.
     """
     def sig_bands(df: DataFrame, out_id: str) -> DataFrame:
-        toks = df.select(
+        toks = spread(df).select(
             F.col(id_col).alias(out_id), token_set(F.col(text_col)).alias("toks")
         ).filter(F.size("toks") > 0)
         return toks.select(
@@ -402,7 +404,7 @@ def minhash_lsh_topk_join(
         )
     )
     ta = toks(incoming, "id_a", "size_a", "toks_a")
-    tb = toks(corpus, "id_b", "size_b", "toks_b")
+    tb = toks(spread(corpus), "id_b", "size_b", "toks_b")
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
     union = (F.col("size_a") + F.col("size_b") - F.size(F.array_intersect("toks_a", "toks_b"))).cast(
         "double"
@@ -460,7 +462,7 @@ def simhash_fingerprints(
     """(id, simhash, band0..band3): 16-bit bands of the fingerprint.
     Near-dups (hamming ≤ 3) agree on ≥1 band (pigeonhole over 4 bands),
     so banding gives candidate buckets with an equi-join, no O(n²)."""
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col).alias("id"), simhash64(token_set(F.col(text_col))).alias("simhash")
     )
     for i in range(4):

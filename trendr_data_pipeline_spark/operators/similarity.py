@@ -58,8 +58,10 @@ def cosine_topk_bruteforce(
     Returns (query_id, neighbor_id, cosine_sim, rk). Self-matches are
     excluded. Ties broken by neighbor id (determinism, reference W4
     discipline)."""
+    from ..io import spread
+
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = spread(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -214,8 +216,10 @@ def lsh_bucketed_topk(
             F.posexplode(sketch(F.col(vec_col))).alias("tbl", "bucket"),
         )
 
+    from ..io import spread
+
     qs = sketched(queries, "q")
-    cs = sketched(corpus, "c")
+    cs = sketched(spread(corpus), "c")
     cands = (
         cs.join(F.broadcast(qs), ["tbl", "bucket"])
         .filter(F.col("q_id") != F.col("c_id"))

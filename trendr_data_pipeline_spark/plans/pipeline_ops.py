@@ -34,8 +34,9 @@ def p01_mention_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..schemas import DOMAIN
 
     # small candidate batch (the scanner processes per-POI batches of
-    # ~100 candidates); repartition keeps the pandas-UDF stages from
-    # scheduling 32 near-empty tasks
+    # ~100 candidates); 8 partitions balances pandas-UDF parallelism
+    # against per-task Arrow overhead at this row count (32 near-empty
+    # tasks measured slower)
     o = read_table(spark, sf_dir, "orders").limit(2000).repartition(8)
     city = F.when(F.col("o_orderkey") % 3 == 0, "paris").otherwise("lyon")
     cands = o.select(
