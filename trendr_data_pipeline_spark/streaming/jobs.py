@@ -21,9 +21,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..io import table_path
-from ..schemas import GENERIC
-
 # ---------------------------------------------------------------------------
 # stream source
 # ---------------------------------------------------------------------------
