@@ -39,3 +39,19 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() >= 0
     assert df.columns
+
+
+def test_approx_count_distinct_bound(spark):
+    """⊕A17 approx path: approx_count_distinct stays within the
+    documented rsd of the exact count (the 100 TB fast path the
+    oracle-checked q07 pins exactly)."""
+    from pyspark.sql import functions as F
+
+    from trendr_data_pipeline_spark.io import read_table
+
+    orders = read_table(spark, SMOKE_SF, "orders")
+    row = orders.agg(
+        F.countDistinct("o_custkey").alias("exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.1

@@ -140,3 +140,20 @@ def test_ingest_places(spark):
     assert "pl3" not in out      # seen + weak ratings: fails both gates
     assert "pl4" not in out      # type not allowed
     assert "pl5" not in out      # name missing
+
+
+def test_write_outputs_partitioned(spark, result, tmp_path):
+    from trendr_data_pipeline_spark.pipeline import write_outputs
+
+    out = str(tmp_path / "out")
+    write_outputs(result, out)
+    poi_back = spark.read.parquet(f"{out}/poi_scored")
+    assert poi_back.count() == result.poi_scored.count()
+    # partition pruning reaches the file listing: one city reads one dir
+    import os
+
+    dirs = [d for d in os.listdir(f"{out}/poi_scored") if d.startswith("city_slug=")]
+    assert len(dirs) >= 2
+    men_back = spark.read.parquet(f"{out}/source_mention")
+    assert men_back.count() == result.mentions_accepted.count()
+    assert "dt" in men_back.columns

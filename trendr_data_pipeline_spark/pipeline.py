@@ -168,3 +168,26 @@ def run_auto_pipeline(
         status_transitions=transitions,
         collections=cols,
     )
+
+
+def write_outputs(result: PipelineResult, out_dir: str) -> None:
+    """Persist stage outputs in the SCALING.md layout: facts
+    partitioned by their pruning key (mentions by created date, scored
+    POIs by city), small outputs as single files. Overwrite semantics
+    per partition directory — MERGE-equivalent for full-refresh runs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    (
+        result.mentions_accepted.withColumn("dt", F.to_date("created_at"))
+        .write.mode("overwrite")
+        .partitionBy("dt")
+        .parquet(os.path.join(out_dir, "source_mention"))
+    )
+    (
+        result.poi_scored.write.mode("overwrite")
+        .partitionBy("city_slug")
+        .parquet(os.path.join(out_dir, "poi_scored"))
+    )
+    result.collections.write.mode("overwrite").parquet(os.path.join(out_dir, "collections"))
