@@ -157,3 +157,36 @@ def test_write_outputs_partitioned(spark, result, tmp_path):
     men_back = spark.read.parquet(f"{out}/source_mention")
     assert men_back.count() == result.mentions_accepted.count()
     assert "dt" in men_back.columns
+
+
+def test_places_payload_remap(spark):
+    """S3–S5/F4: nested payload → validated, truncated poi row."""
+    from trendr_data_pipeline_spark.operators.ingestion import places_payload_to_poi
+
+    schema = (
+        "place_id string, name string, types array<string>,"
+        " geometry struct<location: struct<lat double, lng double>>,"
+        " formatted_address string, website string, phone string,"
+        " price_level int, rating double, user_ratings_total int"
+    )
+    rows = [
+        ("ChIJ1", "Le Bon Café" + "x" * 300, ["cafe", "bakery", "museum"],
+         {"location": {"lat": 48.86, "lng": 2.33}},
+         "5 rue X, Paris, France", "https://bon.fr", "+33 1 23", 2, 4.5, 120),
+        ("ChIJ2", "No Location", ["bar"], {"location": {"lat": None, "lng": None}},
+         None, None, None, None, None, None),
+        ("ChIJ3", "Wrong Type", ["museum"], {"location": {"lat": 48.8, "lng": 2.3}},
+         None, None, None, None, None, None),
+        (None, "No Id", ["bar"], {"location": {"lat": 48.8, "lng": 2.3}},
+         None, None, None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = places_payload_to_poi(df, "paris", F.lit("2026-08-01").cast("timestamp")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["google_place_id"] == "ChIJ1"
+    assert len(r["name"]) == 200                       # truncated
+    assert r["category"] == "cafe"                     # first allowed type in allowlist order
+    assert r["subcategories"] == ["cafe", "bakery"]    # museum unmapped
+    assert r["country"] == "France"
+    assert r["price_level"] == "2" and r["reviews_count"] == 120

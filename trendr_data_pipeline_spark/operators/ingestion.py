@@ -129,3 +129,64 @@ def snapshot_if_due(
         )
         .drop("last_captured_at")
     )
+
+
+# ---------------------------------------------------------------------------
+# S3–S5 / F4 — Places payload → poi row (google_places_ingester.py:311-422)
+# ---------------------------------------------------------------------------
+
+#: google type → subcategory label (subset of config.json:218-240)
+SUBCATEGORY_MAP = {
+    "bakery": "bakery",
+    "cafe": "cafe",
+    "bar": "bar",
+    "restaurant": "restaurant",
+    "night_club": "nightlife",
+    "meal_takeaway": "takeaway",
+}
+
+
+def places_payload_to_poi(
+    payload: DataFrame, city_slug: str, as_of: Column
+) -> DataFrame:
+    """The nested Places-API search result remapped to a poi row:
+    required-field validation (place_id, name, geometry.location,
+    allowed types) → drop; truncating projections (name 200, address
+    255, website 500, phone 50); category from the first allowed type;
+    subcategories via the type map; country from the address tail.
+
+    ``payload`` schema (a file fixture standing in for the API edge):
+    place_id, name, types array<string>,
+    geometry struct<location: struct<lat double, lng double>>,
+    formatted_address, website, phone, price_level int, rating,
+    user_ratings_total."""
+    from ..functions.text import country_from_address
+
+    sub_map = F.create_map(*[F.lit(x) for kv in SUBCATEGORY_MAP.items() for x in kv])
+    valid = payload.filter(
+        F.col("place_id").isNotNull()
+        & F.col("name").isNotNull()
+        & F.col("geometry.location.lat").isNotNull()
+        & F.col("geometry.location.lng").isNotNull()
+        & type_allowlist(F.col("types"))
+    )
+    subcats = F.array_compact(
+        F.transform(F.col("types"), lambda t: F.element_at(sub_map, t))
+    )
+    return valid.select(
+        F.col("place_id").alias("google_place_id"),
+        F.substring("name", 1, 200).alias("name"),
+        primary_category(F.col("types")).alias("category"),
+        subcats.alias("subcategories"),
+        F.lit(city_slug).alias("city_slug"),
+        country_from_address(F.col("formatted_address")).alias("country"),
+        F.col("geometry.location.lat").alias("lat"),
+        F.col("geometry.location.lng").alias("lng"),
+        F.substring("formatted_address", 1, 255).alias("address_street"),
+        F.substring("website", 1, 500).alias("website"),
+        F.substring("phone", 1, 50).alias("phone"),
+        F.col("price_level").cast("string").alias("price_level"),
+        F.col("rating"),
+        F.col("user_ratings_total").cast("long").alias("reviews_count"),
+        as_of.alias("last_ingested_from_google_at"),
+    )
