@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import pytest
 
-from tests.conftest import SMOKE_SF
+from tests.conftest import ORACLE_SF, SMOKE_SF
 from tools.verify_local import value_hash
 
 
@@ -55,3 +55,15 @@ def test_approx_count_distinct_bound(spark):
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
     ).first()
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.1
+
+
+def test_query_schemas_stable_across_sf(spark):
+    """The driver smoke-checks entry() for a stable schema; extend the
+    guarantee to every query: identical column names and types at
+    sf0.001 and sf0.01 (scale must never leak into the schema)."""
+    import __spark_entry__ as e
+
+    for name, fn in e.queries().items():
+        s1 = fn(spark, SMOKE_SF).schema.simpleString()
+        s2 = fn(spark, ORACLE_SF).schema.simpleString()
+        assert s1 == s2, f"{name}: schema differs across scale factors"
