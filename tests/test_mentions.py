@@ -303,3 +303,47 @@ def test_observed_run_summary_a13(spark, scored):
     assert got["n_accepted"] == want.get("ACCEPT", 0)
     assert got["n_review"] == want.get("REVIEW", 0)
     assert got["n_rejected"] == want.get("REJECT", 0)
+
+
+def test_windowed_dedup_per_source_override(spark):
+    """ST7 override: a source's custom dedup regex replaces the default
+    key derivation (reference dedup.py:36-41) — URLs that differ in a
+    way only the custom pattern collapses dedupe together."""
+    rows = [
+        # src-custom collapses /articles/<slug>~<variant> to group by slug
+        ("srcX", "https://x.fr/articles/story~a", 0.9, 0.9, r"~.*$", ""),
+        ("srcX", "https://x.fr/articles/story~b", 0.8, 0.9, r"~.*$", ""),
+        ("srcX", "https://x.fr/articles/story~c", 0.7, 0.9, r"~.*$", ""),
+        # default-path source: same URLs stay distinct (no '-partN' suffix)
+        ("srcY", "https://y.fr/articles/story~a", 0.9, 0.9, None, None),
+        ("srcY", "https://y.fr/articles/story~b", 0.8, 0.9, None, None),
+        ("srcY", "https://y.fr/articles/story~c", 0.7, 0.9, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "source_id string, url string, authority_weight double, w_time double,"
+        " dedup_pattern string, dedup_replacement string",
+    )
+    kept = windowed_dedup(df, F.lit(AS_OF.isoformat()).cast("timestamp"), max_per_window=2)
+    by_src = {}
+    for r in kept.collect():
+        by_src.setdefault(r["source_id"], []).append(r["url"])
+    assert len(by_src["srcX"]) == 2          # collapsed into one group, top-2 kept
+    assert len(by_src["srcY"]) == 3          # three distinct default keys
+
+
+def test_order_candidates_eps_tiebreak_w4(spark):
+    """W4: scores within ε=0.01 are equal; ordering falls through to
+    authority band, then domain lexicographic (reference
+    scoring.py:182-206)."""
+    from trendr_data_pipeline_spark.operators.mentions import order_candidates
+
+    rows = [
+        ("b.fr", 0.502, 0.5),   # same score band (0.50x) as below
+        ("a.fr", 0.505, 0.5),   # same bands → domain asc wins
+        ("c.fr", 0.52, 0.5),    # higher score band → first
+        ("d.fr", 0.501, 0.9),   # same score band, higher authority → before a/b
+    ]
+    df = spark.createDataFrame(rows, "domain string, final_score double, authority double")
+    got = [r["domain"] for r in order_candidates(df).collect()]
+    assert got == ["c.fr", "d.fr", "a.fr", "b.fr"]
