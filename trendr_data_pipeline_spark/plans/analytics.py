@@ -113,3 +113,38 @@ def a03_status_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in ["F", "O", "P"]
         ],
     )
+
+
+@register(
+    "a04_grouping_sets",
+    f"""
+    SELECT COALESCE(r_name, 'ALL') AS region_name,
+           COALESCE(c_mktsegment, 'ALL') AS segment,
+           COUNT(*) AS n_customers,
+           {sql_dsum('c_acctbal')} AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+    """,
+)
+def a04_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the two one-dimensional subtotals plus
+    the grand total in one pass, without the full cube (⊕A18)."""
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    joined.createOrReplaceTempView("a04_joined")
+    return spark.sql(
+        f"""
+        SELECT COALESCE(r_name, 'ALL') AS region_name,
+               COALESCE(c_mktsegment, 'ALL') AS segment,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_acctbal
+        FROM a04_joined
+        GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+        """
+    )
