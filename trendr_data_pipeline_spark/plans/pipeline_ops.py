@@ -118,10 +118,34 @@ def p01_mention_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "p02_streaming_sessions",
-    None,
+    # same session assignment as e02's batch sessionizer; session_window's
+    # end is last_ts + gap (half-open window), hence the +30 MINUTES
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL 30 MINUTES
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTES AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
     doc="""SS10 session_window job replayed synchronously over the
-    events fixture (memory sink). Rows-only; equality with the batch
-    sessionizer is pinned in tests/test_streaming.py.""",
+    events fixture (memory sink). Oracle = the batch sessionizer with
+    session_window's half-open gap semantics (split at diff >= gap,
+    end = last_ts + gap); full equality with batch e02 is also pinned
+    in tests/test_streaming.py.""",
 )
 def p02_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -163,7 +187,7 @@ def p02_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 CASE p_partkey % 3 WHEN 0 THEN 'bakery' ELSE 'shop' END] AS types
         FROM part
     )
-    SELECT p_partkey, types,
+    SELECT p_partkey, array_to_string(types, ',') AS types,
            list_has_any(types, ['restaurant', 'bar', 'cafe', 'bakery']) AS allowed
     FROM place
     """,
@@ -183,7 +207,14 @@ def p03_type_allowlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t2 = F.when(F.col("p_partkey") % 3 == 0, "bakery").otherwise("shop")
     place = p.select("p_partkey", F.array(t1, t2).alias("types"))
-    return place.select("p_partkey", "types", type_allowlist(F.col("types")).alias("allowed"))
+    # the driver's hash canonicalizer sorts rows via pandas and cannot
+    # hash list cells — project the array as a joined string (array
+    # semantics stay covered by tests/test_ingestion.py)
+    return place.select(
+        "p_partkey",
+        F.array_join(F.col("types"), ",").alias("types"),
+        type_allowlist(F.col("types")).alias("allowed"),
+    )
 
 
 # ---------------------------------------------------------------------------
