@@ -76,15 +76,28 @@ def ingest_places(places: DataFrame, existing_poi_ids: DataFrame | None = None) 
     """F1/F2/F4 + A16: allowlist, quality gate (novelty-gated as in
     F11), validation projection, novelty scoring. ``places`` carries
     (place_id, name, types array, rating, reviews_count, lat, lng,
-    address)."""
-    seen = (
-        F.lit(False)
-        if existing_poi_ids is None
-        else F.col("place_id").isin([r[0] for r in existing_poi_ids.collect()])
-    )
+    address).
+
+    ``existing_poi_ids`` is joined, never collected: the seen-set can
+    be millions of ids at production scale, so membership is a left
+    join on place_id (AQE broadcasts the id side when it is small)
+    rather than an ``isin`` literal list built on the driver.
+    """
+    if existing_poi_ids is None:
+        places = places.withColumn("_seen", F.lit(False))
+    else:
+        id_col = existing_poi_ids.columns[0]
+        seen_ids = (
+            existing_poi_ids.select(F.col(id_col).alias("place_id"))
+            .distinct()
+            .withColumn("_seen", F.lit(True))
+        )
+        places = places.join(seen_ids, "place_id", "left").withColumn(
+            "_seen", F.coalesce(F.col("_seen"), F.lit(False))
+        )
     nov = novelty_score(
         F.col("rating"), F.col("reviews_count"), F.col("name"), F.col("types"),
-        F.col("address"), seen,
+        F.col("address"), F.col("_seen"),
     )
     gate = quality_gate(F.col("rating"), F.col("reviews_count"))
     return (
@@ -99,6 +112,7 @@ def ingest_places(places: DataFrame, existing_poi_ids: DataFrame | None = None) 
         .withColumn("novelty_classification", classify_novelty(nov))
         # F11: keep promising-new OR quality-passing places
         .filter((F.col("novelty_score") >= 0.4) | gate)
+        .drop("_seen")
     )
 
 

@@ -118,13 +118,14 @@ def p01_mention_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "p02_streaming_sessions",
-    # same session assignment as e02's batch sessionizer; session_window's
-    # end is last_ts + gap (half-open window), hence the +30 MINUTES
+    # same session assignment as e02's batch sessionizer; session_window
+    # merges events exactly gap apart, so a new session starts only at
+    # diff > gap, and the window end is last_ts + gap (half-open)
     """
     WITH flagged AS (
         SELECT user_id, ts, event_id,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                         >= INTERVAL 30 MINUTES
+                         > INTERVAL 30 MINUTES
                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events
@@ -143,9 +144,9 @@ def p01_mention_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="""SS10 session_window job replayed synchronously over the
     events fixture (memory sink). Oracle = the batch sessionizer with
-    session_window's half-open gap semantics (split at diff >= gap,
-    end = last_ts + gap); full equality with batch e02 is also pinned
-    in tests/test_streaming.py.""",
+    session_window's half-open gap semantics (split at diff > gap —
+    exactly-gap events merge — end = last_ts + gap); full equality with
+    batch e02 is also pinned in tests/test_streaming.py.""",
 )
 def p02_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -184,11 +185,11 @@ def p02_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT p_partkey,
                [CASE p_partkey % 5 WHEN 0 THEN 'restaurant' WHEN 1 THEN 'museum'
                      WHEN 2 THEN 'bar' WHEN 3 THEN 'hotel' ELSE 'cafe' END,
-                CASE p_partkey % 3 WHEN 0 THEN 'bakery' ELSE 'shop' END] AS types
+                CASE p_partkey % 3 WHEN 0 THEN 'bakery' ELSE 'shop' END] AS type_list
         FROM part
     )
-    SELECT p_partkey, array_to_string(types, ',') AS types,
-           list_has_any(types, ['restaurant', 'bar', 'cafe', 'bakery']) AS allowed
+    SELECT p_partkey, array_to_string(type_list, ',') AS types,
+           list_has_any(type_list, ['restaurant', 'bar', 'cafe', 'bakery']) AS allowed
     FROM place
     """,
 )
