@@ -231,36 +231,59 @@ def _affine_constants(n_hashes: int):
     return a, b
 
 
+def _minhash_mins(chunk, a, b):
+    """(n_rows, n_hashes) MinHash matrix for a chunk of token lists —
+    ONE flat affine transform over every token in the chunk followed by
+    a segmented min (`np.minimum.reduceat`), not a per-row Python loop.
+    Token hashes (blake2b-64) are cached per batch. Rows must be
+    non-empty (callers filter size > 0)."""
+    import hashlib
+
+    import numpy as np
+
+    cache: dict[str, int] = {}
+
+    def tok_hash(t: str) -> int:
+        h = cache.get(t)
+        if h is None:
+            h = cache[t] = int.from_bytes(
+                hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "big"
+            )
+        return h
+
+    lens = np.fromiter((len(x) for x in chunk), dtype=np.int64, count=len(chunk))
+    flat = np.fromiter(
+        (tok_hash(t) for toks_list in chunk for t in toks_list),
+        dtype=np.uint64,
+        count=int(lens.sum()),
+    )
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    with np.errstate(over="ignore"):
+        sigs = flat[:, None] * a[None, :] + b[None, :]  # (total_tokens, n_hashes)
+        return np.minimum.reduceat(sigs, offs, axis=0)
+
+
+#: rows per reduceat chunk — bounds the (tokens × n_hashes) uint64
+#: intermediate to a few tens of MB regardless of Arrow batch size
+_MINHASH_CHUNK = 2048
+
+
 def minhash_signature(toks: Column, n_hashes: int = 128) -> Column:
     """Array of n MinHash values, vectorized: each distinct token is
     hashed once (blake2b-64), then the n affine permutations
-    ``(a_i·h + b_i) mod 2⁶⁴`` are evaluated as one numpy outer product
-    per document and min-reduced. ~25× faster than the expression form
-    at 128 hashes (Arrow batch in, Arrow batch out)."""
-    import hashlib
-
+    ``(a_i·h + b_i) mod 2⁶⁴`` are evaluated as one flat outer product
+    per Arrow chunk and segment-min-reduced per document (~25× faster
+    than the expression form; the reduceat form removes the remaining
+    per-row Python loop)."""
     import numpy as np
 
     a, b = _affine_constants(n_hashes)
 
     def batch(s: pd.Series) -> pd.Series:
-        cache: dict[str, int] = {}
-
-        def tok_hash(t: str) -> int:
-            h = cache.get(t)
-            if h is None:
-                h = cache[t] = int.from_bytes(
-                    hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "big"
-                )
-            return h
-
         out = []
-        with np.errstate(over="ignore"):
-            for toks_list in s:
-                hs = np.array([tok_hash(t) for t in toks_list], dtype=np.uint64)
-                # (n_tokens, n_hashes) wrapping affine transform
-                sig = (hs[:, None] * a[None, :] + b[None, :]).min(axis=0)
-                out.append(sig.astype(np.int64))
+        for start in range(0, len(s), _MINHASH_CHUNK):
+            mins = _minhash_mins(s.iloc[start : start + _MINHASH_CHUNK], a, b)
+            out.extend(mins.astype(np.int64))
         return pd.Series(out)
 
     return F.pandas_udf(batch, "array<long>")(toks)
@@ -269,8 +292,9 @@ def minhash_signature(toks: Column, n_hashes: int = 128) -> Column:
 def minhash_band_buckets(toks: Column, n_hashes: int = 128, bands: int = 32) -> Column:
     """Per document: array of ``bands`` bucket ids — the MinHash
     signature reshaped to (bands, rows) and mixed down to one 64-bit
-    value per band, all inside one numpy pass (signature + banding
-    fused; no per-band expression trees)."""
+    value per band, all inside one numpy pass per Arrow chunk
+    (signature + banding fused; no per-band expression trees, no
+    per-row Python loop)."""
     import hashlib
 
     import numpy as np
@@ -284,25 +308,14 @@ def minhash_band_buckets(toks: Column, n_hashes: int = 128, bands: int = 32) -> 
     )
 
     def batch(s: pd.Series) -> pd.Series:
-        cache: dict[str, int] = {}
-
-        def tok_hash(t: str) -> int:
-            h = cache.get(t)
-            if h is None:
-                h = cache[t] = int.from_bytes(
-                    hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "big"
-                )
-            return h
-
         out = []
         with np.errstate(over="ignore"):
-            for toks_list in s:
-                hs = np.array([tok_hash(t) for t in toks_list], dtype=np.uint64)
-                sig = (hs[:, None] * a[None, :] + b[None, :]).min(axis=0)
-                buckets = (sig.reshape(bands, rows) * mix[None, :]).sum(
-                    axis=1, dtype=np.uint64
+            for start in range(0, len(s), _MINHASH_CHUNK):
+                mins = _minhash_mins(s.iloc[start : start + _MINHASH_CHUNK], a, b)
+                buckets = (mins.reshape(len(mins), bands, rows) * mix[None, None, :]).sum(
+                    axis=2, dtype=np.uint64
                 )
-                out.append(buckets.astype(np.int64))
+                out.extend(buckets.astype(np.int64))
         return pd.Series(out)
 
     return F.pandas_udf(batch, "array<long>")(toks)
@@ -377,43 +390,66 @@ def minhash_lsh_topk_join(
     exactly on the full token sets. Shuffle volume O(corpus·bands);
     per-pair recall at the threshold is 1−(1−t^r)^b ≈ 1−5e-8.
 
+    Each side is tokenized ONCE into a materialized ``(id, toks,
+    size)`` frame (MEMORY_AND_DISK — the cluster-scale variant is a
+    checkpoint to a signature staging table) that feeds both the band
+    generation and the verify leg. The size-compatibility bound
+    (J ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t) is evaluated inside the band join,
+    pruning candidates before the dedup shuffle. Verification then
+    computes ``array_intersect`` exactly once per surviving pair
+    (|∪| is recovered as |A|+|B|−|∩|): for short token sets this is
+    far cheaper than exploding candidates into a per-token stream,
+    and both verify joins are AQE-broadcastable (the arrays ride a
+    broadcast, not a shuffle, whenever a side fits; for long-document
+    corpora prefer :func:`jaccard_topk_join`'s count-based stream).
+
     Returns (id_a, id_b, jaccard, rk) — identical contract (and, up to
     LSH recall, identical results) to the exact join.
     """
-    def sig_bands(df: DataFrame, out_id: str) -> DataFrame:
-        toks = spread(df).select(
-            F.col(id_col).alias(out_id), token_set(F.col(text_col)).alias("toks")
-        ).filter(F.size("toks") > 0)
-        return toks.select(
+    from pyspark import StorageLevel
+
+    def tokenized(df: DataFrame, out_id: str, sz: str) -> DataFrame:
+        return (
+            df.select(F.col(id_col).alias(out_id), token_set(F.col(text_col)).alias("toks"))
+            .filter(F.size("toks") > 0)
+            .withColumn(sz, F.size("toks"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+    corpus_toks = tokenized(spread(corpus), "id_b", "size_b")
+    in_toks = tokenized(incoming, "id_a", "size_a")
+
+    def bands_of(toks_df: DataFrame, out_id: str, sz: str) -> DataFrame:
+        return toks_df.select(
             out_id,
+            sz,
             F.posexplode(minhash_band_buckets(F.col("toks"), n_hashes, bands)).alias(
                 "band", "bucket"
             ),
         )
 
+    size_ok = (F.col("size_b") >= F.ceil(F.lit(threshold) * F.col("size_a"))) & (
+        F.col("size_b") <= F.floor(F.col("size_a") / F.lit(threshold))
+    )
     cands = (
-        sig_bands(corpus, "id_b")
-        .join(F.broadcast(sig_bands(incoming, "id_a")), ["band", "bucket"])
-        .filter(F.col("id_a") != F.col("id_b"))
+        bands_of(corpus_toks, "id_b", "size_b")
+        .join(F.broadcast(bands_of(in_toks, "id_a", "size_a")), ["band", "bucket"])
+        .filter((F.col("id_a") != F.col("id_b")) & size_ok)
         .select("id_a", "id_b")
         .distinct()
     )
-    toks = lambda df, out_id, sz, tk: (  # noqa: E731
-        df.select(F.col(id_col).alias(out_id), token_set(F.col(text_col)).alias(tk)).withColumn(
-            sz, F.size(tk)
-        )
-    )
-    ta = toks(incoming, "id_a", "size_a", "toks_a")
-    tb = toks(spread(corpus), "id_b", "size_b", "toks_b")
-    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
-    union = (F.col("size_a") + F.col("size_b") - F.size(F.array_intersect("toks_a", "toks_b"))).cast(
-        "double"
+
+    ta = in_toks.select("id_a", F.col("toks").alias("toks_a"), "size_a")
+    tb = corpus_toks.select("id_b", F.col("toks").alias("toks_b"), "size_b")
+    jac = F.round(
+        F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"), 6
     )
     w = Window.partitionBy("id_a").orderBy(F.col("jaccard").desc(), F.col("id_b").asc())
     return (
         cands.join(F.broadcast(ta), "id_a")
         .join(tb, "id_b")
-        .withColumn("jaccard", F.round(inter / union, 6))
+        .withColumn("inter", F.size(F.array_intersect("toks_a", "toks_b")).cast("double"))
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
@@ -428,23 +464,35 @@ def minhash_lsh_topk_join(
 
 def _simhash_py(token_lists: pd.Series) -> pd.Series:
     """64-bit SimHash: per-token FNV-1a 64 hash, bitwise ±1 vote,
-    sign → bit. Pure-Python but vectorized per Arrow batch."""
+    sign → bit. The FNV hash is computed once per distinct token per
+    Arrow batch (cached, like minhash's blake2b cache); the 64 bit
+    votes and the sign→bit pack are numpy matrix ops, not Python
+    loops."""
+    import numpy as np
+
+    bit_idx = np.arange(64, dtype=np.uint64)
+    bit_pow = np.uint64(1) << bit_idx
+    cache: dict[str, int] = {}
+
+    def fnv(t: str) -> int:
+        h = cache.get(t)
+        if h is None:
+            h = 0xCBF29CE484222325
+            for ch in t.encode("utf-8"):
+                h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            cache[t] = h
+        return h
+
     out = []
     for toks in token_lists:
         if toks is None or len(toks) == 0:
             out.append(0)
             continue
-        votes = [0] * 64
-        for t in toks:
-            h = 0xCBF29CE484222325
-            for ch in t.encode("utf-8"):
-                h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-            for i in range(64):
-                votes[i] += 1 if (h >> i) & 1 else -1
-        v = 0
-        for i in range(64):
-            if votes[i] > 0:
-                v |= 1 << i
+        hs = np.array([fnv(t) for t in toks], dtype=np.uint64)
+        bits = (hs[:, None] >> bit_idx[None, :]) & np.uint64(1)  # (n_tokens, 64)
+        # votes[i] = (#set) - (#unset) = 2·(#set) - n
+        votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(hs)
+        v = int(((votes > 0).astype(np.uint64) * bit_pow).sum(dtype=np.uint64))
         # two's-complement into signed 64-bit for Spark LongType
         out.append(v - (1 << 64) if v >= (1 << 63) else v)
     return pd.Series(out)
