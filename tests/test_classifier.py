@@ -187,6 +187,17 @@ def test_percentiles_nearest_rank(scored):
     assert p["p95"] == pytest.approx(scores[int(len(scores) * 0.95)], abs=1e-9)
 
 
+def test_percentiles_multi_partition_with_duplicates(spark):
+    # 1000 scores with heavy duplication, spread over 16 partitions —
+    # exercises the distinct-value cumulative-count path end to end
+    vals = [float(i % 37) for i in range(1000)]
+    df = spark.createDataFrame([(v,) for v in vals], "gatto_score double").repartition(16)
+    p = score_percentiles(df).first()
+    s = sorted(vals)
+    assert p["p50"] == pytest.approx(s[int(len(s) * 0.5)], abs=1e-9)
+    assert p["p95"] == pytest.approx(s[int(len(s) * 0.95)], abs=1e-9)
+
+
 def test_status_transitions(scored, spark):
     pois, _, _, rows, out = scored
     from trendr_data_pipeline_spark.schemas import DOMAIN  # noqa: F401

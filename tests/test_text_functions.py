@@ -75,6 +75,33 @@ def test_normalize_parity(spark):
     assert got == want
 
 
+def test_normalize_fast_per_char_parity(spark):
+    # every char in the fast path's translate table must fold to its
+    # NFD-stripped base — and match the exact UDF — except ł/ı, which
+    # have no NFD decomposition (exact keeps them; fast folds to l/i,
+    # the documented approximation boundary)
+    import unicodedata
+
+    src = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿāăąćčďēĕėęěğīįıłńňōŏőřśšťūůűźżž"
+    df = spark.createDataFrame([(c,) for c in src], "c string")
+    rows = df.select(
+        "c",
+        TX.normalize_text_fast(F.col("c")).alias("fast"),
+        TX.normalize_text(F.col("c")).alias("exact"),
+    ).collect()
+    assert len(rows) == len(src)
+    for r in rows:
+        nfd = "".join(
+            x for x in unicodedata.normalize("NFD", r["c"])
+            if unicodedata.category(x) != "Mn"
+        )
+        if r["c"] in "łı":
+            assert r["fast"] == {"ł": "l", "ı": "i"}[r["c"]], r["c"]
+        else:
+            assert r["fast"] == nfd, r["c"]
+            assert r["fast"] == r["exact"], r["c"]
+
+
 def test_trigram_parity(spark):
     pairs = [(a, t) for a in NAMES[:6] for t in TITLES]
     df = spark.createDataFrame(pairs, "a string, b string")

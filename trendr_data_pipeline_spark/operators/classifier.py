@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.math_geo import clamp, clamp01, log1p_volume, tanh_soft_cap
 
@@ -234,12 +235,28 @@ def classify(
 def score_percentiles(scored: DataFrame) -> DataFrame:
     """A7 — the reference's nearest-rank-by-index percentiles
     (``scores[int(n*0.5)]`` over the ascending sort, :530-535), NOT
-    linear interpolation. Expressed with sort + element_at so the
-    definition is explicit and oracle-matchable."""
-    arr = F.array_sort(F.collect_list("gatto_score"))
-    return scored.agg(
-        F.element_at(arr, (F.floor(F.size(arr) * 0.5) + 1).cast("int")).alias("p50"),
-        F.element_at(arr, (F.floor(F.size(arr) * 0.95) + 1).cast("int")).alias("p95"),
+    linear interpolation.
+
+    Scale-safe global form: a parallel ``groupBy(score).count()``
+    first collapses the input to its distinct score values, then the
+    cumulative-count window (the e06 rank-filter pattern) runs over
+    that small frame only — no executor ever holds the full score
+    list, unlike ``collect_list``. The k-th order statistic (k =
+    ⌊n·p⌋+1, duplicates counted) is the smallest score whose
+    cumulative count reaches k."""
+    dist = scored.groupBy("gatto_score").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("gatto_score").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    cum = dist.select(
+        "gatto_score",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    k50 = F.floor(F.col("n") * 0.5) + 1
+    k95 = F.floor(F.col("n") * 0.95) + 1
+    return cum.agg(
+        F.min(F.when(F.col("cum") >= k50, F.col("gatto_score"))).alias("p50"),
+        F.min(F.when(F.col("cum") >= k95, F.col("gatto_score"))).alias("p95"),
     )
 
 
