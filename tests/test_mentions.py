@@ -332,6 +332,57 @@ def test_windowed_dedup_per_source_override(spark):
     assert len(by_src["srcY"]) == 3          # three distinct default keys
 
 
+def _ref_dedupe_key(url, pattern=None, replacement=None):
+    """Inline port of reference dedup.py:18-44 as the test oracle."""
+    import re as _re
+    from urllib.parse import urlparse
+
+    parsed = urlparse(url)
+    path = parsed.path.rstrip("/")
+    stem = _re.sub(r"\.[^/]*$", "", path)
+    stem = _re.sub(r"-(part\d+|update|v\d+|\d+)$", "", stem)
+    if pattern is not None:
+        try:
+            stem = _re.sub(pattern, replacement if replacement is not None else r"\1", stem)
+        except Exception:
+            pass
+    else:
+        stem = _re.sub(
+            r"^/(?:us|uk|ca|au|br|de|it|es|fr)/(?:en|fr|de|it|es|pt_BR|pt)/", "/", stem
+        )
+        stem = _re.sub(r"^/(?:en|fr|de|it|es|pt)/", "/", stem)
+    return f"{parsed.netloc}{stem}"
+
+
+def test_override_key_reference_parity(spark):
+    """Override semantics vs the reference (dedup.py:36-44): the custom
+    pattern rewrites the bare path stem INSTEAD of language
+    normalization; a groupless pattern under the default replacement
+    leaves the stem unchanged (reference swallows the re.sub error);
+    Python \\N group references are honored."""
+    cases = [
+        # language-prefixed URL + override: /fr/ prefix must SURVIVE
+        ("https://x.fr/fr/articles/story~a", r"~.*$", ""),
+        # groupless pattern + default replacement -> stem unchanged
+        ("https://x.fr/fr/articles/story~a", r"~.*$", None),
+        # capture group + default replacement -> keep group 1
+        ("https://x.fr/articles/story/comments", r"^(/articles/[^/]+).*$", None),
+        # python-style group reference in stored replacement
+        ("https://x.fr/articles/story-chapter", r"^/articles/([^-]+).*$", r"/a/\1"),
+        # no override at all: default language normalization applies
+        ("https://x.fr/fr/articles/story~a", None, None),
+    ]
+    df = spark.createDataFrame(
+        [(f"s{i}", u, 1.0, 1.0, p, r) for i, (u, p, r) in enumerate(cases)],
+        "source_id string, url string, authority_weight double, w_time double,"
+        " dedup_pattern string, dedup_replacement string",
+    )
+    kept = windowed_dedup(df, F.lit(AS_OF.isoformat()).cast("timestamp"), max_per_window=5)
+    got = {r["source_id"]: r["dedup_key"] for r in kept.collect()}
+    for i, (u, p, rp) in enumerate(cases):
+        assert got[f"s{i}"] == _ref_dedupe_key(u, p, rp), (u, p, rp)
+
+
 def test_order_candidates_eps_tiebreak_w4(spark):
     """W4: scores within ε=0.01 are equal; ordering falls through to
     authority band, then domain lexicographic (reference

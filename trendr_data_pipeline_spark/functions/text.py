@@ -213,18 +213,51 @@ def normalize_url(col: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def dedupe_key(url: Column) -> Column:
-    """netloc + path-stem: strip extension, -partN/-update/-vN/-digits
-    suffixes, and leading language/country path prefixes."""
+def _dedupe_host_stem(url: Column) -> tuple[Column, Column]:
+    """(host, bare path stem): extension and -partN/-update/-vN/-digit
+    suffixes stripped — the state the reference holds BEFORE choosing
+    between the override pattern and language normalization
+    (dedup.py:25-44)."""
     host = F.parse_url(url, F.lit("HOST"))
     path = F.regexp_replace(F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")), r"/+$", "")
     stem = F.regexp_replace(path, r"\.[^/]*$", "")
     stem = F.regexp_replace(stem, r"-(part\d+|update|v\d+|\d+)$", "")
+    return F.coalesce(host, F.lit("")), stem
+
+
+def dedupe_key(url: Column) -> Column:
+    """netloc + path-stem: strip extension, -partN/-update/-vN/-digits
+    suffixes, and leading language/country path prefixes (the default,
+    no-override branch of reference dedup.py:42-44)."""
+    host, stem = _dedupe_host_stem(url)
     stem = F.regexp_replace(
         stem, r"^/(?:us|uk|ca|au|br|de|it|es|fr)/(?:en|fr|de|it|es|pt_BR|pt)/", "/"
     )
     stem = F.regexp_replace(stem, r"^/(?:en|fr|de|it|es|pt)/", "/")
-    return F.concat(F.coalesce(host, F.lit("")), stem)
+    return F.concat(host, stem)
+
+
+def dedupe_key_override(url: Column, pattern: Column, replacement: Column) -> Column:
+    """ST7 per-source override branch (reference dedup.py:36-41): the
+    custom regex rewrites the BARE path stem — language normalization
+    does NOT run for override sources.
+
+    The reference's default replacement is ``\\1`` and it swallows
+    ``re.sub`` errors, so a pattern with no capture group leaves the
+    stem unchanged; here that guard is the expression ``has unescaped
+    '(' OR replacement references no group`` (a group-referencing
+    replacement over a groupless pattern would otherwise throw in
+    Java's regex engine). Python-style ``\\N`` group references in
+    stored replacements are translated to Java's ``$N``."""
+    host, stem = _dedupe_host_stem(url)
+    repl = F.coalesce(replacement, F.lit("$1"))
+    # stored configs use Python \N syntax; Java wants $N
+    repl = F.regexp_replace(repl, r"\\(\d)", r"\$$1")
+    has_group = pattern.rlike(r"(^|[^\\])\(")
+    refs_group = repl.contains("$")
+    overridden = F.regexp_replace(stem, pattern, repl)
+    safe = F.when(has_group | ~refs_group, overridden).otherwise(stem)
+    return F.concat(host, safe)
 
 
 # ---------------------------------------------------------------------------

@@ -27,7 +27,13 @@ from ..functions.math_geo import (
     eps_band,
     geo_signal_score,
 )
-from ..functions.text import dedupe_key, domain_of, name_score, normalize_url
+from ..functions.text import (
+    dedupe_key,
+    dedupe_key_override,
+    domain_of,
+    name_score,
+    normalize_url,
+)
 
 # weights: reference scoring.py:82-88
 W_NAME, W_GEO, W_AUTH = 0.60, 0.25, 0.15
@@ -183,15 +189,23 @@ def windowed_dedup(
     ties pinned by url for determinism.
 
     Per-source dedup-pattern overrides (ST7) are applied when the
-    columns are present: the custom regex replaces the default
-    language-prefix normalization, mirroring dedup.py:36-41.
+    columns are present: the custom regex rewrites the bare path stem
+    INSTEAD of language normalization (reference dedup.py:36-44 — the
+    override branch skips the language-prefix rewrites entirely), with
+    the no-capture-group default-replacement case left unchanged as
+    the reference's swallowed ``re.sub`` error does.
     """
     key = dedupe_key(F.col("url"))
     if use_source_override and "dedup_pattern" in mentions.columns:
-        overridden = F.regexp_replace(
-            dedupe_key(F.col("url")), F.col("dedup_pattern"), F.coalesce(F.col("dedup_replacement"), F.lit("$1"))
+        repl = (
+            F.col("dedup_replacement")
+            if "dedup_replacement" in mentions.columns
+            else F.lit(None).cast("string")
         )
-        key = F.when(F.col("dedup_pattern").isNotNull(), overridden).otherwise(key)
+        key = F.when(
+            F.col("dedup_pattern").isNotNull(),
+            dedupe_key_override(F.col("url"), F.col("dedup_pattern"), repl),
+        ).otherwise(key)
     m = mentions.withColumn("dedup_key", key)
     w = Window.partitionBy("source_id", "dedup_key").orderBy(
         (F.coalesce(F.col("authority_weight"), F.lit(0.0)) * F.coalesce(F.col("w_time"), F.lit(0.0))).desc(),
