@@ -110,6 +110,43 @@ def hyperplane_sketch(vec: Column, dim: int, bits: int, seed: int) -> Column:
     return out
 
 
+def _spherical_kmeans(X, nlist: int, seed: int, iters: int = 10):
+    """Driver-side spherical k-means (cosine Lloyd) over a sample
+    matrix — deterministic for a given sample + seed. Returns the
+    (nlist, dim) unit-norm centroid matrix."""
+    import numpy as np
+
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=nlist, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(nlist):
+            members = X[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                C[j] = c / max(float(np.linalg.norm(c)), 1e-12)
+            # empty cell: keep the previous centroid (deterministic)
+    return C
+
+
+def _nearest_cells(centroids, nprobe: int):
+    """Factory: pandas UDF mapping an embedding to its ``nprobe``
+    nearest centroids by cosine (one numpy matmul per Arrow batch;
+    stable argsort pins ties to the lower cell id)."""
+    import numpy as np
+
+    C = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    def f(s: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in s])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(m @ C.T), axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int64)))
+
+    return F.pandas_udf(f, "array<long>")
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -119,41 +156,45 @@ def ivf_topk(
     nlist: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    train_sample: int = 4096,
 ) -> DataFrame:
-    """IVF-style ANN: a k-means coarse quantizer (pyspark.ml, fixed
-    seed) partitions the corpus into ``nlist`` cells; each query is
-    scored only against its ``nprobe`` nearest cells' members, then
-    exact cosine + top-k. Candidate volume ≈ corpus·nprobe/nlist.
+    """IVF-style ANN: a spherical k-means coarse quantizer trained
+    DRIVER-SIDE on a hash-ordered sample of ≤``train_sample`` vectors
+    (the FAISS practice — the quantizer trains on a sample, never the
+    full corpus; ``orderBy(xxhash64).limit`` compiles to
+    TakeOrderedAndProject, so no full sort at scale), then cell
+    assignment and probe selection BOTH by cosine (one numpy matmul
+    per Arrow batch). Each query is scored only against its
+    ``nprobe`` nearest cells' members, then exact cosine + top-k.
+    Candidate volume ≈ corpus·nprobe/nlist.
 
-    The trained centroids are a tiny broadcast literal; cell
-    assignment of the corpus is one ML transform (done once and
-    reusable across query batches in a real serving setup)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    Training is a numpy Lloyd loop on the driver — milliseconds, no
+    MLlib job, deterministic for a given corpus + seed; in a serving
+    setup the centroids are trained once and reused across query
+    batches."""
+    import numpy as np
 
-    corpus_vec = corpus.select(
+    sample = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(train_sample)
+        .collect()
+    )
+    X = np.array([r["v"] for r in sample], dtype=np.float64)
+    centroids = _spherical_kmeans(X, nlist=nlist, seed=seed)
+
+    assign_udf = _nearest_cells(centroids, nprobe=1)
+    probe_udf = _nearest_cells(centroids, nprobe=nprobe)
+
+    assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+        assign_udf(F.col(vec_col)).getItem(0).alias("cell"),
     )
-    km = KMeans(k=nlist, seed=seed, maxIter=10)
-    model = km.fit(corpus_vec)
-    assigned = model.transform(corpus_vec).withColumnRenamed("prediction", "cell")
-
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
-    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
-
-    # nprobe nearest centroids per query by cosine, via sorted struct array
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    scored_cells = F.transform(
-        cent_arr,
-        lambda c, i: F.struct((-cosine(F.col("qv"), c)).alias("neg_sim"), i.alias("cell")),
-    )
-    probes = q.withColumn(
-        "probe_cells",
-        F.transform(
-            F.slice(F.array_sort(scored_cells), 1, nprobe), lambda s: s.getField("cell")
-        ),
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        probe_udf(F.col(vec_col)).alias("probe_cells"),
     )
     cands = probes.join(
         assigned, F.array_contains(probes["probe_cells"], assigned["cell"]), "inner"

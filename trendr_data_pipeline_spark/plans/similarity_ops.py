@@ -47,14 +47,66 @@ def m01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce(queries, emb, k=10)
 
 
-@register(
-    "m02_ann_lsh_topk",
-    None,  # approximate by construction — rows-only check; pytest measures recall vs m01
-)
+def _lsh_twin_sql(dim: int = 64, bits: int = 4, tables: int = 16, k: int = 10) -> str:
+    """Algorithm-twin oracle for m02: DuckDB recomputes the SAME
+    random-hyperplane sketches from the same sha256-derived literal
+    planes (``_hyperplane`` — deterministic, shipped inline), buckets
+    per table as a composite key ``t·2^bits + bucket``, candidates via
+    ``list_has_any``, exact cosine rescoring, top-k. Because both
+    engines evaluate identical plane literals, the oracle reproduces
+    the LSH result including its recall misses — a true twin at
+    production-shaped parameters, not a degenerate high-recall one
+    (the test embeddings are isotropic, so parameters forcing exact
+    brute-force recall would make the candidate set ≈ the corpus)."""
+    from ..operators.similarity import _hyperplane
+
+    table_keys = []
+    for t in range(tables):
+        bit_terms = []
+        for j in range(bits):
+            w = _hyperplane(dim, t * bits + j, seed=0)
+            lit = "[" + ",".join(repr(x) for x in w) + "]"
+            bit_terms.append(
+                f"(CASE WHEN list_dot_product(v, {lit}) >= 0"
+                f" THEN {1 << (bits - 1 - j)} ELSE 0 END)"
+            )
+        table_keys.append(f"({t * (1 << bits)} + " + " + ".join(bit_terms) + ")")
+    tb = "[" + ",\n            ".join(table_keys) + "]"
+    return f"""
+    WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sk AS (
+        SELECT vec_id, v,
+            {tb} AS tb
+        FROM emb
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(list_dot_product(q.v, c.v)
+                     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6)
+                 AS cosine_sim
+        FROM sk q JOIN sk c
+          ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+         AND list_has_any(q.tb, c.tb)
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, neighbor_id ASC) AS rk
+        FROM scored
+    ) WHERE rk <= {k}
+    """
+
+
+@register("m02_ann_lsh_topk", _lsh_twin_sql())
 def m02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH top-10: candidates from (table, bucket)
-    equi-join, exact rescoring. Recall vs the brute-force baseline is
-    asserted in tests, not by the SQL oracle."""
+    equi-join, exact rescoring. Hash-checked against a DuckDB
+    algorithm twin built from the same literal hyperplanes (see
+    :func:`_lsh_twin_sql`); recall vs the brute-force baseline is
+    additionally asserted in tests."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return lsh_bucketed_topk(queries, emb, k=10, dim=64, bits=4, tables=16)
@@ -62,11 +114,23 @@ def m02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "m03_ivf_topk",
-    None,  # approximate by construction — rows-only; recall asserted in tests
+    None,
+    doc="""IVF ANN: spherical k-means(16) coarse quantizer trained on
+    a sample, 4-cell cosine probe, exact rescoring — the
+    inverted-file scale path beside the LSH one.
+
+    WHY NO SQL ORACLE: the quantizer is an iterative Lloyd loop over
+    a data-dependent sample — not expressible as a static ANSI-SQL
+    string (the oracle has no access to the trained centroids, and a
+    recursive-CTE k-means twin would be an oracle of itself). m02
+    covers the ANN family's hash-checked leg via its literal-
+    hyperplane algorithm twin; m03's recall vs the m01 brute force and
+    its determinism are asserted in tests/test_dedup_similarity.py.
+    (High-recall parameters cannot rescue an exact oracle here: the
+    test embeddings are isotropic, so covering the true top-10 with
+    certainty requires probing every cell.)""",
 )
 def m03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: k-means(16) coarse quantizer, 4-cell probe, exact
-    rescoring — the inverted-file scale path beside the LSH one."""
     from ..operators.similarity import ivf_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
