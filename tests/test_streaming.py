@@ -161,3 +161,97 @@ def test_cadence_gated_append(spark, events_dir):
             want[k].append(e["ts"])
             last[k] = e["ts"]
     assert {k: sorted(v) for k, v in by_key.items()} == {k: sorted(v) for k, v in want.items()}
+
+
+def test_rescan_scheduler_ss7(spark, tmp_path):
+    """SS7 streaming rescan timers (EventTimeTimeout) vs the batch
+    update_scanned twin: scan rows update cell state exactly as the
+    batch operator does; cells whose rescan deadline passes the
+    watermark with no newer scan fire a 'due' row (the reference's
+    next_due_at <= now poll, h3_scheduler.py:516-526, push-based)."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "scans"
+    d.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+    w2 = dt.datetime(2024, 1, 11)
+    w3 = dt.datetime(2024, 1, 31)
+
+    def write_wave(i, rows):
+        pdf = pd.DataFrame(rows, columns=["h3", "results", "ts"])
+        tbl = pa.table(
+            {
+                "h3": pa.array(pdf["h3"], pa.string()),
+                "results": pa.array(pdf["results"], pa.int64()),
+                "ts": pa.array(pdf["ts"], pa.timestamp("us")),
+            }
+        )
+        pq.write_table(tbl, d / f"wave{i}.parquet")
+
+    stream = spark.readStream.schema("h3 string, results long, ts timestamp").parquet(str(d))
+    write_wave(1, [("A", 10, t0), ("B", 100, t0)])
+    q = (
+        jobs.rescan_scheduler(stream, rescan_days=7.0, scan_cap=60)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss7_rescan")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_wave(2, [("B", 20, w2)])
+        q.processAllAvailable()
+        write_wave(3, [("C", 5, w3)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("ss7_rescan").collect()
+
+    got_scans = {
+        (r["h3"], r["attempts"]): (r["status"], r["results_last"], r["next_due_at"])
+        for r in rows
+        if not r["due"]
+    }
+    week = dt.timedelta(days=7)
+    # batch-twin expectations: update_scanned semantics per wave
+    # (status scanned/saturated at cap 60, attempts cumulative,
+    # next_due = scan time + 7d)
+    assert got_scans == {
+        ("A", 1): ("scanned", 10, t0 + week),
+        ("B", 1): ("saturated", 100, t0 + week),
+        ("B", 2): ("scanned", 20, w2 + week),
+        ("C", 1): ("scanned", 5, w3 + week),
+    }
+    # due rows: A armed at t0+7d, never rescanned -> fires once the
+    # watermark (w2 - 1h) passes; B re-armed at w2+7d -> fires after
+    # w3; C's deadline (w3+7d) never passes the final watermark
+    got_due = {(r["h3"], r["attempts"], r["next_due_at"]) for r in rows if r["due"]}
+    assert got_due == {("A", 1, t0 + week), ("B", 2, w2 + week)}
+
+    # cross-check against the batch twin operator on the full scan log
+    from trendr_data_pipeline_spark.operators.grid import update_scanned
+
+    state = spark.createDataFrame(
+        [("A", "pending", False, None, None, None, 0), ("B", "pending", False, None, None, None, 0),
+         ("C", "pending", False, None, None, None, 0)],
+        "h3 string, status string, saturated boolean, last_scanned_at timestamp,"
+        " next_due_at timestamp, results_last long, attempts long",
+    )
+    for when, scans in [
+        (t0, [("A", 10), ("B", 100)]),
+        (w2, [("B", 20)]),
+        (w3, [("C", 5)]),
+    ]:
+        sdf = spark.createDataFrame(scans, "h3 string, results long")
+        state = update_scanned(state, sdf, F.lit(when.isoformat()).cast("timestamp"))
+    final = {r["h3"]: (r["status"], r["attempts"], r["results_last"], r["next_due_at"])
+             for r in state.collect()}
+    # the last streaming scan row per cell must equal the batch state
+    last_stream = {}
+    for r in sorted((r for r in rows if not r["due"]), key=lambda r: r["attempts"]):
+        last_stream[r["h3"]] = (r["status"], r["attempts"], r["results_last"], r["next_due_at"])
+    assert last_stream == final

@@ -136,6 +136,92 @@ def topn_dedup_stateful(
 
 
 # ---------------------------------------------------------------------------
+# SS7 — rescan scheduling with state timeouts
+# ---------------------------------------------------------------------------
+
+
+def rescan_scheduler(
+    scans: DataFrame,
+    rescan_days: float = 7.0,
+    scan_cap: int = 60,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of :func:`operators.grid.update_scanned` +
+    due-cell selection (reference h3_scheduler.py:495-543 and the
+    next_due_at poll at :516-526): each scan result updates the cell's
+    state (attempts+1, results_last, saturated at ``scan_cap``) and
+    arms an EVENT-TIME state timeout at ``last_scanned + rescan_days``.
+    When the watermark passes that deadline with no newer scan, the
+    timeout fires and the cell is emitted as ``status='due'`` — the
+    push-based equivalent of the reference's ``next_due_at <= now``
+    polling query, with state removed so a future scan restarts the
+    cycle.
+
+    Input schema: (h3 string, results long, ts timestamp). Event-time
+    timeouts (not processing-time) keep the job deterministic under
+    replay — the same sequence of micro-batches yields the same due
+    rows regardless of wall clock."""
+    out_schema = (
+        "h3 string, status string, attempts long, results_last long,"
+        " next_due_at timestamp, due boolean"
+    )
+    state_schema = "attempts long, results_last long, next_due_ms long"
+    interval_ms = int(rescan_days * 86400.0 * 1000)
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (h3,) = key
+        if state.hasTimedOut:
+            attempts, results_last, next_due_ms = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "h3": h3,
+                        "status": "due",
+                        "attempts": attempts,
+                        "results_last": results_last,
+                        "next_due_at": pd.Timestamp(next_due_ms, unit="ms"),
+                        "due": True,
+                    }
+                ]
+            )
+            return
+        attempts, _, _ = state.get if state.exists else (0, 0, 0)
+        batch = pd.concat(list(pdfs)).sort_values("ts")
+        attempts += len(batch)
+        last = batch.iloc[-1]
+        results_last = int(last["results"])
+        saturated = results_last >= scan_cap
+        next_due_ms = int(last["ts"].timestamp() * 1000) + interval_ms
+        state.update((attempts, results_last, next_due_ms))
+        state.setTimeoutTimestamp(next_due_ms)
+        yield pd.DataFrame(
+            [
+                {
+                    "h3": h3,
+                    "status": "saturated" if saturated else "scanned",
+                    "attempts": attempts,
+                    "results_last": results_last,
+                    "next_due_at": pd.Timestamp(next_due_ms, unit="ms"),
+                    "due": False,
+                }
+            ]
+        )
+
+    return (
+        scans.withWatermark("ts", watermark)
+        .groupBy("h3")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
 
