@@ -41,6 +41,36 @@ def test_strict_mode_raises_without_codec(images):
         MM.extract_image_features(images, strict=True)
 
 
+@pytest.mark.skipif(not MM.HAVE_PIL, reason="Pillow not installed in this image")
+def test_pil_decode_real_codec_path(spark):
+    """The real decoder branch produces the declared schema and true
+    pixel statistics (brightness = mean RGB / 255) on images generated
+    by the codec itself."""
+    import io
+
+    from PIL import Image
+
+    def png(rgb, size):
+        buf = io.BytesIO()
+        Image.new("RGB", size, rgb).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [(1, png((128, 64, 32), (320, 200))), (2, png((255, 255, 255), (64, 48)))]
+    images = spark.createDataFrame(rows, "item_id long, data binary")
+    out = MM.extract_image_features(images, codec="pil")
+    assert out.schema.simpleString() == (
+        "struct<item_id:bigint,width:int,height:int,format:string,"
+        "n_bytes:bigint,content_hash:string,brightness:double>"
+    )
+    got = {r["item_id"]: r for r in out.collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["format"]) == (320, 200, "png")
+    assert got[1]["brightness"] == pytest.approx(((128 + 64 + 32) / 3) / 255, abs=1e-9)
+    assert got[2]["brightness"] == pytest.approx(1.0, abs=1e-9)
+    # the quality blend consumes the real features unchanged
+    q = {r["item_id"]: r["quality_score"] for r in MM.photo_quality_score(out).collect()}
+    assert all(0.0 <= v <= 1.0 for v in q.values())
+
+
 def test_quality_score_range(images):
     scored = MM.photo_quality_score(MM.extract_image_features(images))
     rows = scored.collect()

@@ -47,8 +47,8 @@ def estimate_partitions(df: DataFrame, bytes_col: str, target_batch_bytes: int =
 
 def _fake_decode(data: bytes) -> tuple[int, int, str, float]:
     """Deterministic stand-in for a codec: dimensions and 'brightness'
-    derived from a content hash. Replaced by a real decoder when PIL
-    is importable — the surrounding plumbing is identical."""
+    derived from a content hash. The real decoder is
+    :func:`_pil_decode` — the surrounding plumbing is identical."""
     h = hashlib.sha256(data).digest()
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
@@ -57,22 +57,47 @@ def _fake_decode(data: bytes) -> tuple[int, int, str, float]:
     return width, height, fmt, brightness
 
 
+def _pil_decode(data: bytes) -> tuple[int, int, str, float]:
+    """Real codec path (reference utils/photo_manager.py:135-165):
+    PIL decode, RGB convert, brightness = mean RGB / 255. Same return
+    contract as :func:`_fake_decode` so the mapInPandas plumbing is
+    byte-identical between the two."""
+    import io
+
+    from PIL import Image, ImageStat
+
+    img = Image.open(io.BytesIO(data))
+    fmt = (img.format or "unknown").lower()
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    stat = ImageStat.Stat(img)
+    brightness = (sum(stat.mean) / 3.0) / 255.0
+    return img.width, img.height, fmt, brightness
+
+
 def extract_image_features(
     images: DataFrame,
     id_col: str = "item_id",
     data_col: str = "data",
     strict: bool = False,
+    codec: str | None = None,
 ) -> DataFrame:
     """Decode + feature-extract over binary image rows.
 
-    ``strict=True`` demands a real codec (raises NotImplementedError
-    otherwise); default mode uses the deterministic fake so tests can
-    assert the full pipeline shape."""
-    if strict and not HAVE_PIL:
+    ``codec`` selects the decode step: ``"pil"`` = real decoder
+    (requires Pillow and valid image bytes), ``"fake"`` = the
+    deterministic synthetic decode. Default: ``"pil"`` when
+    ``strict=True``, else ``"fake"`` (so tests can assert the full
+    pipeline shape without a codec in the image). ``strict=True``
+    without a real codec raises NotImplementedError."""
+    if codec is None:
+        codec = "pil" if strict else "fake"
+    if codec == "pil" and not HAVE_PIL:
         raise NotImplementedError(
             "image decode requires PIL/Pillow, which is not installed; "
             "run with strict=False for the deterministic synthetic decode"
         )
+    decode = _pil_decode if codec == "pil" else _fake_decode
     n_parts = estimate_partitions(images, data_col)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -80,7 +105,7 @@ def extract_image_features(
             rows = []
             for item_id, data in zip(pdf[id_col], pdf[data_col]):
                 data = bytes(data)
-                w, h, fmt, bright = _fake_decode(data)
+                w, h, fmt, bright = decode(data)
                 rows.append(
                     (
                         int(item_id),
