@@ -21,7 +21,8 @@ def test_extract_features_schema_and_determinism(images):
     out = MM.extract_image_features(images)
     assert out.schema.simpleString() == (
         "struct<item_id:bigint,width:int,height:int,format:string,"
-        "n_bytes:bigint,content_hash:string,brightness:double>"
+        "n_bytes:bigint,content_hash:string,brightness:double,"
+        "contrast:double,saturation:double>"
     )
     rows1 = {r["item_id"]: r for r in out.collect()}
     rows2 = {r["item_id"]: r for r in MM.extract_image_features(images).collect()}
@@ -60,23 +61,71 @@ def test_pil_decode_real_codec_path(spark):
     out = MM.extract_image_features(images, codec="pil")
     assert out.schema.simpleString() == (
         "struct<item_id:bigint,width:int,height:int,format:string,"
-        "n_bytes:bigint,content_hash:string,brightness:double>"
+        "n_bytes:bigint,content_hash:string,brightness:double,"
+        "contrast:double,saturation:double>"
     )
     got = {r["item_id"]: r for r in out.collect()}
     assert (got[1]["width"], got[1]["height"], got[1]["format"]) == (320, 200, "png")
-    assert got[1]["brightness"] == pytest.approx(((128 + 64 + 32) / 3) / 255, abs=1e-9)
-    assert got[2]["brightness"] == pytest.approx(1.0, abs=1e-9)
+    assert got[1]["brightness"] == pytest.approx((128 + 64 + 32) / 3, abs=1e-9)
+    assert got[1]["contrast"] == pytest.approx(0.0, abs=1e-9)  # solid color
+    # HSV S for (128,64,32): (max-min)/max scaled to 255 (PIL integer math)
+    assert got[1]["saturation"] == pytest.approx((96 / 128) * 255, abs=2.0)
+    assert got[2]["brightness"] == pytest.approx(255.0, abs=1e-9)
+    assert got[2]["saturation"] == pytest.approx(0.0, abs=1e-9)
     # the quality blend consumes the real features unchanged
     q = {r["item_id"]: r["quality_score"] for r in MM.photo_quality_score(out).collect()}
     assert all(0.0 <= v <= 1.0 for v in q.values())
 
 
-def test_quality_score_range(images):
+def _oracle_quality(r):
+    """Port of the reference's scoring curves
+    (utils/photo_manager.py:157-226) as the test oracle."""
+    w, h, n_bytes = r["width"], r["height"], r["n_bytes"]
+    pixels = w * h
+    res = min(1.0, pixels / 960_000) if pixels >= 480_000 else pixels / 480_000
+
+    def band(v, lo, hi, over_div, floor):
+        if lo <= v <= hi:
+            return 1.0
+        if v < lo:
+            return v / lo
+        return max(floor, 1.0 - ((v - hi) / over_div))
+
+    bright = band(r["brightness"], 80, 180, 75, 0.1)
+    contrast = band(r["contrast"], 20, 60, 40, 0.1)
+    sat = band(r["saturation"], 60, 200, 55, 0.3)
+    ar = w / h
+    comp = 0.5
+    for pw, ph in MM.ASPECT_RATIOS:
+        d = abs(ar - pw / ph)
+        if d < 0.2:
+            comp = 1.0
+            break
+        if d < 0.5:
+            comp = max(comp, 0.8)
+    if 50_000 <= n_bytes <= 500_000:
+        size = 1.0
+    elif n_bytes < 50_000:
+        size = n_bytes / 50_000
+    else:
+        size = max(0.3, 1.0 - ((n_bytes - 500_000) / 1_000_000))
+    ww = MM.QUALITY_WEIGHTS
+    return (
+        ww["resolution"] * res + ww["brightness"] * bright + ww["contrast"] * contrast
+        + ww["saturation"] * sat + ww["composition"] * comp + ww["file_size"] * size
+    )
+
+
+def test_quality_score_reference_curves(images):
     scored = MM.photo_quality_score(MM.extract_image_features(images))
     rows = scored.collect()
     assert all(0.0 <= r["quality_score"] <= 1.0 for r in rows)
     # weights sum to 1 → max possible is 1
     assert sum(MM.QUALITY_WEIGHTS.values()) == pytest.approx(1.0)
+    for r in rows:
+        # Spark round() is HALF_UP, Python round() banker's — compare
+        # against the unrounded oracle at half-ulp-of-6dp tolerance
+        assert r["quality_score"] == pytest.approx(_oracle_quality(r), abs=5.1e-7)
 
 
 def test_size_aware_partitioning(spark):

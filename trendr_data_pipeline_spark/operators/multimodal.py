@@ -31,10 +31,14 @@ try:  # pragma: no cover — not in this image
 except ImportError:
     HAVE_PIL = False
 
-#: schema of a decoded-image feature row
+#: schema of a decoded-image feature row — brightness/contrast/
+#: saturation carry the reference's RAW 0–255 scales (mean RGB,
+#: stddev RGB, mean HSV-S; utils/photo_manager.py:163-199) so the
+#: quality curves below apply identically to fake and real decodes
 IMAGE_FEATURES_SCHEMA = (
     "item_id long, width int, height int, format string,"
-    " n_bytes long, content_hash string, brightness double"
+    " n_bytes long, content_hash string, brightness double,"
+    " contrast double, saturation double"
 )
 
 
@@ -45,21 +49,26 @@ def estimate_partitions(df: DataFrame, bytes_col: str, target_batch_bytes: int =
     return max(1, int(total / target_batch_bytes) + 1)
 
 
-def _fake_decode(data: bytes) -> tuple[int, int, str, float]:
-    """Deterministic stand-in for a codec: dimensions and 'brightness'
-    derived from a content hash. The real decoder is
-    :func:`_pil_decode` — the surrounding plumbing is identical."""
+def _fake_decode(data: bytes) -> tuple[int, int, str, float, float, float]:
+    """Deterministic stand-in for a codec: dimensions and pixel stats
+    derived from a content hash, on the same raw scales the real
+    decoder produces. The real decoder is :func:`_pil_decode` — the
+    surrounding plumbing is identical."""
     h = hashlib.sha256(data).digest()
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
     fmt = ["jpeg", "png", "webp"][h[2] % 3]
-    brightness = h[3] / 255.0
-    return width, height, fmt, brightness
+    brightness = float(h[3])          # mean RGB, 0–255
+    contrast = float(h[4] % 128)      # stddev RGB, 0–~128
+    saturation = float(h[5])          # mean HSV-S, 0–255
+    return width, height, fmt, brightness, contrast, saturation
 
 
-def _pil_decode(data: bytes) -> tuple[int, int, str, float]:
-    """Real codec path (reference utils/photo_manager.py:135-165):
-    PIL decode, RGB convert, brightness = mean RGB / 255. Same return
+def _pil_decode(data: bytes) -> tuple[int, int, str, float, float, float]:
+    """Real codec path (reference utils/photo_manager.py:135-199):
+    PIL decode, RGB convert; brightness = mean RGB, contrast = mean
+    per-channel stddev, saturation = HSV S-channel mean — all raw
+    0–255, exactly the reference's ImageStat metrics. Same return
     contract as :func:`_fake_decode` so the mapInPandas plumbing is
     byte-identical between the two."""
     import io
@@ -71,8 +80,13 @@ def _pil_decode(data: bytes) -> tuple[int, int, str, float]:
     if img.mode != "RGB":
         img = img.convert("RGB")
     stat = ImageStat.Stat(img)
-    brightness = (sum(stat.mean) / 3.0) / 255.0
-    return img.width, img.height, fmt, brightness
+    brightness = sum(stat.mean) / 3.0
+    contrast = sum(stat.stddev) / 3.0
+    try:
+        saturation = ImageStat.Stat(img.convert("HSV")).mean[1]
+    except Exception:  # noqa: BLE001 — reference defaults S on HSV failure
+        saturation = 0.7 * 255.0
+    return img.width, img.height, fmt, brightness, contrast, saturation
 
 
 def extract_image_features(
@@ -105,7 +119,7 @@ def extract_image_features(
             rows = []
             for item_id, data in zip(pdf[id_col], pdf[data_col]):
                 data = bytes(data)
-                w, h, fmt, bright = decode(data)
+                w, h, fmt, bright, contrast, saturation = decode(data)
                 rows.append(
                     (
                         int(item_id),
@@ -115,6 +129,8 @@ def extract_image_features(
                         len(data),
                         hashlib.sha256(data).hexdigest()[:16],
                         bright,
+                        contrast,
+                        saturation,
                     )
                 )
             yield pd.DataFrame(
@@ -122,6 +138,7 @@ def extract_image_features(
                 columns=[
                     "item_id", "width", "height", "format",
                     "n_bytes", "content_hash", "brightness",
+                    "contrast", "saturation",
                 ],
             )
 
@@ -138,22 +155,58 @@ QUALITY_WEIGHTS = {
     "file_size": 0.10,
 }
 
+#: preferred aspect ratios (reference utils/photo_manager.py:59-64)
+ASPECT_RATIOS = [(16, 9), (4, 3), (3, 2), (1, 1)]
+
+
+def _band_score(raw, lo: float, hi: float, over_div: float, floor: float):
+    """The reference's piecewise quality curve: 1.0 inside [lo, hi];
+    raw/lo below; max(floor, 1 − (raw−hi)/over_div) above."""
+    return (
+        F.when((raw >= lo) & (raw <= hi), F.lit(1.0))
+        .when(raw < lo, raw / F.lit(lo))
+        .otherwise(F.greatest(F.lit(floor), F.lit(1.0) - (raw - F.lit(hi)) / F.lit(over_div)))
+    )
+
 
 def photo_quality_score(features: DataFrame) -> DataFrame:
-    """A15 weighted quality blend on extracted features. Metrics not
-    derivable without a real decoder (contrast/saturation/composition)
-    are scored at the 0.5 neutral midpoint by the fake decode path;
-    with a codec the same columns carry real values — the blend is
-    unchanged."""
-    res_score = F.least((F.col("width") * F.col("height")) / F.lit(1920.0 * 1080.0), F.lit(1.0))
-    size_score = F.least(F.col("n_bytes") / F.lit(500_000.0), F.lit(1.0))
-    neutral = F.lit(0.5)
+    """A15 weighted quality blend — the reference's exact scoring
+    curves (utils/photo_manager.py:157-226) over the raw decoder
+    metrics: banded brightness/contrast/saturation, piecewise
+    resolution and file-size preferences, and aspect-ratio
+    composition. Both decode paths (real PIL / deterministic fake)
+    produce the raw-scale columns, so the blend is identical."""
+    pixels = (F.col("width") * F.col("height")).cast("double")
+    optimal = F.lit(480_000.0)  # 800×600
+    res_score = F.when(
+        pixels >= optimal, F.least(F.lit(1.0), pixels / (optimal * 2))
+    ).otherwise(pixels / optimal)
+
+    bright_score = _band_score(F.col("brightness"), 80.0, 180.0, 75.0, 0.1)
+    contrast_score = _band_score(F.col("contrast"), 20.0, 60.0, 40.0, 0.1)
+    sat_score = _band_score(F.col("saturation"), 60.0, 200.0, 55.0, 0.3)
+
+    # composition: 1.0 if any preferred ratio within 0.2, else 0.8 if
+    # any within 0.5, else the 0.5 default (photo_manager.py:201-213)
+    ar = F.col("width").cast("double") / F.col("height")
+    diffs = [F.abs(ar - F.lit(w / h)) for w, h in ASPECT_RATIOS]
+    any_close = F.greatest(*[(d < 0.2).cast("int") for d in diffs]) == 1
+    any_near = F.greatest(*[(d < 0.5).cast("int") for d in diffs]) == 1
+    comp_score = F.when(any_close, F.lit(1.0)).when(any_near, F.lit(0.8)).otherwise(F.lit(0.5))
+
+    size = F.col("n_bytes").cast("double")
+    size_score = (
+        F.when((size >= 50_000) & (size <= 500_000), F.lit(1.0))
+        .when(size < 50_000, size / F.lit(50_000.0))
+        .otherwise(F.greatest(F.lit(0.3), F.lit(1.0) - (size - F.lit(500_000.0)) / F.lit(1e6)))
+    )
+
     quality = (
         QUALITY_WEIGHTS["resolution"] * res_score
-        + QUALITY_WEIGHTS["brightness"] * F.col("brightness")
-        + QUALITY_WEIGHTS["contrast"] * neutral
-        + QUALITY_WEIGHTS["saturation"] * neutral
-        + QUALITY_WEIGHTS["composition"] * neutral
+        + QUALITY_WEIGHTS["brightness"] * bright_score
+        + QUALITY_WEIGHTS["contrast"] * contrast_score
+        + QUALITY_WEIGHTS["saturation"] * sat_score
+        + QUALITY_WEIGHTS["composition"] * comp_score
         + QUALITY_WEIGHTS["file_size"] * size_score
     )
     return features.withColumn("quality_score", F.round(quality, 6))
