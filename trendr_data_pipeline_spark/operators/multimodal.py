@@ -169,7 +169,7 @@ def _band_score(raw, lo: float, hi: float, over_div: float, floor: float):
     )
 
 
-def photo_quality_score(features: DataFrame) -> DataFrame:
+def photo_quality_score(features: DataFrame, round_to: int | None = 6) -> DataFrame:
     """A15 weighted quality blend — the reference's exact scoring
     curves (utils/photo_manager.py:157-226) over the raw decoder
     metrics: banded brightness/contrast/saturation, piecewise
@@ -209,7 +209,9 @@ def photo_quality_score(features: DataFrame) -> DataFrame:
         + QUALITY_WEIGHTS["composition"] * comp_score
         + QUALITY_WEIGHTS["file_size"] * size_score
     )
-    return features.withColumn("quality_score", F.round(quality, 6))
+    if round_to is not None:
+        quality = F.round(quality, round_to)
+    return features.withColumn("quality_score", quality)
 
 
 def sample_video_frames(

@@ -21,3 +21,4 @@ def load_all() -> None:
     from . import events_ops  # noqa: F401
     from . import scalar_ops  # noqa: F401
     from . import pipeline_ops  # noqa: F401
+    from . import multimodal_ops  # noqa: F401
