@@ -47,6 +47,9 @@ def main() -> None:
         except Exception as ex:  # noqa: BLE001
             print(f"bench error in {name}: {ex}", file=sys.stderr)
             timings[name] = -1.0
+        # drop any frames a query persisted (d03's materialized token
+        # tables) so one query's cache never perturbs another's timing
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

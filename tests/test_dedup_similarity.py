@@ -116,3 +116,55 @@ def test_ivf_recall_and_score_exactness(spark):
     # determinism: same seed → same result
     ivf2 = {(r["query_id"], r["neighbor_id"]) for r in ivf_topk(queries, emb, k=10, nlist=8, nprobe=3).collect()}
     assert ivf_set == ivf2
+
+
+def test_shingle_set_parity_and_edges(spark):
+    """Char n-gram shingles: JVM expression vs Python set-of-substrings,
+    including shorter-than-n and empty strings."""
+    from trendr_data_pipeline_spark.operators.dedup import shingle_set
+
+    texts = ["Hello World", "abc", "abcde", "abcdef", "", "aaaaaaa", "ab cd ef"]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = {r["t"]: r["sh"] for r in df.select("t", shingle_set(F.col("t"), 5).alias("sh")).collect()}
+    for t in texts:
+        s = t.lower()
+        want = sorted({s[i:i + 5] for i in range(len(s) - 4)}) if len(s) >= 5 else []
+        assert got[t] == want, t
+
+
+def test_ngram_jaccard_topk_matches_bruteforce(spark):
+    """d05's exact shingle path vs a brute-force pairwise oracle."""
+    from trendr_data_pipeline_spark.operators.dedup import jaccard_topk_join, shingle_set
+
+    docs = read_table(spark, SMOKE_SF, "documents").limit(200)
+    incoming = docs.filter(F.col("doc_id") % 50 == 0)
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"], r["rk"])
+        for r in jaccard_topk_join(
+            incoming, docs, threshold=0.25, k=10, tokset_fn=lambda c: shingle_set(c, 5)
+        ).collect()
+    }
+
+    def sh(s):
+        s = s.lower()
+        return {s[i:i + 5] for i in range(len(s) - 4)}
+
+    rows = [(r["doc_id"], sh(r["text"])) for r in docs.collect()]
+    import collections
+
+    per_a = collections.defaultdict(list)
+    for ida, sa in rows:
+        if ida % 50 != 0 or not sa:
+            continue
+        for idb, sb in rows:
+            if idb == ida or not sb:
+                continue
+            j = round(len(sa & sb) / len(sa | sb), 6)
+            if j >= 0.25:
+                per_a[ida].append((j, idb))
+    want = set()
+    for ida, lst in per_a.items():
+        lst.sort(key=lambda p: (-p[0], p[1]))
+        for rk, (j, idb) in enumerate(lst[:10], start=1):
+            want.add((ida, idb, j, rk))
+    assert got == want

@@ -48,6 +48,19 @@ def bow_fingerprint(col: Column) -> Column:
     return F.md5(F.array_join(token_set(col), " "))
 
 
+def shingle_set(col: Column, n: int = 5) -> Column:
+    """Sorted distinct character n-gram shingles of the lowercased
+    text — the classic near-dup representation (robust to word
+    reordering AND intra-word edits, unlike word tokens). Pure JVM:
+    a sequence of start offsets transformed through substring."""
+    s = F.lower(col)
+    m = F.length(s) - (n - 1)
+    grams = F.transform(F.sequence(F.lit(1), F.greatest(m, F.lit(1))), lambda i: F.substring(s, i, n))
+    return F.when(m >= 1, F.array_sort(F.array_distinct(grams))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -143,6 +156,7 @@ def jaccard_topk_join(
     k: int = 20,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokset_fn=None,
 ) -> DataFrame:
     """For each incoming document, its top-k corpus near-duplicates by
     token-set Jaccard ≥ threshold — the shape of production dedup
@@ -156,16 +170,20 @@ def jaccard_topk_join(
     (document-frequency stop list) before the join — a df-capped token
     cannot contribute to a ≥0.8 pair whose sets are small.
 
+    ``tokset_fn`` swaps the set representation (default: word tokens
+    via :func:`token_set`; pass ``shingle_set`` for char n-grams).
+
     Returns (id_a, id_b, jaccard, rk) — id_a from incoming.
     """
+    tokset = tokset_fn or token_set
     ta = (
-        incoming.select(F.col(id_col).alias("id_a"), token_set(F.col(text_col)).alias("toks"))
+        incoming.select(F.col(id_col).alias("id_a"), tokset(F.col(text_col)).alias("toks"))
         .filter(F.size("toks") > 0)
         .select("id_a", F.size("toks").alias("size_a"), F.explode("toks").alias("token"))
     )
     tb = (
         spread(corpus)
-        .select(F.col(id_col).alias("id_b"), token_set(F.col(text_col)).alias("toks"))
+        .select(F.col(id_col).alias("id_b"), tokset(F.col(text_col)).alias("toks"))
         .filter(F.size("toks") > 0)
         .select("id_b", F.size("toks").alias("size_b"), F.explode("toks").alias("token"))
     )
@@ -383,12 +401,15 @@ def minhash_lsh_topk_join(
     text_col: str = "text",
     n_hashes: int = 128,
     bands: int = 32,
+    tokset_fn=None,
 ) -> DataFrame:
     """LSH variant of :func:`jaccard_topk_join`: candidates come from a
     band-bucket equi-join between incoming and corpus signatures (the
     incoming side is small → broadcast), then candidates are verified
     exactly on the full token sets. Shuffle volume O(corpus·bands);
     per-pair recall at the threshold is 1−(1−t^r)^b ≈ 1−5e-8.
+    ``tokset_fn`` swaps the set representation (word tokens by
+    default; :func:`shingle_set` for char n-gram shingling).
 
     Each side is tokenized ONCE into a materialized ``(id, toks,
     size)`` frame (MEMORY_AND_DISK — the cluster-scale variant is a
@@ -408,9 +429,11 @@ def minhash_lsh_topk_join(
     """
     from pyspark import StorageLevel
 
+    tokset = tokset_fn or token_set
+
     def tokenized(df: DataFrame, out_id: str, sz: str) -> DataFrame:
         return (
-            df.select(F.col(id_col).alias(out_id), token_set(F.col(text_col)).alias("toks"))
+            df.select(F.col(id_col).alias(out_id), tokset(F.col(text_col)).alias("toks"))
             .filter(F.size("toks") > 0)
             .withColumn(sz, F.size("toks"))
             .persist(StorageLevel.MEMORY_AND_DISK)

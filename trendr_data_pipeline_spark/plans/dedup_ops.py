@@ -91,9 +91,64 @@ def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_topk_join(incoming, docs, threshold=0.8, k=20)
 
 
+#: char-5-gram shingle set (DuckDB twin of operators/dedup.shingle_set)
+_SQL_SHINGLES = (
+    "list_sort(list_distinct(list_transform("
+    "range(1, greatest(len(lower(text)) - 3, 1)), i -> substr(lower(text), i::INT, 5))))"
+)
+
+_SQL_SHINGLE_TOPK = f"""
+    WITH t AS (
+        SELECT doc_id AS id, {_SQL_SHINGLES} AS toks FROM documents
+        WHERE len({_SQL_SHINGLES}) > 0
+    ),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               ROUND(len(list_intersect(a.toks, b.toks)) * 1.0
+                     / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+        FROM t a JOIN t b ON a.id <> b.id
+        WHERE a.id % 100 = 0
+    )
+    SELECT id_a, id_b, jaccard, rk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
+                                     ORDER BY jaccard DESC, id_b ASC) AS rk
+        FROM pairs WHERE jaccard >= 0.25
+    ) WHERE rk <= 10
+"""
+
+
+@register(
+    "d05_ngram_jaccard",
+    _SQL_SHINGLE_TOPK,
+    doc="""Char-5-gram n-gram Jaccard near-dup: shingle sets through
+    the exact count-based inverted-index join, top-10 per incoming doc
+    (doc_id %% 100 = 0) at Jaccard ≥0.25. Shingles capture adjacency
+    and intra-word edits that word tokens miss (on this corpus the
+    word-level Jaccard of a pair is ~3× its shingle-level one), so the
+    threshold sits in the shingle regime. The exact path is used —
+    MinHash-LSH cannot cheaply separate a 0.25 threshold from a 0.16
+    background (P_band = t^r collapses); `minhash_lsh_topk_join`
+    accepts `tokset_fn=shingle_set` when the corpus actually has
+    high-similarity shingle pairs. Oracle is brute force.""",
+)
+def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import jaccard_topk_join, shingle_set
+
+    docs = read_table(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 100 == 0)
+    return jaccard_topk_join(
+        incoming, docs, threshold=0.25, k=10,
+        tokset_fn=lambda c: shingle_set(c, 5),
+    )
+
+
 @register(
     "d04_simhash_buckets",
-    None,  # bit-vote fingerprint is not SQL-expressible; pytest holds the Python oracle
+    None,
+    doc="""SimHash64 fingerprints + 16-bit hamming bands. WHY NO SQL
+    ORACLE: the FNV-1a-seeded per-bit vote accumulation has no DuckDB
+    equivalent hash; the Python bit-vote oracle in
+    tests/test_dedup_similarity.py pins the fingerprints exactly.""",
 )
 def d04_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash64 fingerprints with 16-bit bands for hamming-bucketed
