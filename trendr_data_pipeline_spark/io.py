@@ -33,10 +33,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the declared StructType in ``schemas.py`` is the contract tests assert
     against, not an inference override.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects; we read it as long (legacy conf) and floor-divide to
-    micros — the same truncation DuckDB applies, so oracle comparisons
-    agree."""
+    Timestamp normalization: fixture parquet has carried both
+    nano-precision and naive-micro (no ``isAdjustedToUTC``) timestamp
+    encodings across driver regenerations. Naive micros surface as
+    ``TIMESTAMP_NTZ`` under Spark 4's default inference, which
+    ``unix_micros`` / ``session_window`` / watermarks reject and which
+    would diverge from the LTZ columns our expressions produce. With
+    the session pinned to UTC, casting NTZ → ``timestamp`` is a pure
+    re-tag (same wall-clock field values DuckDB sees when it reads the
+    same naive values), so oracle comparisons agree."""
     # defensive: oracle comparability requires UTC timestamp semantics
     # even when the caller's session (e.g. the driver's) didn't pin it;
     # session timezone is runtime-settable
@@ -51,13 +56,24 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 # integer division — going through double would lose
                 # precision beyond 2^53 ns and shift timestamps by 1 µs
                 df = df.withColumn(f.name, F.expr(f"timestamp_micros({f.name} div 1000)"))
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+        return _ntz_to_utc(df)
+    return _ntz_to_utc(spark.read.parquet(table_path(sf_dir, name)))
 
 
 #: tables whose timestamp columns are nanosecond-precision in parquet
 _NANO_TS_TABLES = frozenset({"events"})
 _NANO_TS_COLS = frozenset({"ts"})
+
+
+def _ntz_to_utc(df: DataFrame) -> DataFrame:
+    """Re-tag any TIMESTAMP_NTZ column as session-tz (UTC) TIMESTAMP."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if not ntz:
+        return df
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
 
 
 def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
@@ -85,6 +101,13 @@ def _ensure_session_conf(spark: SparkSession) -> None:
         tz = None
     if tz != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        # naive parquet timestamps should read as UTC instants, not NTZ
+        # (Spark 4 default infers NTZ; _ntz_to_utc covers sessions where
+        # this conf cannot take effect anymore)
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:  # noqa: BLE001
+        pass
     try:
         if spark.conf.get("spark.sql.shuffle.partitions") == "200":
             spark.conf.set(

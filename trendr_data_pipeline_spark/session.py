@@ -45,6 +45,9 @@ def get_spark(app_name: str = "trendr-spark", cpus: str | int | None = None) -> 
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # naive parquet timestamps are UTC instants here (oracle parity),
+        # not NTZ — Spark 4 flipped the inference default
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -27,15 +27,28 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The driver's events table as a file stream. The fixture stores
-    ts as TIMESTAMP(NANOS); the reader needs the same legacy-long
-    conversion as the batch path."""
+    """The driver's events table as a file stream. The fixture has
+    carried ``ts`` as both TIMESTAMP(NANOS) and naive micros across
+    driver regenerations; probe the footer with a batch read (schema
+    only, no scan) and pin the matching streaming schema so the stream
+    applies the same conversion as the batch path in ``io.read_table``."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, value double, props string"
+    ts_type = next(
+        (f.dataType.simpleString() for f in spark.read.parquet(sf_dir).schema.fields
+         if f.name == "ts"),
+        "timestamp",
     )
-    raw = spark.readStream.schema(schema).parquet(sf_dir)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_type == "bigint":  # legacy nano-precision encoding
+        schema = (
+            "event_id long, ts long, user_id long, event_type string, value double, props string"
+        )
+        raw = spark.readStream.schema(schema).parquet(sf_dir)
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    return spark.readStream.schema(schema).parquet(sf_dir)
 
 
 # ---------------------------------------------------------------------------
