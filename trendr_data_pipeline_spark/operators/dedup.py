@@ -393,7 +393,7 @@ def minhash_lsh_pairs(
 
 
 def minhash_lsh_topk_join(
-    incoming: DataFrame,
+    incoming: DataFrame | Column,
     corpus: DataFrame,
     threshold: float,
     k: int = 20,
@@ -410,6 +410,12 @@ def minhash_lsh_topk_join(
     per-pair recall at the threshold is 1−(1−t^r)^b ≈ 1−5e-8.
     ``tokset_fn`` swaps the set representation (word tokens by
     default; :func:`shingle_set` for char n-gram shingling).
+
+    ``incoming`` is either its own DataFrame or — the self-screening
+    shape, incoming ⊆ corpus — a boolean Column over corpus rows. The
+    Column form tokenizes AND MinHash-bands the corpus exactly once
+    (one UDF pass, one persisted signature frame); the incoming side is
+    a filter over that frame, not a second signature computation.
 
     Each side is tokenized ONCE into a materialized ``(id, toks,
     size)`` frame (MEMORY_AND_DISK — the cluster-scale variant is a
@@ -430,17 +436,18 @@ def minhash_lsh_topk_join(
     from pyspark import StorageLevel
 
     tokset = tokset_fn or token_set
+    subset_pred = incoming if isinstance(incoming, Column) else None
 
-    def tokenized(df: DataFrame, out_id: str, sz: str) -> DataFrame:
+    def tokenized(df: DataFrame, out_id: str, sz: str, extra=None) -> DataFrame:
+        cols = [F.col(id_col).alias(out_id), tokset(F.col(text_col)).alias("toks")]
+        if extra is not None:
+            cols.append(extra)
         return (
-            df.select(F.col(id_col).alias(out_id), tokset(F.col(text_col)).alias("toks"))
+            df.select(*cols)
             .filter(F.size("toks") > 0)
             .withColumn(sz, F.size("toks"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-
-    corpus_toks = tokenized(spread(corpus), "id_b", "size_b")
-    in_toks = tokenized(incoming, "id_a", "size_a")
 
     def bands_of(toks_df: DataFrame, out_id: str, sz: str) -> DataFrame:
         return toks_df.select(
@@ -451,12 +458,38 @@ def minhash_lsh_topk_join(
             ),
         )
 
+    if subset_pred is not None:
+        corpus_toks = tokenized(
+            spread(corpus), "id_b", "size_b", extra=subset_pred.alias("_mh_in")
+        )
+        # one banding pass over the corpus, persisted; both join sides
+        # read it and nothing recomputes the signatures
+        banded = corpus_toks.select(
+            "id_b",
+            "size_b",
+            "_mh_in",
+            F.posexplode(minhash_band_buckets(F.col("toks"), n_hashes, bands)).alias(
+                "band", "bucket"
+            ),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        corpus_bands = banded.drop("_mh_in")
+        in_bands = banded.filter(F.col("_mh_in")).select(
+            F.col("id_b").alias("id_a"), F.col("size_b").alias("size_a"), "band", "bucket"
+        )
+        in_toks = corpus_toks.filter(F.col("_mh_in")).select(
+            F.col("id_b").alias("id_a"), "toks", F.col("size_b").alias("size_a")
+        )
+    else:
+        corpus_toks = tokenized(spread(corpus), "id_b", "size_b")
+        in_toks = tokenized(incoming, "id_a", "size_a")
+        corpus_bands = bands_of(corpus_toks, "id_b", "size_b")
+        in_bands = bands_of(in_toks, "id_a", "size_a")
+
     size_ok = (F.col("size_b") >= F.ceil(F.lit(threshold) * F.col("size_a"))) & (
         F.col("size_b") <= F.floor(F.col("size_a") / F.lit(threshold))
     )
     cands = (
-        bands_of(corpus_toks, "id_b", "size_b")
-        .join(F.broadcast(bands_of(in_toks, "id_a", "size_a")), ["band", "bucket"])
+        corpus_bands.join(F.broadcast(in_bands), ["band", "bucket"])
         .filter((F.col("id_a") != F.col("id_b")) & size_ok)
         .select("id_a", "id_b")
         .distinct()

@@ -87,8 +87,9 @@ def d02_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    incoming = docs.filter(F.col("doc_id") % 10 == 0)
-    return minhash_lsh_topk_join(incoming, docs, threshold=0.8, k=20)
+    # incoming ⊆ corpus → predicate form: one tokenize + one MinHash
+    # banding pass over the corpus instead of two
+    return minhash_lsh_topk_join(F.col("doc_id") % 10 == 0, docs, threshold=0.8, k=20)
 
 
 #: char-5-gram shingle set (DuckDB twin of operators/dedup.shingle_set)
