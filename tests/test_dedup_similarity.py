@@ -168,3 +168,35 @@ def test_ngram_jaccard_topk_matches_bruteforce(spark):
         for rk, (j, idb) in enumerate(lst[:10], start=1):
             want.add((ida, idb, j, rk))
     assert got == want
+
+
+def test_embedding_near_dup_finds_planted_pairs(spark):
+    """d06: every planted perturbed copy is recovered at cosine ≥0.99
+    with its source as the ONLY match (the fixture corpus is isotropic,
+    so no background pair reaches the threshold)."""
+    import numpy as np
+
+    from trendr_data_pipeline_spark.operators.similarity import embedding_near_dup_join
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    perturbed = emb.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x * (1 + ((i % 7) - 3) / F.lit(100.0)),
+        ).alias("embedding"),
+    )
+    rows = embedding_near_dup_join(perturbed, corpus, threshold=0.99).collect()
+    n_planted = emb.filter(F.col("vec_id") % 4 == 0).count()
+    assert len(rows) == n_planted
+    assert all(r["id_b"] == r["id_a"] - 10_000_000 for r in rows)
+
+    # cosine of the planted perturbation, recomputed in numpy
+    src = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    f = np.array([1 + ((i % 7) - 3) / 100.0 for i in range(64)])
+    for r in rows:
+        v = src[r["id_b"]]
+        p = v * f
+        want = round(float(p @ v / (np.linalg.norm(p) * np.linalg.norm(v))), 6)
+        assert abs(r["cosine_sim"] - want) <= 1e-6

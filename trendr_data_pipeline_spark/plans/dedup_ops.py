@@ -143,6 +143,57 @@ def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deterministic perturbation planting near-dup structure: the fixture
+#: embeddings are isotropic (no natural pair above cosine 0.5), so the
+#: query perturbs every 4th vector per-component and screens the
+#: perturbed batch against the corpus — the planted pair is the only
+#: qualifying match. Spark's transform index is 0-based, DuckDB's is
+#: 1-based; both evaluate the same double-precision factor.
+_PERTURB_SQL = "x * (1 + ((((i - 1) % 7) - 3) / 100.0))"
+
+_SQL_EMB_NEAR_DUP = f"""
+    WITH c AS (
+        SELECT vec_id AS id_b, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id + 10000000 AS id_a,
+               list_transform(CAST(embedding AS DOUBLE[]), (x, i) -> {_PERTURB_SQL}) AS v
+        FROM embeddings WHERE vec_id % 4 = 0
+    )
+    SELECT id_a, id_b,
+           ROUND(list_dot_product(q.v, c.v)
+                 / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6)
+             AS cosine_sim
+    FROM q JOIN c ON id_a <> id_b
+    WHERE list_dot_product(q.v, c.v)
+          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.99
+"""
+
+
+@register(
+    "d06_embedding_near_dup",
+    _SQL_EMB_NEAR_DUP,
+    doc="""Embedding-cosine near-dup: perturbed copies of every 4th
+    vector screened against the corpus at cosine ≥0.99 via 16-bit
+    sign-sketch LSH (8 tables), exact-verified. Oracle is the
+    brute-force pair join. The planted perturbation is the near-dup
+    structure — the fixture embeddings are isotropic.""",
+)
+def d06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_near_dup_join
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    perturbed = emb.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x * (1 + ((i % 7) - 3) / F.lit(100.0)),
+        ).alias("embedding"),
+    )
+    return embedding_near_dup_join(perturbed, corpus, threshold=0.99)
+
+
 @register(
     "d04_simhash_buckets",
     None,
