@@ -69,27 +69,29 @@ def resolve_source(candidates: DataFrame, source_catalog: DataFrame) -> DataFram
             "dedup_replacement",
         )
     )
-    exact = candidates.join(cat, candidates["domain"] == cat["catalog_domain"], "left")
-
-    matched = exact.filter(F.col("cat_source_id").isNotNull())
-    unmatched = exact.filter(F.col("cat_source_id").isNull()).drop(
-        "catalog_domain", "cat_source_id", "cat_source_type", "cat_authority",
-        "dedup_pattern", "dedup_replacement",
-    )
-
-    suffix = unmatched.join(
+    # ONE broadcast join carrying both match modes, instead of a
+    # matched/unmatched plan fork (which evaluates the upstream twice)
+    # + second join + union. Exact matches keep their full fan-out (a
+    # domain listed twice in the catalog resolves twice, as the exact
+    # pass always did); suffix matches only apply to (poi_id, url)
+    # groups with no exact match, pinned to longest-domain/lowest-id.
+    both = candidates.join(
         cat,
-        F.endswith(unmatched["domain"], cat["catalog_domain"])
-        | F.endswith(cat["catalog_domain"], unmatched["domain"]),
+        (candidates["domain"] == cat["catalog_domain"])
+        | F.endswith(candidates["domain"], cat["catalog_domain"])
+        | F.endswith(cat["catalog_domain"], candidates["domain"]),
         "left",
-    )
+    ).withColumn("_exact", F.col("domain") == F.col("catalog_domain"))
     w = Window.partitionBy("poi_id", "url").orderBy(
-        F.length("catalog_domain").desc(), F.col("cat_source_id").asc()
+        F.col("_exact").desc_nulls_last(),
+        F.length("catalog_domain").desc(),
+        F.col("cat_source_id").asc(),
     )
-    suffix_best = (
-        suffix.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1).drop("_rk")
+    return (
+        both.withColumn("_rk", F.row_number().over(w))
+        .filter(F.coalesce(F.col("_exact"), F.lit(False)) | (F.col("_rk") == 1))
+        .drop("_rk", "_exact")
     )
-    return matched.unionByName(suffix_best)
 
 
 def score_candidates(
