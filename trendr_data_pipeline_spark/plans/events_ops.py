@@ -276,3 +276,86 @@ def e07_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# --- e08: bucketed interval (range) join ---
+
+
+@register(
+    "e08_interval_join",
+    f"""
+    SELECT a.event_id, a.user_id,
+           CAST(COUNT(b.event_id) AS BIGINT) AS n_follow,
+           COALESCE({sql_dsum('b.value')}, 0.0) AS sum_value,
+           CAST(COUNT(CASE WHEN b.event_type = 'error' THEN 1 END) AS BIGINT) AS n_errors
+    FROM events a LEFT JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+    WHERE a.event_type = 'purchase'
+    GROUP BY a.event_id, a.user_id
+    """,
+)
+def e08_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (⊕ the interval sibling of e03's as-of join): for
+    each purchase, the same user's events in the following 6 hours.
+    Spark has no native range-join strategy, so the plan is the
+    bucketed form — anchors explode to the two 6 h buckets their
+    window overlaps, probes carry their single bucket, and the join is
+    a plain equi-join on (user_id, bucket) refined by the exact
+    interval predicate (``operators/temporal.bucketed_interval_join``)
+    — no per-key cartesian blow-up on hot users."""
+    from ..operators.temporal import bucketed_interval_join
+
+    ev = read_table(spark, sf_dir, "events")
+    anchors = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    joined = bucketed_interval_join(
+        anchors, ev.select("event_id", "user_id", "ts", "event_type", "value"),
+        on="user_id", window_seconds=6 * 3600,
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("p_event_id").alias("n_follow"),
+        F.coalesce(dsum(F.col("p_value")), F.lit(0.0)).alias("sum_value"),
+        F.count(F.when(F.col("p_event_type") == "error", 1)).alias("n_errors"),
+    )
+
+
+# --- e09: hypertable-style time-hierarchy rollup ---
+
+
+@register(
+    "e09_time_rollup",
+    f"""
+    SELECT COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+           COALESCE(CAST(EXTRACT(hour FROM ts) AS BIGINT), -1) AS hour,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY ROLLUP (date_trunc('day', ts), EXTRACT(hour FROM ts))
+    """,
+)
+def e09_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: (day, hour) →
+    (day) → grand total in ONE pass via ROLLUP — the multi-resolution
+    time bucketing a timeseries store materializes as cascaded
+    aggregates. Map-side partial aggregation collapses the raw stream
+    before the shuffle; at 100 TB the same query lands on
+    date-partitioned parquet and the day level prunes partitions."""
+    ev = read_table(spark, sf_dir, "events")
+    rolled = (
+        ev.withColumn("day_ts", F.date_trunc("day", F.col("ts")))
+        .withColumn("hour_n", F.hour("ts").cast("long"))
+        .rollup("day_ts", "hour_n")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    return rolled.select(
+        F.coalesce(F.date_format("day_ts", "yyyy-MM-dd"), F.lit("ALL")).alias("day"),
+        F.coalesce(F.col("hour_n"), F.lit(-1)).alias("hour"),
+        "n_events",
+        "total_value",
+        "n_users",
+    )
