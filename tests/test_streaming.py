@@ -255,3 +255,41 @@ def test_rescan_scheduler_ss7(spark, tmp_path):
     for r in sorted((r for r in rows if not r["due"]), key=lambda r: r["attempts"]):
         last_stream[r["h3"]] = (r["status"], r["attempts"], r["results_last"], r["next_due_at"])
     assert last_stream == final
+
+
+def test_interval_join_stream_matches_batch(spark, events_dir):
+    """SS11 stream-stream interval join == batch bucketed interval
+    join (e08's operator) on the same replayed fixture."""
+    from trendr_data_pipeline_spark.operators.temporal import bucketed_interval_join
+
+    a_stream = jobs.events_stream(spark, events_dir)
+    p_stream = jobs.events_stream(spark, events_dir)
+    q = (
+        jobs.interval_join_stream(a_stream, p_stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_interval_join")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["a_event_id"], r["p_event_id"])
+        for r in spark.table("t_interval_join").collect()
+    }
+
+    ev = read_table(spark, SMOKE_SF, "events")
+    anchors = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    want = {
+        (r["event_id"], r["p_event_id"])
+        for r in bucketed_interval_join(
+            anchors,
+            ev.select("event_id", "user_id", "ts", "event_type", "value"),
+            on="user_id",
+            window_seconds=6 * 3600,
+            how="inner",
+        ).collect()
+    }
+    assert got == want and len(got) > 0

@@ -107,6 +107,53 @@ def session_windows(stream: DataFrame, gap: str = "30 minutes", watermark: str =
 
 
 # ---------------------------------------------------------------------------
+# SS11 — stream-stream interval join (streaming twin of e08)
+# ---------------------------------------------------------------------------
+
+
+def interval_join_stream(
+    anchors: DataFrame,
+    probes: DataFrame,
+    window: str = "6 hours",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Stream-stream inner join: each anchor (purchase) meets the same
+    user's probe events inside ``(a.ts, a.ts + window]`` — the
+    streaming twin of e08's batch bucketed interval join.
+
+    Both sides carry watermarks and the join condition carries the
+    time-range bound, so the state store evicts rows once the
+    watermark passes their join window — state is O(events within
+    watermark+window), not O(history). No explicit bucketing here:
+    Spark's stream-stream join already co-partitions both sides by the
+    equality keys and scopes the range scan with the event-time
+    constraint."""
+    a = (
+        anchors.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("a_event_id"),
+            F.col("user_id").alias("a_user_id"),
+            F.col("ts").alias("a_ts"),
+        )
+        .withWatermark("a_ts", watermark)
+    )
+    p = probes.select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_type").alias("p_event_type"),
+        F.col("value").alias("p_value"),
+    ).withWatermark("p_ts", watermark)
+    return a.join(
+        p,
+        (F.col("a_user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") > F.col("a_ts"))
+        & (F.col("p_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {window}")),
+        "inner",
+    ).select("a_event_id", "a_user_id", "a_ts", "p_event_id", "p_event_type", "p_value")
+
+
+# ---------------------------------------------------------------------------
 # SS3 — ≤N-per-key dedup within a window (stateful)
 # ---------------------------------------------------------------------------
 
