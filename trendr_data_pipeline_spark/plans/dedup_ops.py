@@ -137,9 +137,13 @@ def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     incoming = docs.filter(F.col("doc_id") % 100 == 0)
+    # shingles ride the join as xxhash64 longs: fixed 8-byte shuffle
+    # keys instead of 5-char strings, same distinct counts (so same
+    # Jaccard) up to a ~1e-11 64-bit collision probability on this
+    # corpus's ~50k distinct shingles
     return jaccard_topk_join(
         incoming, docs, threshold=0.25, k=10,
-        tokset_fn=lambda c: shingle_set(c, 5),
+        tokset_fn=lambda c: F.transform(shingle_set(c, 5), lambda t: F.xxhash64(t)),
     )
 
 
