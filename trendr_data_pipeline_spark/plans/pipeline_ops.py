@@ -159,17 +159,27 @@ def p02_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = tempfile.mkdtemp(prefix="events_stream_")
     shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet"))
     stream = jobs.events_stream(spark, stage)
-    q = (
-        jobs.session_windows(stream)
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName("p02_sessions")
-        .start()
-    )
+    # stateful-stream sizing: Spark pins the state-store count to
+    # spark.sql.shuffle.partitions at FIRST start of the query; size it
+    # to the replay's key cardinality (150 users) instead of paying 32
+    # near-empty state stores per micro-batch. A production deployment
+    # sizes this to peak keys × state row size / target store size.
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.processAllAvailable()
+        q = (
+            jobs.session_windows(stream)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("p02_sessions")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return spark.table("p02_sessions")
 
 
