@@ -198,13 +198,64 @@ def d06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_join(perturbed, corpus, threshold=0.99)
 
 
+def _simhash_twin_sql() -> str:
+    """Algorithm-twin oracle for d04 (the m02/p05 pattern): DuckDB
+    recomputes the SAME FNV-1a-64 per token — ``list_reduce`` over the
+    token's code points with HUGEINT mod-2⁶⁴ arithmetic, verified
+    byte-identical to the Python hash — then the 64 bit votes as a
+    (token × bit) sum, the sign→bit pack, two's-complement into signed
+    64, and the four 16-bit bands by power-of-two division. Valid for
+    this fixture because its text is pure ASCII (code point == UTF-8
+    byte — checked; the pytest bit-vote oracle pins full UTF-8
+    semantics)."""
+    powers = "[" + ",".join(f"CAST({1 << b} AS HUGEINT)" for b in range(64)) + "]"
+    return f"""
+    WITH t AS (
+      SELECT doc_id AS id, {_SQL_TOKSET} AS toks FROM documents
+    ),
+    tok AS (
+      SELECT id, UNNEST(toks) AS token FROM t
+    ),
+    h AS (
+      SELECT id, list_reduce(
+          list_prepend(CAST(14695981039346656037 AS HUGEINT),
+            list_transform(range(1, len(token)+1),
+                           i -> CAST(unicode(substr(token, CAST(i AS INT), 1)) AS HUGEINT))),
+          (acc, c) -> (CAST(xor(CAST(acc AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)
+                     * 1099511628211) % 18446744073709551616) AS fnv
+      FROM tok
+    ),
+    votes AS (
+      SELECT id, b,
+             SUM(CASE WHEN (fnv // ({powers})[CAST(b AS INT)+1]) % 2 = 1
+                      THEN 1 ELSE -1 END) AS v
+      FROM h, range(64) r(b) GROUP BY id, b
+    ),
+    fp AS (
+      SELECT id, SUM(CASE WHEN v > 0 THEN ({powers})[CAST(b AS INT)+1]
+                          ELSE CAST(0 AS HUGEINT) END) AS fp_u
+      FROM votes GROUP BY id
+    ),
+    f2 AS (
+      SELECT t.id, COALESCE(f.fp_u, CAST(0 AS HUGEINT)) AS fp_u
+      FROM t LEFT JOIN fp f ON t.id = f.id
+    )
+    SELECT id,
+      CAST(CASE WHEN fp_u >= 9223372036854775808 THEN fp_u - 18446744073709551616
+                ELSE fp_u END AS BIGINT) AS simhash,
+      CAST(fp_u % 65536 AS BIGINT) AS band0,
+      CAST((fp_u // 65536) % 65536 AS BIGINT) AS band1,
+      CAST((fp_u // 4294967296) % 65536 AS BIGINT) AS band2,
+      CAST((fp_u // 281474976710656) % 65536 AS BIGINT) AS band3
+    FROM f2
+    """
+
+
 @register(
     "d04_simhash_buckets",
-    None,
-    doc="""SimHash64 fingerprints + 16-bit hamming bands. WHY NO SQL
-    ORACLE: the FNV-1a-seeded per-bit vote accumulation has no DuckDB
-    equivalent hash; the Python bit-vote oracle in
-    tests/test_dedup_similarity.py pins the fingerprints exactly.""",
+    _simhash_twin_sql(),
+    doc="""SimHash64 fingerprints + 16-bit hamming bands, hash-checked
+    against a DuckDB FNV-1a algorithm twin (see _simhash_twin_sql).""",
 )
 def d04_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash64 fingerprints with 16-bit bands for hamming-bucketed
