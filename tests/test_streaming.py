@@ -293,3 +293,20 @@ def test_interval_join_stream_matches_batch(spark, events_dir):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_exact_dedup_stream_keeps_one_per_key(spark, events_dir):
+    """SS12: replaying the whole fixture in one micro-batch, the
+    surviving row set is exactly one (the earliest-read) row per key,
+    and every key from the batch side is represented."""
+    got = jobs.run_to_memory(
+        spark, events_dir, jobs.exact_dedup_stream, "t_exact_dedup", output_mode="append"
+    )
+    ev = read_table(spark, SMOKE_SF, "events")
+    got_keys = [(r["user_id"], r["event_type"]) for r in got.collect()]
+    want_keys = {
+        (r["user_id"], r["event_type"])
+        for r in ev.select("user_id", "event_type").distinct().collect()
+    }
+    assert len(got_keys) == len(set(got_keys)) == len(want_keys)
+    assert set(got_keys) == want_keys

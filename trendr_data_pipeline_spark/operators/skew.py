@@ -41,6 +41,10 @@ def salted_join(
     shuffle. Use when one reducer key dominates and the plan can't be
     AQE-re-planned; prefer ``F.broadcast`` when the other side simply
     fits in memory."""
+    if how.replace("_", "").lower() not in {"inner", "left", "leftouter"}:
+        # right/full joins would emit the replicated small side once
+        # per salt for unmatched rows — semantics break, refuse early
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
     salt = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in skewed.columns])), F.lit(salts))
     left = skewed.withColumn("_salt", salt)
     right = other.withColumn(

@@ -107,6 +107,25 @@ def session_windows(stream: DataFrame, gap: str = "30 minutes", watermark: str =
 
 
 # ---------------------------------------------------------------------------
+# SS12 — streaming exact dedup within the watermark horizon
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_stream(
+    stream: DataFrame, keys: list[str] | None = None, watermark: str = "2 days"
+) -> DataFrame:
+    """Streaming twin of d01's exact dedup: first occurrence per key
+    wins, duplicates arriving within the watermark horizon are
+    dropped. ``dropDuplicatesWithinWatermark`` bounds the dedup state
+    by event time — state is O(keys inside the horizon), not O(all
+    keys ever seen) (the unbounded ``dropDuplicates`` form is the
+    wrong default at 100 TB)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["user_id", "event_type"]
+    )
+
+
+# ---------------------------------------------------------------------------
 # SS11 — stream-stream interval join (streaming twin of e08)
 # ---------------------------------------------------------------------------
 
