@@ -219,3 +219,122 @@ def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
         bow_fingerprint(F.col("text")).alias("bow_fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t05 — composed corpus-cleaning pass (the training-data pipeline shape)
+# ---------------------------------------------------------------------------
+
+_SQL_LANG_CASE = """
+               CASE
+                 WHEN greatest(hits_en, hits_fr, hits_de, hits_es, hits_zh) = 0 THEN 'unknown'
+                 WHEN hits_en >= greatest(hits_fr, hits_de, hits_es, hits_zh) THEN 'en'
+                 WHEN hits_fr >= greatest(hits_de, hits_es, hits_zh) THEN 'fr'
+                 WHEN hits_de >= greatest(hits_es, hits_zh) THEN 'de'
+                 WHEN hits_es >= hits_zh THEN 'es'
+                 ELSE 'zh'
+               END
+"""
+
+
+@register(
+    "t05_corpus_clean",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_SQL_TOKS} AS toks,
+               md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')) AS fp
+        FROM documents
+    ), m AS (
+        SELECT doc_id, toks, fp,
+               MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+               len(toks) AS n_tok,
+               list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS tok_chars,
+               len(list_filter(toks,
+                   x -> list_contains(['the','a','of','and','is','to','in'], x))) AS stop_hits,
+               len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS hits_en,
+               len(list_filter(toks, x -> list_contains(['le','la','les','et','une'], x))) AS hits_fr,
+               len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS hits_de,
+               len(list_filter(toks, x -> list_contains(['el','los','las','y','es'], x))) AS hits_es,
+               len(list_filter(toks, x -> list_contains(['的','是','了','在','和'], x))) AS hits_zh
+        FROM t
+    ), scored AS (
+        SELECT doc_id,
+               doc_id > canonical_id AS is_dup,
+               {_SQL_LANG_CASE} AS predicted_lang,
+               CASE WHEN 40 * least(n_tok / 50.0, 1.0)
+                     + 30 * greatest(1.0 - abs(tok_chars * 1.0 / n_tok - 4.5) / 4.5, 0.0)
+                     + 30 * least(stop_hits * 5.0 / n_tok, 1.0) >= 60 THEN 'high'
+                    WHEN 40 * least(n_tok / 50.0, 1.0)
+                     + 30 * greatest(1.0 - abs(tok_chars * 1.0 / n_tok - 4.5) / 4.5, 0.0)
+                     + 30 * least(stop_hits * 5.0 / n_tok, 1.0) >= 35 THEN 'medium'
+                    ELSE 'low' END AS quality_class
+        FROM m WHERE n_tok > 0
+    )
+    SELECT doc_id, predicted_lang, quality_class, is_dup,
+           CASE WHEN is_dup THEN 'drop_duplicate'
+                WHEN predicted_lang = 'unknown' THEN 'drop_language'
+                WHEN quality_class = 'low' THEN 'drop_quality'
+                ELSE 'keep' END AS decision
+    FROM scored
+    """,
+)
+def t05_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pass — what t01–t04 exist
+    for: ONE scan computes the bag-of-words dup flag (min-id-canonical
+    over the fingerprint window), marker-word language ID and the
+    quality blend, then an F6-style first-failing-rule ladder decides
+    keep / drop_duplicate / drop_language / drop_quality per document.
+    Everything is JVM builtins + one window; at 100 TB the fingerprint
+    window is the only shuffle."""
+    from pyspark.sql.window import Window
+
+    from ..operators.dedup import bow_fingerprint
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "is", "to", "in"]])
+    t = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        bow_fingerprint(F.col("text")).alias("fp"),
+        F.size(toks).alias("n_tok"),
+        F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x).alias("tok_chars"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop, x))).alias("stop_hits"),
+    )
+    for lang, markers in _MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        t = t.withColumn(
+            f"hits_{lang}", F.size(F.filter(F.col("toks"), lambda x: F.array_contains(arr, x)))
+        )
+    t = t.withColumn(
+        "is_dup", F.col("doc_id") > F.min("doc_id").over(Window.partitionBy("fp"))
+    ).filter(F.col("n_tok") > 0)
+
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in _LANG_ORDER])
+    pred = F.when(best == 0, F.lit("unknown"))
+    for i, lang in enumerate(_LANG_ORDER[:-1]):
+        rest_cols = [F.col(f"hits_{x}") for x in _LANG_ORDER[i + 1 :]]
+        rest = rest_cols[0] if len(rest_cols) == 1 else F.greatest(*rest_cols)
+        pred = pred.when(F.col(f"hits_{lang}") >= rest, F.lit(lang))
+    pred = pred.otherwise(F.lit(_LANG_ORDER[-1]))
+
+    len_part = 40 * F.least(F.col("n_tok") / 50.0, F.lit(1.0))
+    shape_part = 30 * F.greatest(
+        1.0 - F.abs(F.col("tok_chars") * 1.0 / F.col("n_tok") - 4.5) / 4.5, F.lit(0.0)
+    )
+    stop_part = 30 * F.least(F.col("stop_hits") * 5.0 / F.col("n_tok"), F.lit(1.0))
+    q = len_part + shape_part + stop_part
+    qc = F.when(q >= 60, "high").when(q >= 35, "medium").otherwise("low")
+
+    out = t.withColumn("predicted_lang", pred).withColumn("quality_class", qc)
+    return out.select(
+        "doc_id",
+        "predicted_lang",
+        "quality_class",
+        "is_dup",
+        F.when(F.col("is_dup"), "drop_duplicate")
+        .when(F.col("predicted_lang") == "unknown", "drop_language")
+        .when(F.col("quality_class") == "low", "drop_quality")
+        .otherwise("keep")
+        .alias("decision"),
+    )
