@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timedelta
 
 from pyspark.sql import functions as F
 
@@ -86,3 +86,54 @@ def test_interval_join_hot_key_no_duplicates(spark):
         if at < pt <= datetime(2024, 1, 1, 4, 0, at.second)
     }
     assert set(pairs) == want
+
+
+def test_interval_join_property_random_timelines(spark):
+    """Randomized timelines vs a brute-force oracle: pair sets must be
+    identical for arbitrary key/offset combinations (covers bucket
+    boundaries, multi-key interleaving, empty windows)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    events = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # user
+            st.integers(min_value=0, max_value=7200),   # second offset
+        ),
+        min_size=1,
+        max_size=25,
+    )
+
+    @given(anchors=events, probes=events)
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def inner(anchors, probes):
+        from trendr_data_pipeline_spark.operators.temporal import bucketed_interval_join
+
+        a_rows = [(i, u, datetime(2024, 1, 1) + timedelta(seconds=s))
+                  for i, (u, s) in enumerate(anchors)]
+        p_rows = [(100 + i, u, datetime(2024, 1, 1) + timedelta(seconds=s),
+                   float(i))
+                  for i, (u, s) in enumerate(probes)]
+        a_df = spark.createDataFrame(a_rows, "event_id long, user_id long, ts timestamp")
+        p_df = spark.createDataFrame(
+            p_rows, "event_id long, user_id long, ts timestamp, value double"
+        )
+        got = {
+            (r["event_id"], r["p_event_id"])
+            for r in bucketed_interval_join(
+                a_df, p_df, on="user_id", window_seconds=600, how="inner"
+            ).collect()
+        }
+        want = {
+            (ai, pi)
+            for ai, au, at in a_rows
+            for pi, pu, pt, _ in p_rows
+            if au == pu and at < pt <= at + timedelta(seconds=600)
+        }
+        assert got == want
+
+    inner()
