@@ -146,3 +146,32 @@ def test_video_frame_sampling(spark):
         by_id.setdefault(r["item_id"], []).append(r["frame_ts"])
     assert sorted(by_id[1]) == [0.0, 5.0, 10.0]
     assert by_id[2] == [0.0]
+
+
+def test_audio_windows_shape_and_decode(spark):
+    """Audio leg: one row per ceil(duration) window, duration from
+    16-bit-PCM byte length, rms = sha256 digest byte (cycled) / 255."""
+    import hashlib
+    import math
+
+    from trendr_data_pipeline_spark.operators.multimodal import extract_audio_features
+
+    payloads = [(1, b"x" * 100, 8), (2, b"hello world" * 30, 4), (3, b"ab", 8)]
+    audio = spark.createDataFrame(
+        payloads, "item_id long, data binary, sample_rate long"
+    )
+    rows = extract_audio_features(audio).collect()
+    by_item = {}
+    for r in rows:
+        by_item.setdefault(r["item_id"], []).append(r)
+    for item_id, data, rate in payloads:
+        duration = (len(data) // 2) / rate
+        n_win = max(1, math.ceil(duration))
+        got = sorted(by_item[item_id], key=lambda r: r["window_idx"])
+        assert [r["window_idx"] for r in got] == list(range(n_win))
+        digest = hashlib.sha256(data).digest()
+        for r in got:
+            want_rms = digest[r["window_idx"] % 32] / 255.0
+            assert r["rms"] == want_rms
+            assert r["is_silent"] == (want_rms < 0.05)
+            assert r["duration_s"] == duration

@@ -214,6 +214,62 @@ def photo_quality_score(features: DataFrame, round_to: int | None = 6) -> DataFr
     return features.withColumn("quality_score", quality)
 
 
+#: schema of a decoded-audio window row — one row per loudness window
+AUDIO_FEATURES_SCHEMA = (
+    "item_id long, n_bytes long, sample_rate long, duration_s double,"
+    " window_idx int, rms double, is_silent boolean"
+)
+
+
+def extract_audio_features(
+    audio: DataFrame,
+    id_col: str = "item_id",
+    data_col: str = "data",
+    rate_col: str = "sample_rate",
+    window_s: float = 1.0,
+) -> DataFrame:
+    """Audio leg of the multimodal trio: bytes → per-window loudness
+    rows (1:N mapInPandas — the UDTF shape; batches are byte-budget
+    partitioned like the image path). The payload is read as 16-bit
+    PCM (duration = n_bytes/2/rate); the per-window RMS decode is the
+    gated codec step — without a real codec it is the deterministic
+    sha256 fake (digest byte ``window % 32`` scaled to [0, 1]), so the
+    whole path stays SQL-twinnable exactly like the image decode.
+    ``is_silent`` flags rms < 0.05 (the trim/segment predicate a real
+    pipeline filters on)."""
+    import math
+
+    spread_df = audio.repartition(
+        max(estimate_partitions(audio, data_col), audio.rdd.getNumPartitions())
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: list[tuple] = []
+            for item_id, data, rate in zip(
+                pdf[id_col], pdf[data_col], pdf[rate_col], strict=True
+            ):
+                b = bytes(data)
+                n_bytes = len(b)
+                duration = (n_bytes // 2) / float(rate)
+                digest = hashlib.sha256(b).digest()
+                n_win = max(1, math.ceil(duration / window_s))
+                for w in range(n_win):
+                    rms = digest[w % 32] / 255.0
+                    out.append(
+                        (item_id, n_bytes, rate, duration, w, rms, rms < 0.05)
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "item_id", "n_bytes", "sample_rate", "duration_s",
+                    "window_idx", "rms", "is_silent",
+                ],
+            )
+
+    return spread_df.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
 def sample_video_frames(
     videos: DataFrame,
     every_n_seconds: float = 5.0,

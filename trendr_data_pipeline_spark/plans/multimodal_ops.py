@@ -128,3 +128,45 @@ def p06_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length(F.col("text")) / 10.0).alias("duration_s"),
     )
     return sample_video_frames(videos, every_n_seconds=5.0)
+
+
+@register(
+    "p07_audio_windows",
+    """
+    WITH audio AS (
+        SELECT doc_id AS item_id, sha256(text) AS hx,
+               octet_length(encode(text)) AS n_bytes,
+               8 + (doc_id % 5) * 4 AS sample_rate
+        FROM documents
+    ), d AS (
+        SELECT item_id, n_bytes, sample_rate,
+               CAST(n_bytes // 2 AS DOUBLE) / sample_rate AS duration_s,
+               GREATEST(1, CAST(CEIL(CAST(n_bytes // 2 AS DOUBLE) / sample_rate) AS INT))
+                   AS n_win
+        FROM audio
+    )
+    SELECT d.item_id, d.n_bytes, CAST(d.sample_rate AS BIGINT) AS sample_rate,
+           d.duration_s,
+           CAST(w AS INT) AS window_idx,
+           (('0x' || substr(a.hx, CAST(w % 32 AS INT) * 2 + 1, 2))::INT) / 255.0e0 AS rms,
+           (('0x' || substr(a.hx, CAST(w % 32 AS INT) * 2 + 1, 2))::INT) / 255.0e0 < 0.05e0
+               AS is_silent
+    FROM d JOIN audio a ON d.item_id = a.item_id
+    CROSS JOIN UNNEST(range(d.n_win)) AS t(w)
+    """,
+)
+def p07_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio leg end to end: documents' bytes as 16-bit-PCM payloads
+    (sample rates scaled down so the tiny fixture payloads span
+    multi-window timelines) → 1:N mapInPandas loudness windows with
+    the sha256 fake decode. The oracle recomputes every window in
+    DuckDB from the same digest."""
+    from ..operators.multimodal import extract_audio_features
+
+    docs = read_table(spark, sf_dir, "documents")
+    audio = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.encode(F.col("text"), "utf-8").alias("data"),
+        (8 + (F.col("doc_id") % 5) * 4).alias("sample_rate"),
+    )
+    return extract_audio_features(audio)
