@@ -119,6 +119,20 @@ def _ensure_session_conf(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
 
 
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Write the 100 TB layout: a parquet dataset directory partitioned
+    by ``partition_cols`` (e.g. an event-date column). Readers that
+    filter on a partition column scan only the matching directories —
+    ``PartitionFilters`` in the plan, verified by
+    ``tests/test_io_layout.py`` — which is what makes the fact-table
+    scans here (`lineitem`, `events`, `source_mention`) day-prunable
+    at scale. Pair with ``operators/skew.write_bucketed`` when the
+    table is also join-heavy on a high-cardinality key."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: read_table(spark, sf_dir, n) for n in names}
 
