@@ -459,24 +459,32 @@ def minhash_lsh_topk_join(
         )
 
     if subset_pred is not None:
-        corpus_toks = tokenized(
-            spread(corpus), "id_b", "size_b", extra=subset_pred.alias("_mh_in")
+        # ONE persisted signature frame: tokens AND band buckets
+        # materialize together (one scan, one UDF pass, one cache);
+        # every downstream leg — both band-join sides and both verify
+        # sides — is a cheap projection/filter of it
+        sig = (
+            spread(corpus)
+            .select(
+                F.col(id_col).alias("id_b"),
+                tokset(F.col(text_col)).alias("toks"),
+                subset_pred.alias("_mh_in"),
+            )
+            .filter(F.size("toks") > 0)
+            .withColumn("size_b", F.size("toks"))
+            .withColumn("buckets", minhash_band_buckets(F.col("toks"), n_hashes, bands))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        # one banding pass over the corpus, persisted; both join sides
-        # read it and nothing recomputes the signatures
-        banded = corpus_toks.select(
-            "id_b",
-            "size_b",
-            "_mh_in",
-            F.posexplode(minhash_band_buckets(F.col("toks"), n_hashes, bands)).alias(
-                "band", "bucket"
-            ),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        corpus_bands = banded.drop("_mh_in")
-        in_bands = banded.filter(F.col("_mh_in")).select(
-            F.col("id_b").alias("id_a"), F.col("size_b").alias("size_a"), "band", "bucket"
+        corpus_toks = sig
+        corpus_bands = sig.select(
+            "id_b", "size_b", F.posexplode("buckets").alias("band", "bucket")
         )
-        in_toks = corpus_toks.filter(F.col("_mh_in")).select(
+        in_bands = sig.filter(F.col("_mh_in")).select(
+            F.col("id_b").alias("id_a"),
+            F.col("size_b").alias("size_a"),
+            F.posexplode("buckets").alias("band", "bucket"),
+        )
+        in_toks = sig.filter(F.col("_mh_in")).select(
             F.col("id_b").alias("id_a"), "toks", F.col("size_b").alias("size_a")
         )
     else:
