@@ -338,3 +338,51 @@ def t05_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
         .alias("decision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t06 — BPE-style pre-tokenizer counting
+# ---------------------------------------------------------------------------
+
+#: GPT-2-style pre-tokenizer classes, lookahead-free so Java regex
+#: (Spark) and RE2 (DuckDB) agree: contraction tail, space-prefixed
+#: letter run, digit run, punctuation run
+_BPE_PAT = r"'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9']+"
+
+
+@register(
+    "t06_bpe_token_counts",
+    f"""
+    WITH t AS (
+        SELECT source,
+               len({_SQL_TOKS}) AS ws_tokens,
+               len(regexp_extract_all(lower(text), '{_BPE_PAT.replace("'", "''")}'))
+                   AS bpe_tokens
+        FROM documents
+    )
+    SELECT source,
+           CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+           {sql_davg('bpe_tokens * 1.0 / ws_tokens')} AS sum_ratio_avg
+    FROM t GROUP BY source
+    """,
+)
+def t06_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-pre-tokenizer flavor: the GPT-2 class regex
+    (contractions / letter runs / digit runs / punctuation runs,
+    lookahead-free so both engines' regex dialects agree) counted
+    beside whitespace tokens per source — the cost model column a
+    training-data pipeline budgets corpora with."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        F.size(tokens(F.lower(F.col("text")))).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PAT), F.lit(0))
+        ).alias("bpe_tokens"),
+    )
+    return t.groupBy("source").agg(
+        F.sum("ws_tokens").cast("long").alias("total_ws_tokens"),
+        F.sum("bpe_tokens").cast("long").alias("total_bpe_tokens"),
+        davg(F.col("bpe_tokens") * 1.0 / F.col("ws_tokens")).alias("sum_ratio_avg"),
+    )
