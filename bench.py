@@ -37,6 +37,14 @@ def main() -> None:
     # warm the JVM + parquet footer cache so per-query numbers measure
     # the operator, not first-touch overheads
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    # ... and the Arrow Python-worker pool, so the first pandas-UDF
+    # query doesn't absorb the one-time daemon spin-up
+    from pyspark.sql import functions as F
+
+    _probe = F.pandas_udf(lambda s: s, "long")
+    spark.range(64).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).select(
+        _probe(F.col("id"))
+    ).count()
 
     timings: dict[str, float] = {}
     for name, q in sorted(all_queries().items()):
