@@ -23,16 +23,47 @@ from trendr_data_pipeline_spark.plans.registry import all_queries  # noqa: E402
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package to Python workers (``addPyFile`` zip) so UDFs
+    unpickle even when the driver process was not launched from the
+    repo root — cloudpickle serializes module-level functions by
+    reference, and workers must be able to import the module."""
+    if getattr(_ensure_shipped, "_done", None) is spark.sparkContext:
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    zpath = os.path.join(tempfile.gettempdir(), "trendr_data_pipeline_spark_pkg.zip")
+    pkg = Path(_REPO) / "trendr_data_pipeline_spark"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for p in sorted(pkg.rglob("*.py")):
+            zf.write(p, arcname=str(p.relative_to(Path(_REPO))))
+    spark.sparkContext.addPyFile(zpath)
+    _ensure_shipped._done = spark.sparkContext
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from trendr_data_pipeline_spark.plans.relational import q02_revenue_by_region
 
+    _ensure_shipped(spark)
     return q02_revenue_by_region(spark, SMOKE_SF_DIR)
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    run.__name__ = getattr(fn, "__name__", "query")
+    run.__doc__ = fn.__doc__
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.fn for name, q in sorted(all_queries().items())}
+    return {name: _wrap(q.fn) for name, q in sorted(all_queries().items())}
 
 
 def oracle_sql() -> dict[str, str]:

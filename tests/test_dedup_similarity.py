@@ -200,3 +200,52 @@ def test_embedding_near_dup_finds_planted_pairs(spark):
         p = v * f
         want = round(float(p @ v / (np.linalg.norm(p) * np.linalg.norm(v))), 6)
         assert abs(r["cosine_sim"] - want) <= 1e-6
+
+
+def test_shingle_hashes_distinct_counts_match_strings(spark):
+    """The packed-byte shingle form is injective on ASCII text: per-doc
+    distinct counts — and hence every Jaccard the count-based join can
+    produce — equal the string form's."""
+    from trendr_data_pipeline_spark.operators.dedup import shingle_hashes, shingle_set
+
+    docs = read_table(spark, SMOKE_SF, "documents").limit(100)
+    rows = docs.select(
+        F.size(shingle_set(F.col("text"), 5)).alias("n_str"),
+        F.size(shingle_hashes(F.col("text"), 5)).alias("n_pack"),
+    ).collect()
+    assert rows and all(r["n_str"] == r["n_pack"] for r in rows)
+
+    # edge cases: empty, shorter-than-n, repeated content
+    edge = spark.createDataFrame([("",), ("abc",), ("aaaaaaa",), ("abcde",)], "t string")
+    got = edge.select(
+        F.size(shingle_set(F.col("t"), 5)).alias("n_str"),
+        F.size(shingle_hashes(F.col("t"), 5)).alias("n_pack"),
+    ).collect()
+    assert all(r["n_str"] == r["n_pack"] for r in got)
+
+
+def test_jaccard_df_cap_boundary_equivalence(spark):
+    """The df stop-list with its exact hot-token correction must leave
+    results bit-identical to the uncapped plan — at an aggressive cap
+    (many hot tokens), at the provable-safety cap, and at a cap high
+    enough to be a no-op."""
+    from trendr_data_pipeline_spark.operators.dedup import jaccard_topk_join, shingle_hashes
+
+    docs = read_table(spark, SMOKE_SF, "documents").limit(200)
+    incoming = docs.filter(F.col("doc_id") % 50 == 0)
+    n = docs.count()
+
+    def result(df_cap):
+        return sorted(
+            tuple(r)
+            for r in jaccard_topk_join(
+                incoming, docs, threshold=0.25, k=10,
+                tokset_fn=shingle_hashes, df_cap=df_cap,
+            ).collect()
+        )
+
+    base = result(None)
+    assert base  # fixture has qualifying pairs
+    assert result(n) == base        # no token exceeds n docs → no-op cap
+    assert result(int(0.78 * n)) == base  # the registered d05 setting
+    assert result(int(0.30 * n)) == base  # aggressive: large H, correction still exact

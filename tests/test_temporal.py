@@ -137,3 +137,29 @@ def test_interval_join_property_random_timelines(spark):
         assert got == want
 
     inner()
+
+
+def test_interval_join_null_anchor_columns(spark):
+    """ADVICE r3: the left-form recovery anti-join must be null-safe.
+    A MATCHED anchor carrying a NULL in a non-key column must not be
+    re-emitted as a spurious unmatched row (the name-list equality
+    join never matched NULL-bearing rows)."""
+    anchors = spark.createDataFrame(
+        [(1, 10, _ts(1, 30), None), (2, 10, _ts(9), "x"), (None, 20, _ts(1), None)],
+        "event_id long, user_id long, ts timestamp, tag string",
+    )
+    probes = spark.createDataFrame(
+        [(102, 10, _ts(2, 0), 7.0), (103, 20, _ts(1, 30), 9.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = bucketed_interval_join(anchors, probes, on="user_id", window_seconds=3600).collect()
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault((r["event_id"], r["user_id"]), []).append(r["p_event_id"])
+    # anchor 1 (null tag) matched 102 — and must appear ONLY as matched
+    assert by_anchor[(1, 10)] == [102]
+    # anchor with NULL id matched 103 — null-safe keys still dedup it
+    assert by_anchor[(None, 20)] == [103]
+    # anchor 2 genuinely unmatched → one null row
+    assert by_anchor[(2, 10)] == [None]
+    assert len(out) == 3

@@ -61,6 +61,47 @@ def shingle_set(col: Column, n: int = 5) -> Column:
     )
 
 
+def shingle_hashes(col: Column, n: int = 5) -> Column:
+    """Distinct character n-gram shingles of the lowercased text as
+    64-bit integers — the hot-path twin of :func:`shingle_set`.
+
+    Spark evaluates higher-order array lambdas interpretively (no
+    codegen), so the substring-transform form costs ~1 ms/KB of text —
+    it dominates d05's runtime. This form is one Arrow-batched numpy
+    pass: utf-8 bytes → stride-tricks sliding window (n × uint8) →
+    dot with 256^k powers → ``np.unique``. The packed value is an
+    INJECTIVE encoding of the n bytes (n ≤ 8), not a hash — distinct
+    counts match the string form exactly, with no collision caveat.
+    Byte-level n-grams equal character-level ones on ASCII text; for
+    multibyte corpora the window is over utf-8 bytes (documented
+    divergence from ``substring`` semantics — still a valid shingle
+    family, but not the oracle's char one).
+
+    Returns array<long>, sorted ascending (np.unique order).
+    """
+    assert n <= 8, "packed shingles hold at most 8 bytes"
+    import numpy as np
+
+    powers = (256 ** np.arange(n, dtype=np.uint64)).astype(np.uint64)
+
+    def batch(s: pd.Series) -> pd.Series:
+        out = []
+        for text in s:
+            if text is None:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            b = np.frombuffer(text.lower().encode("utf-8"), dtype=np.uint8)
+            if len(b) < n:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(b, n).astype(np.uint64)
+            packed = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+            out.append(np.unique(packed).astype(np.int64))
+        return pd.Series(out)
+
+    return F.pandas_udf(batch, "array<long>")(col)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -157,6 +198,7 @@ def jaccard_topk_join(
     id_col: str = "doc_id",
     text_col: str = "text",
     tokset_fn=None,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """For each incoming document, its top-k corpus near-duplicates by
     token-set Jaccard ≥ threshold — the shape of production dedup
@@ -166,9 +208,24 @@ def jaccard_topk_join(
     distinct tokens on both sides, equi-join on token, count shared
     tokens per pair, and recover Jaccard as |∩| / (|A|+|B|−|∩|). One
     shuffle join + one aggregation; map-side combine collapses the
-    per-token pair stream. At 100 TB, cap ultra-frequent tokens
-    (document-frequency stop list) before the join — a df-capped token
-    cannot contribute to a ≥0.8 pair whose sets are small.
+    per-token pair stream.
+
+    ``df_cap`` is the document-frequency stop list the 100 TB posture
+    requires: a token appearing in more than ``df_cap`` corpus docs
+    fans out as df_in·df_corp pair rows in the join (a stop-token like
+    "the" alone can dwarf the rest of the stream), so hot tokens are
+    routed OFF the join: they are anti-joined out of both exploded
+    streams, and the exact intersection count is recovered by adding
+    ``|hot(A) ∩ hot(B)|`` from tiny per-doc hot-token arrays (each
+    bounded by H = the number of distinct hot tokens, small by
+    construction — the df distribution's head). Results are EXACTLY
+    those of the uncapped plan provided every qualifying pair shares
+    at least one non-hot token, which holds whenever
+    ``ceil(threshold · s_min) > H`` for the smallest qualifying set
+    size ``s_min`` (a qualifying pair shares ≥ ceil(t·|A|) tokens, so
+    more shared tokens than hot tokens exist ⇒ one is rare); both
+    quantities are measurable from the freq frame. The cap-boundary
+    equivalence is pinned in tests/test_dedup_similarity.py.
 
     ``tokset_fn`` swaps the set representation (default: word tokens
     via :func:`token_set`; pass ``shingle_set`` for char n-grams).
@@ -187,6 +244,23 @@ def jaccard_topk_join(
         .filter(F.size("toks") > 0)
         .select("id_b", F.size("toks").alias("size_b"), F.explode("toks").alias("token"))
     )
+    if df_cap is not None:
+        from pyspark import StorageLevel
+
+        # the corpus token stream is read three times below (freq, the
+        # hot-array leg, the join leg) — materialize it once so the
+        # tokenizer runs once, not three times
+        tb = tb.persist(StorageLevel.MEMORY_AND_DISK)
+        # document frequency over the corpus side (the big one); the
+        # agg is map-side-combinable into ~#distinct tokens
+        freq = tb.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        hot = F.broadcast(freq.filter(F.col("df") > df_cap).select("token"))
+        # per-doc hot-token arrays — ≤ H elements each; collect_set is
+        # safe here precisely because H is bounded by construction
+        hot_a = ta.join(hot, "token").groupBy("id_a").agg(F.collect_set("token").alias("hot_a"))
+        hot_b = tb.join(hot, "token").groupBy("id_b").agg(F.collect_set("token").alias("hot_b"))
+        ta = ta.join(hot, "token", "left_anti")
+        tb = tb.join(hot, "token", "left_anti")
     # size-compatibility bound: J(A,B) ≥ t forces t·|A| ≤ |B| ≤ |A|/t —
     # prunes incompatible pairs inside the join before the aggregation
     size_ok = (F.col("size_b") >= F.ceil(F.lit(threshold) * F.col("size_a"))) & (
@@ -198,6 +272,16 @@ def jaccard_topk_join(
         .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    if df_cap is not None:
+        shared = (
+            shared.join(hot_a, "id_a", "left")
+            .join(hot_b, "id_b", "left")
+            .withColumn(
+                "inter",
+                F.col("inter")
+                + F.coalesce(F.size(F.array_intersect("hot_a", "hot_b")), F.lit(0)),
+            )
+        )
     jac = F.round(
         F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"), 6
     )

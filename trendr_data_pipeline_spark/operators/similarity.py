@@ -273,10 +273,14 @@ def embedding_near_dup_join(
         .select(F.col("q_id").alias("id_a"), F.col("c_id").alias("id_b"), "q_v", "c_v")
         .distinct()
     )
+    # Filter on the UNROUNDED cosine (matching the SQL oracle, which
+    # has no round in its predicate) and round only in the final
+    # projection — filtering post-round would keep a pair whose true
+    # cosine sits in [threshold-5e-7, threshold) that the oracle drops.
     return (
-        cands.withColumn("cosine_sim", F.round(cosine(F.col("q_v"), F.col("c_v")), 6))
-        .filter(F.col("cosine_sim") >= threshold)
-        .select("id_a", "id_b", "cosine_sim")
+        cands.withColumn("_cos", cosine(F.col("q_v"), F.col("c_v")))
+        .filter(F.col("_cos") >= threshold)
+        .select("id_a", "id_b", F.round(F.col("_cos"), 6).alias("cosine_sim"))
     )
 
 

@@ -71,11 +71,17 @@ def bucketed_interval_join(
     # matched set is keyed by the anchor's full row; using a left join
     # directly would keep per-bucket duplicates of unmatched anchors
     # (an anchor explodes to 2 buckets), so unmatched anchors are
-    # recovered with an anti join instead.
+    # recovered with an anti join instead. The anti-join condition is
+    # null-safe (eqNullSafe per column): a name-list equality join
+    # would never match an anchor row carrying a NULL in any column,
+    # re-emitting matched anchors as spurious unmatched rows.
     matched = joined.withColumnRenamed("_p_ts", f"p_{probe_ts}")
-    unmatched = anchors.join(
-        matched.select(*anchors.columns).distinct(), anchors.columns, "left_anti"
-    )
+    matched_keys = matched.select(*anchors.columns).distinct().alias("_m")
+    anti_cond = None
+    for c in anchors.columns:
+        term = F.col(f"_a.`{c}`").eqNullSafe(F.col(f"_m.`{c}`"))
+        anti_cond = term if anti_cond is None else (anti_cond & term)
+    unmatched = anchors.alias("_a").join(matched_keys, anti_cond, "left_anti")
     for c in matched.columns:
         if c not in anchors.columns:
             unmatched = unmatched.withColumn(c, F.lit(None).cast(matched.schema[c].dataType))

