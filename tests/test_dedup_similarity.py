@@ -249,3 +249,19 @@ def test_jaccard_df_cap_boundary_equivalence(spark):
     assert result(n) == base        # no token exceeds n docs → no-op cap
     assert result(int(0.78 * n)) == base  # the registered d05 setting
     assert result(int(0.30 * n)) == base  # aggressive: large H, correction still exact
+
+
+def test_minhash_verify_legs_agree(spark):
+    """The two exact-verification legs (array_intersect vs count-based
+    token stream) must produce identical results — both are exact, so
+    any divergence is a bug in one of them."""
+    from trendr_data_pipeline_spark.operators.dedup import minhash_lsh_topk_join
+
+    docs = read_table(spark, SMOKE_SF, "documents")
+    pred = F.col("doc_id") % 10 == 0
+    a = sorted(tuple(r) for r in minhash_lsh_topk_join(pred, docs, 0.8, k=20).collect())
+    b = sorted(
+        tuple(r)
+        for r in minhash_lsh_topk_join(pred, docs, 0.8, k=20, verify="counts").collect()
+    )
+    assert a and a == b

@@ -35,16 +35,55 @@ def test_extract_features_schema_and_determinism(images):
     assert rows1[0]["n_bytes"] == 1000
 
 
-def test_strict_mode_raises_without_codec(images):
-    if MM.HAVE_PIL:
-        pytest.skip("PIL present — strict mode would decode")
-    with pytest.raises(NotImplementedError):
-        MM.extract_image_features(images, strict=True)
+def test_codec_gate_branch(images, spark):
+    """The codec gate always exercises its applicable branch — no
+    skips: without Pillow, strict mode must raise; with Pillow, the
+    PIL path must decode (assertions in the helper below)."""
+    if not MM.HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            MM.extract_image_features(images, strict=True)
+    else:
+        _assert_pil_decode(spark)
 
 
-@pytest.mark.skipif(not MM.HAVE_PIL, reason="Pillow not installed in this image")
-def test_pil_decode_real_codec_path(spark):
-    """The real decoder branch produces the declared schema and true
+def test_ppm_decode_real_codec_path(spark):
+    """The dependency-free REAL decoder: binary P6 payloads built by
+    hand, parsed and measured by _ppm_decode — exact pixel statistics,
+    schema, and malformed-input rejection."""
+    def ppm(w, h, pixels):  # pixels: flat [(r,g,b), ...] row-major
+        body = bytes(v for px in pixels for v in px)
+        return f"P6\n{w} {h}\n255\n".encode() + body
+
+    solid = ppm(4, 2, [(128, 64, 32)] * 8)
+    white = ppm(2, 2, [(255, 255, 255)] * 4)
+    # 2×1: black and pure red — known stddev and saturation
+    duo = ppm(2, 1, [(0, 0, 0), (255, 0, 0)])
+    rows = [(1, solid), (2, white), (3, duo)]
+    images = spark.createDataFrame(rows, "item_id long, data binary")
+    out = MM.extract_image_features(images, codec="ppm")
+    got = {r["item_id"]: r for r in out.collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["format"]) == (4, 2, "ppm")
+    assert got[1]["brightness"] == pytest.approx((128 + 64 + 32) / 3, abs=1e-9)
+    assert got[1]["contrast"] == pytest.approx(0.0, abs=1e-9)
+    assert got[1]["saturation"] == pytest.approx((96 / 128) * 255, abs=1e-9)
+    assert got[1]["n_bytes"] == len(solid)
+    assert got[2]["brightness"] == pytest.approx(255.0)
+    assert got[2]["saturation"] == pytest.approx(0.0)
+    # duo: R channel mean 127.5, std 127.5; G/B std 0 → contrast 42.5;
+    # saturation: black pixel 0 (max=0), red pixel 255 → mean 127.5
+    assert got[3]["brightness"] == pytest.approx(255 / 6, abs=1e-9)
+    assert got[3]["contrast"] == pytest.approx(127.5 / 3, abs=1e-9)
+    assert got[3]["saturation"] == pytest.approx(127.5, abs=1e-9)
+
+    for bad in (b"P5\n2 2\n255\n" + b"\0" * 12,      # wrong magic
+                b"P6\n2 2\n65535\n" + b"\0" * 24,    # unsupported maxval
+                b"P6\n4 4\n255\n" + b"\0" * 10):     # truncated payload
+        with pytest.raises(ValueError):
+            MM._ppm_decode(bad)
+
+
+def _assert_pil_decode(spark):
+    """The PIL decoder branch produces the declared schema and true
     pixel statistics (brightness = mean RGB / 255) on images generated
     by the codec itself."""
     import io

@@ -132,6 +132,43 @@ def test_merge_sink_upserts(spark, events_dir, tmp_path):
     assert got == {(r["k"], r["ts"]) for r in want.collect()}
 
 
+def test_merge_sink_swap_crash_recovery(spark, tmp_path):
+    """The two-phase swap leaves a full readable table at EVERY
+    intermediate crash state, and recover_merge_target restores the
+    canonical layout from each of them."""
+    import os
+    import shutil
+
+    from trendr_data_pipeline_spark.streaming.jobs import recover_merge_target
+
+    target = str(tmp_path / "tbl")
+    rows = [(1, "a"), (2, "b")]
+    spark.createDataFrame(rows, "id long, v string").write.parquet(target)
+
+    def check_intact():
+        got = {tuple(r) for r in spark.read.parquet(target).collect()}
+        assert got == set(rows)
+
+    # state 1: crash after backup-out (target → .old), before swap-in —
+    # plus an incomplete temp write
+    os.rename(target, target + ".old")
+    os.makedirs(target + "._epoch7")
+    recover_merge_target(target)
+    assert not os.path.exists(target + ".old")
+    assert not os.path.exists(target + "._epoch7")
+    check_intact()
+
+    # state 2: crash after swap-in, before dropping the stale .old
+    shutil.copytree(target, target + ".old")
+    recover_merge_target(target)
+    assert not os.path.exists(target + ".old")
+    check_intact()
+
+    # state 3: clean layout is a no-op
+    recover_merge_target(target)
+    check_intact()
+
+
 def test_cadence_gated_append(spark, events_dir):
     """SS5: ≥interval gap between emitted events per key."""
     from trendr_data_pipeline_spark.streaming.jobs import cadence_gated_append

@@ -486,6 +486,7 @@ def minhash_lsh_topk_join(
     n_hashes: int = 128,
     bands: int = 32,
     tokset_fn=None,
+    verify: str = "arrays",
 ) -> DataFrame:
     """LSH variant of :func:`jaccard_topk_join`: candidates come from a
     band-bucket equi-join between incoming and corpus signatures (the
@@ -494,6 +495,15 @@ def minhash_lsh_topk_join(
     per-pair recall at the threshold is 1−(1−t^r)^b ≈ 1−5e-8.
     ``tokset_fn`` swaps the set representation (word tokens by
     default; :func:`shingle_set` for char n-gram shingling).
+
+    ``verify`` picks the exact-verification leg: ``'arrays'`` joins
+    the candidate pairs back to the token arrays and evaluates one
+    ``array_intersect`` per pair (best when candidate volume is high
+    relative to corpus size — this fixture's regime); ``'counts'``
+    explodes the candidates' tokens into a (pair, token) stream and
+    counts matches (d02's shape — best for long documents where
+    arrays on the join path are heavy). Both are exact; both were
+    measured at sf0.1 (SCALING.md) — arrays won here.
 
     ``incoming`` is either its own DataFrame or — the self-screening
     shape, incoming ⊆ corpus — a boolean Column over corpus rows. The
@@ -587,12 +597,29 @@ def minhash_lsh_topk_join(
         .distinct()
     )
 
-    ta = in_toks.select("id_a", F.col("toks").alias("toks_a"), "size_a")
-    tb = corpus_toks.select("id_b", F.col("toks").alias("toks_b"), "size_b")
     jac = F.round(
         F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"), 6
     )
     w = Window.partitionBy("id_a").orderBy(F.col("jaccard").desc(), F.col("id_b").asc())
+    if verify == "counts":
+        exp_a = in_toks.select("id_a", "size_a", F.explode("toks").alias("token"))
+        exp_b = corpus_toks.select("id_b", "size_b", F.explode("toks").alias("token"))
+        shared = (
+            cands.join(F.broadcast(exp_a), "id_a")
+            .join(exp_b, ["id_b", "token"])
+            .groupBy("id_a", "id_b", "size_a", "size_b")
+            .agg(F.count(F.lit(1)).cast("double").alias("inter"))
+        )
+        return (
+            shared.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("id_a", "id_b", "jaccard", "rk")
+        )
+
+    ta = in_toks.select("id_a", F.col("toks").alias("toks_a"), "size_a")
+    tb = corpus_toks.select("id_b", F.col("toks").alias("toks_b"), "size_b")
     return (
         cands.join(F.broadcast(ta), "id_a")
         .join(tb, "id_b")

@@ -100,6 +100,7 @@ def score_candidates(
     source_catalog: DataFrame,
     as_of: Column,
     decay_enabled: bool = False,
+    salt_profiles: int | None = None,
 ) -> DataFrame:
     """Full scoring plan: returns candidates + name/geo/authority
     components, penalties, final_score, decision, accepted_by.
@@ -107,13 +108,27 @@ def score_candidates(
     ``candidates`` must carry: poi_id, poi_name, city_slug, url, title,
     snippet, domain (nullable — derived from url when null), poi_lat,
     poi_lng, published_at.
+
+    ``city_slug`` is the pipeline's canonical SKEW key — on a real
+    corpus one city holds a large fraction of all candidates, so if
+    the profile dimension ever outgrows broadcast (per-city model
+    blobs, embedding columns), the shuffled join would pile the hot
+    city onto one reducer. ``salt_profiles=N`` switches this join to
+    :func:`operators.skew.salted_join` (hot key sharded across N
+    reducers, profiles replicated N×) — output identical to the
+    broadcast plan (pinned in tests/test_skew.py). Default stays
+    broadcast: with a dim that fits in memory, broadcast always wins.
     """
-    profiles = F.broadcast(city_profiles)
     c = candidates.withColumn(
         "domain", F.coalesce(F.col("domain"), domain_of(F.col("url")))
     ).withColumn("url_norm", normalize_url(F.col("url")))
 
-    c = c.join(profiles, "city_slug", "left")
+    if salt_profiles:
+        from .skew import salted_join
+
+        c = salted_join(c, city_profiles, on="city_slug", salts=salt_profiles, how="left")
+    else:
+        c = c.join(F.broadcast(city_profiles), "city_slug", "left")
 
     c = resolve_source(c, source_catalog)
     c = c.withColumn("authority", F.coalesce(F.col("cat_authority"), F.lit(0.4)))

@@ -89,6 +89,44 @@ def _pil_decode(data: bytes) -> tuple[int, int, str, float, float, float]:
     return img.width, img.height, fmt, brightness, contrast, saturation
 
 
+def _ppm_decode(data: bytes) -> tuple[int, int, str, float, float, float]:
+    """REAL decode path with no external codec: binary PPM (P6,
+    maxval 255) parsed from raw bytes — header scan, then pixel stats
+    over the actual RGB payload (numpy, float64): brightness = overall
+    mean byte (== mean of per-channel means), contrast = mean
+    per-channel population stddev, saturation = mean of the HSV
+    S-channel computed as 255·(max−min)/max per pixel (0 where
+    max = 0; float form — PIL's integer HSV path may differ in the
+    last bit, this codec defines its own exact semantics and is
+    hash-gated against a DuckDB pixel-enumeration twin in p05).
+    Malformed headers/payloads raise ValueError (a decoder must
+    reject, not guess)."""
+    import re
+
+    import numpy as np
+
+    m = re.match(rb"P6\s+(?:#[^\n]*\s+)*(\d+)\s+(\d+)\s+(\d+)\s", data)
+    if not m:
+        raise ValueError("not a binary PPM (P6) header")
+    width, height, maxval = (int(m.group(i)) for i in (1, 2, 3))
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    px = np.frombuffer(data, dtype=np.uint8, offset=m.end())
+    if len(px) < width * height * 3:
+        raise ValueError("truncated PPM payload")
+    arr = px[: width * height * 3].reshape(height, width, 3).astype(np.float64)
+    brightness = float(arr.mean())
+    contrast = float(np.mean([arr[:, :, c].std() for c in range(3)]))
+    mx = arr.max(axis=2)
+    mn = arr.min(axis=2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sat = np.where(mx > 0, (mx - mn) / mx * 255.0, 0.0)
+    return width, height, "ppm", brightness, contrast, float(sat.mean())
+
+
+_CODECS = {"fake": _fake_decode, "pil": _pil_decode, "ppm": _ppm_decode}
+
+
 def extract_image_features(
     images: DataFrame,
     id_col: str = "item_id",
@@ -98,20 +136,23 @@ def extract_image_features(
 ) -> DataFrame:
     """Decode + feature-extract over binary image rows.
 
-    ``codec`` selects the decode step: ``"pil"`` = real decoder
-    (requires Pillow and valid image bytes), ``"fake"`` = the
-    deterministic synthetic decode. Default: ``"pil"`` when
-    ``strict=True``, else ``"fake"`` (so tests can assert the full
-    pipeline shape without a codec in the image). ``strict=True``
-    without a real codec raises NotImplementedError."""
+    ``codec`` selects the decode step: ``"pil"`` = PIL decoder
+    (requires Pillow and valid image bytes), ``"ppm"`` = the built-in
+    pure-Python binary-PPM decoder (REAL parsing + pixel stats, no
+    external dependency), ``"fake"`` = the deterministic synthetic
+    decode. Default: ``"pil"`` when ``strict=True``, else ``"fake"``
+    (so tests can assert the full pipeline shape without a codec in
+    the image). ``strict=True`` without a real codec raises
+    NotImplementedError."""
     if codec is None:
         codec = "pil" if strict else "fake"
     if codec == "pil" and not HAVE_PIL:
         raise NotImplementedError(
             "image decode requires PIL/Pillow, which is not installed; "
-            "run with strict=False for the deterministic synthetic decode"
+            "use codec='ppm' for the dependency-free real decoder, or "
+            "strict=False for the deterministic synthetic decode"
         )
-    decode = _pil_decode if codec == "pil" else _fake_decode
+    decode = _CODECS[codec]
     n_parts = estimate_partitions(images, data_col)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

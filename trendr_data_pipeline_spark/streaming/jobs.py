@@ -337,6 +337,32 @@ def run_to_memory(
 # ---------------------------------------------------------------------------
 
 
+def recover_merge_target(target_dir: str) -> None:
+    """Bring a :func:`merge_sink` target back to a readable state after
+    a crash anywhere in the two-phase swap. Invariant the swap keeps: a
+    COMPLETE copy of the table always exists as either ``target`` or
+    ``target.old`` —
+
+    - target present, ``.old`` present → swap finished but cleanup
+      didn't: drop the stale ``.old``;
+    - target missing, ``.old`` present → crashed between backup-out
+      and swap-in: restore ``.old`` as the target;
+    - leftover ``._epoch*`` temp dirs are incomplete writes → dropped.
+    """
+    import glob
+    import os
+    import shutil
+
+    old = target_dir + ".old"
+    if os.path.exists(target_dir):
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    elif os.path.exists(old):
+        os.rename(old, target_dir)
+    for tmp in glob.glob(target_dir + "._epoch*"):
+        shutil.rmtree(tmp)
+
+
 def merge_sink(
     stream: DataFrame,
     target_dir: str,
@@ -350,13 +376,23 @@ def merge_sink(
     utils/database.py:862-891). With Delta on the classpath the body
     becomes a real MERGE INTO; the contract is identical.
 
+    The parquet swap is CRASH-SAFE via two-phase rename (target →
+    ``.old``, tmp → target, drop ``.old``): a full readable copy
+    exists at every intermediate state, and
+    :func:`recover_merge_target` (run at the start of every batch, or
+    by any reader) restores the canonical layout after a crash. The
+    r3 form (rmtree target, then rename tmp) lost the table if the
+    process died between the two calls.
+
     Returns the started StreamingQuery."""
     from ..operators.ingestion import upsert_latest
 
     def do_merge(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         import os
+        import shutil
 
+        recover_merge_target(target_dir)
         if os.path.exists(target_dir):
             existing = spark.read.parquet(target_dir)
             merged = upsert_latest(existing, batch, key=key, version_col=version_col)
@@ -364,15 +400,16 @@ def merge_sink(
             merged = upsert_latest(
                 batch.limit(0), batch, key=key, version_col=version_col
             )
-        # write to a temp dir then swap — parquet has no transactional
-        # overwrite; Delta/Iceberg make this atomic
+        # write to a temp dir then two-phase-swap — parquet has no
+        # transactional overwrite; Delta/Iceberg make this a real commit
         tmp = target_dir + f"._epoch{epoch_id}"
         merged.write.mode("overwrite").parquet(tmp)
-        import shutil
-
+        old = target_dir + ".old"
         if os.path.exists(target_dir):
-            shutil.rmtree(target_dir)
+            os.rename(target_dir, old)
         os.rename(tmp, target_dir)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     return (
         stream.writeStream.foreachBatch(do_merge)
