@@ -133,6 +133,7 @@ def extract_image_features(
     data_col: str = "data",
     strict: bool = False,
     codec: str | None = None,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Decode + feature-extract over binary image rows.
 
@@ -143,7 +144,12 @@ def extract_image_features(
     decode. Default: ``"pil"`` when ``strict=True``, else ``"fake"``
     (so tests can assert the full pipeline shape without a codec in
     the image). ``strict=True`` without a real codec raises
-    NotImplementedError."""
+    NotImplementedError.
+
+    ``n_partitions`` overrides the byte-budget estimate. Pass it when
+    the payload column is COMPUTED (not scanned): ``estimate_partitions``
+    materializes the column once just to size batches, which would
+    evaluate an upstream payload-building UDF twice."""
     if codec is None:
         codec = "pil" if strict else "fake"
     if codec == "pil" and not HAVE_PIL:
@@ -153,7 +159,7 @@ def extract_image_features(
             "strict=False for the deterministic synthetic decode"
         )
     decode = _CODECS[codec]
-    n_parts = estimate_partitions(images, data_col)
+    n_parts = n_partitions if n_partitions is not None else estimate_partitions(images, data_col)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

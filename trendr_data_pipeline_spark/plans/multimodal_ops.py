@@ -210,8 +210,11 @@ def p05_photo_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppm_images = docs.select(
         F.col("doc_id").alias("item_id"), _ppm_payload()(F.col("doc_id")).alias("data")
     )
+    # n_partitions pinned: the payload column is UDF-built, so the
+    # byte-budget estimator would evaluate the builder twice; ~250-byte
+    # images make parallelism, not batch size, the binding constraint
     ppm = photo_quality_score(
-        extract_image_features(ppm_images, codec="ppm"), round_to=None
+        extract_image_features(ppm_images, codec="ppm", n_partitions=8), round_to=None
     ).select(
         F.lit("ppm").alias("codec"),
         "item_id", "width", "height", "format", "n_bytes",
