@@ -265,3 +265,33 @@ def test_minhash_verify_legs_agree(spark):
         for r in minhash_lsh_topk_join(pred, docs, 0.8, k=20, verify="counts").collect()
     )
     assert a and a == b
+
+
+def test_ngram_contamination_flags(spark):
+    """Decontamination screen: a doc sharing an exact word-8-gram with
+    the benchmark is flagged; shared vocabulary WITHOUT a shared
+    8-token sequence is not; short docs (<8 tokens) never flag."""
+    from trendr_data_pipeline_spark.operators.dedup import ngram_contamination_flags
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains "quick brown fox jumps over the lazy dog" (8-gram) verbatim
+            (1, "we saw the quick brown fox jumps over the lazy dog yesterday"),
+            # same words, different order → no shared 8-gram
+            (2, "dog lazy the over jumps fox brown quick the tonight"),
+            # unrelated
+            (3, "completely different content with no overlap whatsoever at all"),
+            # shorter than 8 tokens
+            (4, "quick brown fox jumps over"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["is_contaminated"]
+        for r in ngram_contamination_flags(docs, bench, n=8).collect()
+    }
+    assert got == {1: True, 2: False, 3: False, 4: False}

@@ -102,6 +102,60 @@ def shingle_hashes(col: Column, n: int = 5) -> Column:
     return F.pandas_udf(batch, "array<long>")(col)
 
 
+def word_ngrams(col: Column, n: int = 8) -> Column:
+    """Distinct word n-grams of the lowercased text (space-joined
+    token windows) — the decontamination unit: training corpora are
+    screened for documents sharing an n-gram with an evaluation
+    benchmark (the GPT-3 13-gram practice; 8 here because the fixture
+    docs are short). Empty array when the document has fewer than
+    ``n`` tokens."""
+    toks = tokens(F.lower(col))
+    m = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(m >= 1, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination screen: flag every document sharing at
+    least one word ``n``-gram with the evaluation ``benchmark`` corpus
+    (the leakage filter every training-data pipeline runs before
+    training; public practice: GPT-3's 13-gram overlap removal).
+
+    Scale shape: both sides explode to distinct (id, gram) rows; the
+    benchmark gram set — small relative to the corpus — rides a
+    LEFT SEMI join (AQE broadcasts it when it fits; at a benchmark
+    suite too large to broadcast the semi join shuffles on the gram,
+    never materializing pairs). Returns (id_col, is_contaminated).
+    Grams travel as strings for oracle parity; a production variant
+    hashes them to 64-bit keys first (same shape as d05's shingles).
+    """
+    grams_of = lambda df: df.select(  # noqa: E731
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    bench_grams = grams_of(benchmark).select("gram").distinct()
+    hits = (
+        grams_of(docs)
+        .join(bench_grams, "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("is_contaminated", F.lit(True))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .withColumn("is_contaminated", F.coalesce(F.col("is_contaminated"), F.lit(False)))
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------

@@ -258,13 +258,28 @@ _SQL_LANG_CASE = """
 """
 
 
+#: word-8-gram list (DuckDB twin of operators/dedup.word_ngrams)
+_SQL_GRAMS = (
+    f"list_distinct(list_transform(range(1, greatest(len({_SQL_TOKS}) - 6, 1)),"
+    f" i -> array_to_string(({_SQL_TOKS})[i:i+7], ' ')))"
+)
+
+
 @register(
     "t05_corpus_clean",
     f"""
     WITH t AS (
         SELECT doc_id, {_SQL_TOKS} AS toks,
-               md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')) AS fp
+               md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')) AS fp,
+               CASE WHEN len({_SQL_TOKS}) >= 8 THEN {_SQL_GRAMS}
+                    ELSE [] END AS grams
         FROM documents
+    ), bench AS (
+        SELECT DISTINCT UNNEST(grams) AS gram FROM t WHERE doc_id % 50 = 0
+    ), contaminated AS (
+        SELECT DISTINCT t.doc_id
+        FROM t, UNNEST(t.grams) AS u(gram)
+        WHERE u.gram IN (SELECT gram FROM bench)
     ), m AS (
         SELECT doc_id, toks, fp,
                MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id,
@@ -279,8 +294,9 @@ _SQL_LANG_CASE = """
                len(list_filter(toks, x -> list_contains(['的','是','了','在','和'], x))) AS hits_zh
         FROM t
     ), scored AS (
-        SELECT doc_id,
-               doc_id > canonical_id AS is_dup,
+        SELECT m.doc_id,
+               m.doc_id > canonical_id AS is_dup,
+               m.doc_id IN (SELECT doc_id FROM contaminated) AS is_contaminated,
                {_SQL_LANG_CASE} AS predicted_lang,
                CASE WHEN 40 * least(n_tok / 50.0, 1.0)
                      + 30 * greatest(1.0 - abs(tok_chars * 1.0 / n_tok - 4.5) / 4.5, 0.0)
@@ -291,8 +307,9 @@ _SQL_LANG_CASE = """
                     ELSE 'low' END AS quality_class
         FROM m WHERE n_tok > 0
     )
-    SELECT doc_id, predicted_lang, quality_class, is_dup,
+    SELECT doc_id, predicted_lang, quality_class, is_dup, is_contaminated,
            CASE WHEN is_dup THEN 'drop_duplicate'
+                WHEN is_contaminated THEN 'drop_contaminated'
                 WHEN predicted_lang = 'unknown' THEN 'drop_language'
                 WHEN quality_class = 'low' THEN 'drop_quality'
                 ELSE 'keep' END AS decision
@@ -302,16 +319,23 @@ _SQL_LANG_CASE = """
 def t05_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data cleaning pass — what t01–t04 exist
     for: ONE scan computes the bag-of-words dup flag (min-id-canonical
-    over the fingerprint window), marker-word language ID and the
-    quality blend, then an F6-style first-failing-rule ladder decides
-    keep / drop_duplicate / drop_language / drop_quality per document.
-    Everything is JVM builtins + one window; at 100 TB the fingerprint
-    window is the only shuffle."""
+    over the fingerprint window), the benchmark-decontamination flag
+    (r4 — word-8-gram overlap with the eval set, GPT-3's 13-gram
+    practice scaled to this corpus's doc lengths; eval set = every
+    50th document), marker-word language ID and the quality blend,
+    then an F6-style first-failing-rule ladder decides keep /
+    drop_duplicate / drop_contaminated / drop_language / drop_quality
+    per document. At 100 TB the fingerprint window and the
+    benchmark-gram semi join (broadcast when the suite fits) are the
+    only shuffles."""
     from pyspark.sql.window import Window
 
-    from ..operators.dedup import bow_fingerprint
+    from ..operators.dedup import bow_fingerprint, ngram_contamination_flags
 
     docs = read_table(spark, sf_dir, "documents")
+    contam = ngram_contamination_flags(
+        docs, docs.filter(F.col("doc_id") % 50 == 0), n=8
+    )
     toks = tokens(F.lower(F.col("text")))
     stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "is", "to", "in"]])
     t = docs.select(
@@ -347,13 +371,20 @@ def t05_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = len_part + shape_part + stop_part
     qc = F.when(q >= 60, "high").when(q >= 35, "medium").otherwise("low")
 
-    out = t.withColumn("predicted_lang", pred).withColumn("quality_class", qc)
+    out = (
+        t.withColumn("predicted_lang", pred)
+        .withColumn("quality_class", qc)
+        .join(contam, "doc_id", "left")
+        .withColumn("is_contaminated", F.coalesce(F.col("is_contaminated"), F.lit(False)))
+    )
     return out.select(
         "doc_id",
         "predicted_lang",
         "quality_class",
         "is_dup",
+        "is_contaminated",
         F.when(F.col("is_dup"), "drop_duplicate")
+        .when(F.col("is_contaminated"), "drop_contaminated")
         .when(F.col("predicted_lang") == "unknown", "drop_language")
         .when(F.col("quality_class") == "low", "drop_quality")
         .otherwise("keep")
