@@ -295,3 +295,42 @@ def test_ngram_contamination_flags(spark):
         for r in ngram_contamination_flags(docs, bench, n=8).collect()
     }
     assert got == {1: True, 2: False, 3: False, 4: False}
+
+
+def test_mix_sampling_deterministic_and_weighted(spark):
+    """Data-mixture sampling: n_copies is a pure function of (salt,
+    key); w=0 drops, integer parts are guaranteed, fractional parts
+    land near the expected rate; apply_mix materializes exactly
+    n_copies rows per key."""
+    from trendr_data_pipeline_spark.operators.sampling import apply_mix, mix_n_copies
+
+    n = 2000
+    df = spark.range(n).select(F.col("id"), (F.col("id") % 4).alias("grp"))
+    w = (
+        F.when(F.col("grp") == 0, 0.0)
+        .when(F.col("grp") == 1, 0.5)
+        .when(F.col("grp") == 2, 1.0)
+        .otherwise(2.25)
+    )
+    flags = df.select("id", "grp", mix_n_copies(F.col("id"), w).alias("n"))
+    rows = {r["id"]: (r["grp"], r["n"]) for r in flags.collect()}
+    # determinism: second evaluation identical
+    again = {r["id"]: (r["grp"], r["n"]) for r in
+             df.select("id", "grp", mix_n_copies(F.col("id"), w).alias("n")).collect()}
+    assert rows == again
+    per_grp = {}
+    for _, (g, c) in rows.items():
+        per_grp.setdefault(g, []).append(c)
+    assert set(per_grp[0]) == {0}            # dropped
+    assert set(per_grp[1]) <= {0, 1}         # Bernoulli(0.5)
+    assert abs(sum(per_grp[1]) / len(per_grp[1]) - 0.5) < 0.1
+    assert set(per_grp[2]) == {1}            # identity
+    assert set(per_grp[3]) <= {2, 3}         # 2 + Bernoulli(0.25)
+    assert abs(sum(per_grp[3]) / len(per_grp[3]) - 2.25) < 0.1
+
+    # apply_mix materializes the exact multiplicities
+    mixed = apply_mix(df, w, key_col="id")
+    counts = {r["id"]: r["cnt"] for r in
+              mixed.groupBy("id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    for i, (_, c) in rows.items():
+        assert counts.get(i, 0) == c

@@ -180,18 +180,33 @@ _SQL_QUALITY = (
 )
 
 
+#: per-source mixture weights exercised by the gate: drop / downsample
+#: / default / upsample (fractional + guaranteed-copy parts)
+_MIX_WEIGHTS = {"src0": 2.25, "src1": 0.4, "src2": 0.0}
+
+_SQL_MIX_W = (
+    "CASE source WHEN 'src0' THEN 2.25e0 WHEN 'src1' THEN 0.4e0"
+    " WHEN 'src2' THEN 0.0e0 ELSE 1.0e0 END"
+)
+#: DuckDB twin of operators/sampling.hash_fraction (salt 'mix')
+_SQL_MIX_FRAC = (
+    "(('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    " / 4294967296.0e0)"
+)
+
+
 @register(
     "t03_quality_score",
     f"""
     WITH t AS (
-        SELECT doc_id, text,
+        SELECT doc_id, text, source,
                len({_SQL_TOKS}) AS n_tok,
                list_aggregate(list_transform({_SQL_TOKS}, x -> len(x)), 'sum') AS tok_chars,
                len(list_filter({_SQL_TOKS},
                    x -> list_contains(['the','a','of','and','is','to','in'], x))) AS stop_hits
         FROM documents
     )
-    SELECT doc_id,
+    SELECT doc_id, source,
            CASE WHEN n_tok > 0 THEN ROUND({_SQL_QUALITY}, 6) END AS quality,
            CASE WHEN n_tok = 0 THEN NULL
                 WHEN {_SQL_QUALITY} >= 60 THEN 'high'
@@ -200,7 +215,10 @@ _SQL_QUALITY = (
            md5(lower(trim(text))) AS fingerprint,
            md5(array_to_string(list_sort(list_distinct(
                list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0))), ' '))
-             AS bow_fingerprint
+             AS bow_fingerprint,
+           CAST(FLOOR({_SQL_MIX_W}) AS BIGINT)
+             + CASE WHEN {_SQL_MIX_FRAC} < {_SQL_MIX_W} - FLOOR({_SQL_MIX_W})
+                    THEN 1 ELSE 0 END AS mix_n_copies
     FROM t
     """,
 )
@@ -208,20 +226,31 @@ def t03_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality heuristic (length / word-shape / stopword-rate
     blend, reference M1/M2 clamp+blend style) with a when-ladder class
     (reference F6 threshold-decision shape), PLUS t04's two content
-    fingerprints on the same per-doc grain: raw (md5 of the
+    fingerprints on the same per-doc grain — raw (md5 of the
     lower/trimmed text) and order-invariant bag-of-words (md5 of the
-    sorted distinct token list) — the exact-dedup keys."""
+    sorted distinct token list), the exact-dedup keys — PLUS (r4) the
+    data-mixture decision: ``mix_n_copies`` from per-source sampling
+    weights through `operators/sampling.mix_n_copies` (drop /
+    downsample / upsample exercised via src0=2.25, src1=0.4, src2=0,
+    default 1.0; hash-deterministic, so the DuckDB twin re-derives the
+    exact decision from the same md5)."""
     from ..operators.dedup import bow_fingerprint
+    from ..operators.sampling import mix_n_copies
 
     docs = read_table(spark, sf_dir, "documents")
     toks = tokens(F.lower(F.col("text")))
     stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "is", "to", "in"]])
+    mix_w = F.lit(1.0)
+    for src, w in _MIX_WEIGHTS.items():
+        mix_w = F.when(F.col("source") == src, F.lit(float(w))).otherwise(mix_w)
     t = docs.select(
         "doc_id",
         "text",
+        "source",
         F.size(toks).alias("n_tok"),
         F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x).alias("tok_chars"),
         F.size(F.filter(toks, lambda x: F.array_contains(stop, x))).alias("stop_hits"),
+        mix_n_copies(F.col("doc_id"), mix_w).alias("mix_n_copies"),
     )
     len_part = 40 * F.least(F.col("n_tok") / 50.0, F.lit(1.0))
     shape_part = 30 * F.greatest(
@@ -232,6 +261,7 @@ def t03_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     has_tok = F.col("n_tok") > 0
     return t.select(
         "doc_id",
+        "source",
         F.when(has_tok, F.round(q, 6)).alias("quality"),
         F.when(
             has_tok,
@@ -239,6 +269,7 @@ def t03_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("quality_class"),
         F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
         bow_fingerprint(F.col("text")).alias("bow_fingerprint"),
+        "mix_n_copies",
     )
 
 
