@@ -36,9 +36,15 @@ def _ensure_shipped(spark: SparkSession) -> None:
 
     zpath = os.path.join(tempfile.gettempdir(), "trendr_data_pipeline_spark_pkg.zip")
     pkg = Path(_REPO) / "trendr_data_pipeline_spark"
-    with zipfile.ZipFile(zpath, "w") as zf:
+    # write to a private temp name, then atomic-rename into place:
+    # concurrent driver processes (bench + pytest) share the stable
+    # path, and a reader must never see a half-written archive
+    fd, tmp = tempfile.mkstemp(suffix=".zip", dir=tempfile.gettempdir())
+    os.close(fd)
+    with zipfile.ZipFile(tmp, "w") as zf:
         for p in sorted(pkg.rglob("*.py")):
             zf.write(p, arcname=str(p.relative_to(Path(_REPO))))
+    os.replace(tmp, zpath)
     spark.sparkContext.addPyFile(zpath)
     _ensure_shipped._done = spark.sparkContext
 

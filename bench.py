@@ -66,9 +66,12 @@ def main() -> None:
                 print(f"bench error in {name}: {ex}", file=sys.stderr)
                 runs = []
                 break
-            # drop any frames a query persisted (d03's materialized
-            # token tables) so one run's cache never feeds another
-            spark.catalog.clearCache()
+            finally:
+                # drop any frames a query persisted (d03's materialized
+                # token tables) so one run's cache never feeds another —
+                # ALSO on failure, or a failing query's leftover cache
+                # pollutes every subsequent timing
+                spark.catalog.clearCache()
         timings[name] = statistics.median(runs) if runs else -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)

@@ -253,6 +253,7 @@ def jaccard_topk_join(
     text_col: str = "text",
     tokset_fn=None,
     df_cap: int | None = None,
+    df_cap_check: bool = False,
 ) -> DataFrame:
     """For each incoming document, its top-k corpus near-duplicates by
     token-set Jaccard ≥ threshold — the shape of production dedup
@@ -281,6 +282,15 @@ def jaccard_topk_join(
     quantities are measurable from the freq frame. The cap-boundary
     equivalence is pinned in tests/test_dedup_similarity.py.
 
+    ``df_cap_check=True`` VERIFIES that condition at runtime (two tiny
+    jobs: count the hot tokens, min corpus set size) and raises when
+    the provable bound fails — the bound is conservative (uses the
+    overall min set size, not the min among qualifying pairs), so a
+    failing check does not necessarily mean wrong output, but a
+    passing one guarantees exactness. Callers whose output is
+    independently verified (the d05 gate hash-checks against brute
+    force) may leave it off and skip the extra jobs.
+
     ``tokset_fn`` swaps the set representation (default: word tokens
     via :func:`token_set`; pass ``shingle_set`` for char n-grams).
 
@@ -308,6 +318,18 @@ def jaccard_topk_join(
         # document frequency over the corpus side (the big one); the
         # agg is map-side-combinable into ~#distinct tokens
         freq = tb.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        if df_cap_check:
+            import math
+
+            n_hot = freq.filter(F.col("df") > df_cap).count()
+            s_min = tb.agg(F.min("size_b")).first()[0]
+            if s_min is not None and math.ceil(threshold * s_min) <= n_hot:
+                raise ValueError(
+                    f"df_cap={df_cap} not provably exact: {n_hot} hot tokens vs "
+                    f"ceil({threshold}·{s_min}) = {math.ceil(threshold * s_min)} "
+                    f"guaranteed shared tokens — a qualifying pair of minimal "
+                    f"sets could share only hot tokens; raise df_cap"
+                )
         hot = F.broadcast(freq.filter(F.col("df") > df_cap).select("token"))
         # per-doc hot-token arrays — ≤ H elements each; collect_set is
         # safe here precisely because H is bounded by construction

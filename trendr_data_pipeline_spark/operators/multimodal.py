@@ -158,6 +158,8 @@ def extract_image_features(
             "use codec='ppm' for the dependency-free real decoder, or "
             "strict=False for the deterministic synthetic decode"
         )
+    if codec not in _CODECS:
+        raise ValueError(f"unknown codec {codec!r}; valid: {sorted(_CODECS)}")
     decode = _CODECS[codec]
     n_parts = n_partitions if n_partitions is not None else estimate_partitions(images, data_col)
 

@@ -37,9 +37,17 @@ def mix_n_copies(key: Column, weight: Column, salt: str = "mix") -> Column:
     sampling ``weight`` w ≥ 0: ``floor(w)`` guaranteed copies plus one
     more with probability ``frac(w)`` (hash-deterministic). w = 0
     drops, w < 1 downsamples, w > 1 upsamples with the exact expected
-    multiplicity E[n] = w."""
+    multiplicity E[n] = w.
+
+    A NULL key gets exactly ``floor(w)`` copies (the fractional extra
+    is defined 0): this matches the DuckDB twin, where ``NULL || x``
+    propagates NULL through the hash and ``CASE WHEN NULL`` takes the
+    ELSE branch — without the coalesce, Spark would return NULL
+    n_copies and silently drop the row where the twin keeps it."""
     w = weight.cast("double")
-    extra = (hash_fraction(key, salt) < (w - F.floor(w))).cast("long")
+    extra = F.coalesce(
+        (hash_fraction(key, salt) < (w - F.floor(w))).cast("long"), F.lit(0)
+    )
     return (F.floor(w).cast("long") + extra).alias("n_copies")
 
 

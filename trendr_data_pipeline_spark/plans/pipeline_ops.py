@@ -117,6 +117,60 @@ def p01_mention_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# shared synchronous-replay harness for the streaming gates
+# ---------------------------------------------------------------------------
+
+
+def _replay_events(
+    spark: SparkSession,
+    sf_dir: str,
+    build,
+    name: str,
+    output_mode: str = "complete",
+    shuffle_partitions: str = "8",
+) -> DataFrame:
+    """Replay the events fixture through a streaming job synchronously
+    (staged file source → memory sink → processAllAvailable) and return
+    the sink table. Shared by p02/p08.
+
+    The file-stream source needs a directory, so events.parquet is
+    staged into a temp dir (removed afterwards — the memory sink holds
+    the materialized rows). Stateful-stream sizing: Spark pins the
+    state-store count to spark.sql.shuffle.partitions at the query's
+    FIRST start; pin it to the replay's key cardinality instead of
+    paying 32 near-empty state stores per micro-batch (a production
+    deployment sizes this to peak keys × state row size / store size).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming import jobs
+
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet"))
+        stream = jobs.events_stream(spark, stage)
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_partitions)
+        q = (
+            build(stream)
+            .writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
 # p02 — streaming sessionization under the driver (rows-only)
 # ---------------------------------------------------------------------------
 
@@ -154,38 +208,9 @@ def p01_mention_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch e02 is also pinned in tests/test_streaming.py.""",
 )
 def p02_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
-    import tempfile
-
     from ..streaming import jobs
 
-    # the file-stream source needs a directory; stage the events file
-    stage = tempfile.mkdtemp(prefix="events_stream_")
-    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet"))
-    stream = jobs.events_stream(spark, stage)
-    # stateful-stream sizing: Spark pins the state-store count to
-    # spark.sql.shuffle.partitions at FIRST start of the query; size it
-    # to the replay's key cardinality (150 users) instead of paying 32
-    # near-empty state stores per micro-batch. A production deployment
-    # sizes this to peak keys × state row size / target store size.
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            jobs.session_windows(stream)
-            .writeStream.outputMode("complete")
-            .format("memory")
-            .queryName("p02_sessions")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
-    return spark.table("p02_sessions")
+    return _replay_events(spark, sf_dir, jobs.session_windows, "p02_sessions")
 
 
 # ---------------------------------------------------------------------------
@@ -296,31 +321,6 @@ def p04_keyword_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``date_trunc('day', ts)``.""",
 )
 def p08_streaming_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
-    import tempfile
-
     from ..streaming import jobs
 
-    stage = tempfile.mkdtemp(prefix="events_stream_")
-    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet"))
-    stream = jobs.events_stream(spark, stage)
-    # state-store sizing: see p02 — pin shuffle partitions to the
-    # replay's key cardinality for the stateful query's first start
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            jobs.daily_usage_counters(stream)
-            .writeStream.outputMode("complete")
-            .format("memory")
-            .queryName("p08_daily")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
-    return spark.table("p08_daily")
+    return _replay_events(spark, sf_dir, jobs.daily_usage_counters, "p08_daily")

@@ -359,7 +359,9 @@ def recover_merge_target(target_dir: str) -> None:
             shutil.rmtree(old)
     elif os.path.exists(old):
         os.rename(old, target_dir)
-    for tmp in glob.glob(target_dir + "._epoch*"):
+    # escape the table path: glob metacharacters in a directory name
+    # (e.g. '/data/tbl[1]') must match literally, not as a pattern
+    for tmp in glob.glob(glob.escape(target_dir) + "._epoch*"):
         shutil.rmtree(tmp)
 
 
