@@ -313,7 +313,12 @@ def jaccard_topk_join(
 
         # the corpus token stream is read three times below (freq, the
         # hot-array leg, the join leg) — materialize it once so the
-        # tokenizer runs once, not three times
+        # tokenizer runs once, not three times. The cache lives until
+        # the session's next clearCache (a lazy builder cannot
+        # unpersist before its result materializes); callers running
+        # many queries in one session should clearCache between them
+        # (bench.py does), and the retained footprint is the exploded
+        # (id, size, token-hash) stream — tens of MB at sf0.1
         tb = tb.persist(StorageLevel.MEMORY_AND_DISK)
         # document frequency over the corpus side (the big one); the
         # agg is map-side-combinable into ~#distinct tokens
