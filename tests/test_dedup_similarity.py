@@ -376,3 +376,30 @@ def test_jaccard_df_cap_safety_check(spark):
     # cap 1 → all 10 tokens hot; ceil(0.5·10) = 5 ≤ 10 → must raise
     with _pytest.raises(ValueError, match="not provably exact"):
         jaccard_topk_join(incoming, docs, 0.5, k=5, df_cap=1, df_cap_check=True).count()
+
+
+def test_jaccard_pairs_df_cap_boundary_equivalence(spark):
+    """The corpus-vs-corpus prefix-filter form: excluding hot tokens
+    from the prefix candidate stream leaves the pair set identical at
+    provably-safe caps (verification always uses full sets, and hot
+    tokens sort last in the df-ascending prefix ordering). This 200-doc
+    slice has min set size 9 at t=0.8 → the bound needs H < 8 hot
+    tokens: cap 160 gives H=4 (safe); cap 60 makes the whole 31-token
+    vocabulary hot (H=30 ≫ 8) and demonstrably loses pairs — exactly
+    the regime df_cap_check guards against."""
+    docs = read_table(spark, SMOKE_SF, "documents").limit(200)
+    n = docs.count()
+    base = sorted(tuple(r) for r in jaccard_similarity_pairs(docs, 0.8).collect())
+    assert base
+    for cap in (n, 160):
+        capped = sorted(
+            tuple(r) for r in jaccard_similarity_pairs(docs, 0.8, df_cap=cap).collect()
+        )
+        assert capped == base, f"df_cap={cap} changed the pair set"
+    # unsafe cap: candidates can only shrink (never invent pairs), and
+    # on this vocabulary-dense slice it really does lose pairs
+    lossy = sorted(
+        tuple(r) for r in jaccard_similarity_pairs(docs, 0.8, df_cap=60).collect()
+    )
+    assert set(lossy) <= set(base)
+    assert lossy != base

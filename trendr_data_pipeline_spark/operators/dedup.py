@@ -190,6 +190,7 @@ def jaccard_similarity_pairs(
     threshold: float,
     id_col: str = "doc_id",
     text_col: str = "text",
+    df_cap: int | None = None,
 ) -> DataFrame:
     """All pairs with token-set Jaccard ≥ threshold — exact.
 
@@ -198,8 +199,19 @@ def jaccard_similarity_pairs(
     share a prefix token) → equi-join on prefix token → exact verify on
     the full sets. The prefix step turns the classic inverted-index
     self-join from quadratic blowup on frequent tokens into a join
-    keyed (mostly) by rare tokens; at 100 TB add a document-frequency
-    cap as a pre-filter for stop-tokens.
+    keyed (mostly) by rare tokens.
+
+    ``df_cap`` is the stop-token escape hatch for this corpus-vs-corpus
+    form: tokens with document frequency > df_cap are excluded from the
+    PREFIX candidate stream only (a hot prefix token joins df² pair
+    rows). Because the df-ascending prefix ordering already sorts hot
+    tokens LAST, the cap only truncates prefixes of documents that are
+    nearly all stop-tokens — and verification always uses the FULL
+    sets, so Jaccard values are unaffected; only candidate recall is at
+    stake, under the same provable bound as :func:`jaccard_topk_join`
+    (every qualifying pair shares a ≤-cap token whenever
+    ceil(t·s_min) > #hot). Cap-boundary equivalence is pinned in
+    tests/test_dedup_similarity.py.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
@@ -217,7 +229,10 @@ def jaccard_similarity_pairs(
         ),
     )
     prefix_len = F.ceil(F.lit(1.0 - threshold) * F.col("set_size")).cast("int") + 1
-    prefix = ranked.filter(F.col("rn") <= prefix_len).select("id", "token")
+    in_prefix = F.col("rn") <= prefix_len
+    if df_cap is not None:
+        in_prefix = in_prefix & (F.col("df") <= df_cap)
+    prefix = ranked.filter(in_prefix).select("id", "token")
 
     a, b = prefix.alias("a"), prefix.alias("b")
     cands = (
