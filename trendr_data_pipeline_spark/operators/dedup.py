@@ -118,6 +118,60 @@ def word_ngrams(col: Column, n: int = 8) -> Column:
     return F.when(m >= 1, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
 
 
+def word_ngram_hashes(col: Column, n: int = 8) -> Column:
+    """Distinct word n-grams as order-sensitive 64-bit hashes — the
+    hot-path twin of :func:`word_ngrams` (whose per-gram slice +
+    array_join lambdas are interpreted and dominate t05's runtime,
+    measured 4.5 s of its 4.9 s at sf0.1).
+
+    One Arrow-batched pass: tokens via ASCII ``\\s+`` split (matching
+    Java-regex ``tokens()`` semantics), each distinct token hashed once
+    per batch (blake2b-64, cached — the reference corpora have tiny
+    vocabularies relative to token counts), then every window combined
+    through positional odd multipliers (order-SENSITIVE, unlike a bag
+    hash) with a numpy sliding-window dot. Used as an internal join
+    key only — both sides of the contamination semi-join use the same
+    encoding, so the ~2⁻⁶⁴-per-pair collision odds are the only
+    approximation (same posture as d05's hashed shingles)."""
+    import hashlib
+    import re
+
+    import numpy as np
+
+    mults = np.array(
+        [int.from_bytes(hashlib.sha256(f"ng-m{k}".encode()).digest()[:8], "big") | 1
+         for k in range(n)],
+        dtype=np.uint64,
+    )
+
+    def batch(s: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+
+        def th(t: str) -> int:
+            h = cache.get(t)
+            if h is None:
+                h = cache[t] = int.from_bytes(
+                    hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "big"
+                )
+            return h
+
+        out = []
+        with np.errstate(over="ignore"):
+            for text in s:
+                toks = [w for w in re.split(r"\s+", text.lower(), flags=re.ASCII) if w] \
+                    if text is not None else []
+                if len(toks) < n:
+                    out.append(np.empty(0, dtype=np.int64))
+                    continue
+                h = np.fromiter((th(t) for t in toks), dtype=np.uint64, count=len(toks))
+                win = np.lib.stride_tricks.sliding_window_view(h, n)
+                g = (win * mults[None, :]).sum(axis=1, dtype=np.uint64)
+                out.append(np.unique(g).astype(np.int64))
+        return pd.Series(out)
+
+    return F.pandas_udf(batch, "array<long>")(col)
+
+
 def ngram_contamination_flags(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -139,7 +193,7 @@ def ngram_contamination_flags(
     hashes them to 64-bit keys first (same shape as d05's shingles).
     """
     grams_of = lambda df: df.select(  # noqa: E731
-        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+        F.col(id_col), F.explode(word_ngram_hashes(F.col(text_col), n)).alias("gram")
     )
     bench_grams = grams_of(benchmark).select("gram").distinct()
     hits = (
