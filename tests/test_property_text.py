@@ -64,3 +64,87 @@ def test_dedupe_key_property(spark, urls):
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     got = [r[0] for r in df.select(TX.dedupe_key(F.col("url"))).collect()]
     assert got == [oracle_dedupe_key(u) for u in urls]
+
+
+def test_word_ngram_hash_flags_match_string_flags(spark):
+    """Property: contamination flags computed over hashed grams must
+    equal flags computed over string grams for random corpora (the
+    hashed encoder is an internal join-key optimization, not a
+    semantic change)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from trendr_data_pipeline_spark.operators.dedup import (
+        word_ngram_hashes,
+        word_ngrams,
+    )
+
+    words = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+    doc = st.lists(words, min_size=0, max_size=12).map(" ".join)
+
+    @given(texts=st.lists(doc, min_size=1, max_size=8))
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def inner(texts):
+        df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+        n = 3
+        str_grams = {
+            r["doc_id"]: set(r["g"])
+            for r in df.select("doc_id", word_ngrams(F.col("text"), n).alias("g")).collect()
+        }
+        hash_grams = {
+            r["doc_id"]: set(r["g"])
+            for r in df.select(
+                "doc_id", word_ngram_hashes(F.col("text"), n).alias("g")
+            ).collect()
+        }
+        # same gram counts per doc, and identical overlap structure
+        for i in str_grams:
+            assert len(str_grams[i]) == len(hash_grams[i]), texts[i]
+        ids = list(str_grams)
+        for a in ids:
+            for b in ids:
+                assert bool(str_grams[a] & str_grams[b]) == bool(
+                    hash_grams[a] & hash_grams[b]
+                ), (texts[a], texts[b])
+
+    inner()
+
+
+def test_shingle_hash_counts_match_string_shingles_random(spark):
+    """Property: packed-byte shingles have exactly the string form's
+    distinct counts and pairwise intersection sizes on random ASCII
+    text (injective encoding — not a hash)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from trendr_data_pipeline_spark.operators.dedup import shingle_hashes, shingle_set
+
+    text = st.text(alphabet="abcdef ", min_size=0, max_size=30)
+
+    @given(texts=st.lists(text, min_size=1, max_size=6))
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def inner(texts):
+        df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, t string")
+        rows = df.select(
+            "doc_id",
+            shingle_set(F.col("t"), 5).alias("s"),
+            shingle_hashes(F.col("t"), 5).alias("h"),
+        ).collect()
+        strs = {r["doc_id"]: set(r["s"]) for r in rows}
+        hshs = {r["doc_id"]: set(r["h"]) for r in rows}
+        for i in strs:
+            assert len(strs[i]) == len(hshs[i])
+        ids = list(strs)
+        for a in ids:
+            for b in ids:
+                assert len(strs[a] & strs[b]) == len(hshs[a] & hshs[b])
+
+    inner()
