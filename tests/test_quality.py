@@ -1,0 +1,139 @@
+"""Repetition-metric oracles: the shuffle-free sorted-run fold in
+``operators/quality`` vs a plain-Python ``collections.Counter``
+reference, on constructed corpora (multi-line, ties, degenerate) and
+hypothesis-generated token streams."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from trendr_data_pipeline_spark.operators.quality import repetition_metrics
+
+
+def py_metrics(text: str) -> dict:
+    """Reference implementation of repetition_metrics for one doc."""
+    toks = [t for t in re.split(r"\s+", text.lower()) if t]
+    lines = [ln for ln in text.split("\n") if ln.strip()]
+    out: dict = {
+        "dup_line_frac": None,
+        "dup_line_char_frac": None,
+        "rep_top_token_frac": None,
+        "top_bigram_cnt": 0,
+        "rep_top_bigram_frac": None,
+    }
+    if lines:
+        out["dup_line_frac"] = round(1.0 - len(set(lines)) / len(lines), 6)
+        total = sum(len(ln) for ln in lines)
+        if total > 0:
+            dedup = sum(len(ln) for ln in set(lines))
+            out["dup_line_char_frac"] = round(1.0 - dedup / total, 6)
+    if toks:
+        c = Counter(toks)
+        best = max(c.values())
+        out["rep_top_token_frac"] = round(best / len(toks), 6)
+    if len(toks) >= 2:
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        c = Counter(grams)
+        best_cnt = max(c.values())
+        best_gram = min(g for g, n in c.items() if n == best_cnt)
+        out["top_bigram_cnt"] = best_cnt
+        tok_chars = sum(len(t) for t in toks)
+        if tok_chars > 0:
+            out["rep_top_bigram_frac"] = round(
+                best_cnt * (len(best_gram) - 1) / tok_chars, 6
+            )
+    return out
+
+
+def spark_metrics(spark, texts: list[str]) -> list[dict]:
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = repetition_metrics(df).orderBy("doc_id").collect()
+    cols = [
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "rep_top_token_frac",
+        "top_bigram_cnt",
+        "rep_top_bigram_frac",
+    ]
+    return [{c: r[c] for c in cols} for r in rows]
+
+
+CASES = [
+    # repeated lines dominate
+    "the cat sat\nthe cat sat\nthe cat sat\na dog ran",
+    # all-distinct lines
+    "alpha beta\ngamma delta\nepsilon zeta",
+    # blank separator lines must not count as duplicates of each other
+    "one two\n\n\none two\n\n",
+    # tie between bigrams -> lexicographically smallest must win
+    "b b a a b b a a",
+    # single token / empty / whitespace-only degenerates
+    "solo",
+    "",
+    "   \n \n  ",
+    # heavy token repetition, overlapping bigram runs
+    "go go go go go stop",
+    # mixed case folds to the same token
+    "The THE the tHe",
+]
+
+
+def approx_eq(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    return a == pytest.approx(b, abs=2e-6)
+
+
+def test_constructed_cases_match_reference(spark):
+    got = spark_metrics(spark, CASES)
+    for text, g in zip(CASES, got):
+        want = py_metrics(text)
+        for k, w in want.items():
+            assert approx_eq(g[k], w), (text, k, g[k], w)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "cc", "ddd", "éé", "b"]),
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_property_token_streams(spark, docs):
+    texts = [" ".join(toks) for toks in docs]
+    got = spark_metrics(spark, texts)
+    for text, g in zip(texts, got):
+        want = py_metrics(text)
+        for k, w in want.items():
+            assert approx_eq(g[k], w), (text, k, g[k], w)
+
+
+def test_multiline_char_fraction_exact(spark):
+    # 'xx' appears 3 times (chars 6, 2 original + 4 dup), 'y' once.
+    text = "xx\nxx\ny\nxx"
+    (g,) = spark_metrics(spark, [text])
+    assert g["dup_line_frac"] == pytest.approx(1 - 2 / 4)
+    assert g["dup_line_char_frac"] == pytest.approx(1 - 3 / 7)
+
+
+def test_gate_columns_nonvacuous_on_fixture(spark):
+    """The fixture's word-bag docs must produce varied, non-null
+    repetition values — guards the t03 gate columns against silently
+    degenerating to a constant."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = repetition_metrics(docs).select("rep_top_token_frac", "top_bigram_cnt").collect()
+    fracs = {r["rep_top_token_frac"] for r in rows if r["rep_top_token_frac"] is not None}
+    assert len(fracs) > 10
+    assert any(r["top_bigram_cnt"] and r["top_bigram_cnt"] > 1 for r in rows)

@@ -1,0 +1,163 @@
+"""Repetition-based document quality metrics (Gopher-style filters).
+
+The Gopher / MassiveText cleaning rules (Rae et al. 2021, "Scaling
+Language Models", App. A1.1 — public) flag documents dominated by
+repeated content: the fraction of duplicate lines, the fraction of
+characters inside duplicate lines, and the fraction of characters
+covered by the single most frequent word n-gram. These are the
+standard pre-training repetition filters alongside the length /
+stopword heuristics in ``plans/text_ops.t03``.
+
+Spark shape: every metric here is **document-local**, so the whole
+module is shuffle-free — no explode, no groupBy. The "most frequent
+item" problem is solved with ``array_sort`` + a single
+``F.aggregate`` run-length fold over the sorted array (O(n log n)
+per row, all inside whole-stage codegen), instead of the textbook
+explode → groupBy(doc, gram) → max_by plan, which would shuffle the
+full token stream of a 100 TB corpus twice. The DuckDB oracle twin
+in ``plans/text_ops`` uses the explode form — different plan, same
+result, which is exactly what the hash gate checks.
+
+Tie semantics are deterministic on both engines: among grams with
+the maximal count, the lexicographically smallest wins (the fold
+sees the sorted array and only replaces the champion on a strictly
+greater run; the SQL twin ranks by ``cnt DESC, gram ASC``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+__all__ = [
+    "top_run",
+    "word_bigrams",
+    "lines_of",
+    "repetition_metrics",
+]
+
+
+def top_run(arr: Column) -> Column:
+    """Most frequent element of an array, as ``struct(cnt, val)``.
+
+    Sorts the array, then folds a run-length accumulator over it:
+    ``(prev, run, best, bestv)``. A run only displaces the champion
+    when strictly longer, so the first (= lexicographically
+    smallest, post-sort) maximal element wins ties. Empty arrays
+    yield ``(0, '')``.
+    """
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit("").alias("bestv"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        better = run > acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["bestv"]).alias("bestv"),
+        )
+
+    return F.aggregate(
+        F.array_sort(arr),
+        zero,
+        step,
+        lambda acc: F.struct(acc["best"].alias("cnt"), acc["bestv"].alias("val")),
+    )
+
+
+def word_bigrams(toks: Column) -> Column:
+    """Adjacent word pairs joined with a single space; ``[]`` when the
+    document has fewer than two tokens."""
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def lines_of(text: Column) -> Column:
+    """Non-empty lines of a document (newline split, blanks dropped —
+    blank separator lines would otherwise count each other as
+    duplicates and swamp the signal)."""
+    return F.filter(F.split(text, r"\n"), lambda s: F.length(F.trim(s)) > 0)
+
+
+def _chars_of(arr: Column) -> Column:
+    return F.aggregate(F.transform(arr, F.length), F.lit(0), lambda a, x: a + x)
+
+
+def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher repetition metrics, shuffle-free.
+
+    Adds to ``docs``:
+
+    - ``dup_line_frac``: 1 − distinct/total over non-empty lines
+      (NULL when the document has no non-empty line).
+    - ``dup_line_char_frac``: fraction of line characters belonging
+      to repeat occurrences of a line (each distinct line's chars
+      counted once as "original").
+    - ``rep_top_token_frac``: occurrences of the most frequent token
+      over total tokens (NULL when token-less).
+    - ``rep_top_bigram_frac``: characters covered by the most
+      frequent word bigram (count × its token chars, overlap-blind
+      as in Gopher) over total token chars (NULL when < 2 tokens).
+    - ``top_bigram_cnt``: that bigram's occurrence count (0 when
+      < 2 tokens).
+
+    The Gopher paper drops documents with dup_line_frac > 0.30,
+    dup_line_char_frac > 0.20, or top-2-gram char fraction > 0.20;
+    thresholding is left to the caller's decision ladder.
+    """
+    text = F.col(text_col)
+    toks = tokens(F.lower(text))
+    lines = lines_of(text)
+
+    d = docs.withColumn("_toks", toks).withColumn("_lines", lines)
+    n_tok = F.size("_toks")
+    tok_chars = _chars_of(F.col("_toks"))
+    n_lines = F.size("_lines")
+    line_chars = _chars_of(F.col("_lines"))
+    distinct_lines = F.array_distinct(F.col("_lines"))
+    top_tok = top_run(F.col("_toks"))
+    top_big = top_run(word_bigrams(F.col("_toks")))
+
+    return (
+        d.withColumn(
+            "dup_line_frac",
+            F.when(n_lines > 0, F.round(1.0 - F.size(distinct_lines) / n_lines, 6)),
+        )
+        .withColumn(
+            "dup_line_char_frac",
+            F.when(
+                line_chars > 0,
+                F.round(1.0 - _chars_of(distinct_lines) / line_chars, 6),
+            ),
+        )
+        .withColumn("_tt", top_tok)
+        .withColumn("_tb", top_big)
+        .withColumn(
+            "rep_top_token_frac",
+            F.when(n_tok > 0, F.round(F.col("_tt.cnt") / n_tok, 6)),
+        )
+        .withColumn("top_bigram_cnt", F.col("_tb.cnt"))
+        .withColumn(
+            "rep_top_bigram_frac",
+            F.when(
+                (F.col("_tb.cnt") > 0) & (tok_chars > 0),
+                F.round(
+                    F.col("_tb.cnt") * (F.length(F.col("_tb.val")) - 1) / tok_chars, 6
+                ),
+            ),
+        )
+        .drop("_toks", "_lines", "_tt", "_tb")
+    )

@@ -200,11 +200,33 @@ _SQL_MIX_FRAC = (
     f"""
     WITH t AS (
         SELECT doc_id, text, source,
+               {_SQL_TOKS} AS toks,
                len({_SQL_TOKS}) AS n_tok,
                list_aggregate(list_transform({_SQL_TOKS}, x -> len(x)), 'sum') AS tok_chars,
                len(list_filter({_SQL_TOKS},
                    x -> list_contains(['the','a','of','and','is','to','in'], x))) AS stop_hits
         FROM documents
+    ), tkc AS (
+        SELECT doc_id, tok, COUNT(*) AS cnt
+        FROM (SELECT doc_id, UNNEST(toks) AS tok FROM t)
+        GROUP BY doc_id, tok
+    ), tkb AS (
+        SELECT doc_id, cnt FROM (
+            SELECT doc_id, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok ASC) AS rn
+            FROM tkc) WHERE rn = 1
+    ), bgc AS (
+        SELECT doc_id, gram, COUNT(*) AS cnt
+        FROM (SELECT doc_id,
+                     UNNEST(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1])) AS gram
+              FROM t WHERE len(toks) >= 2)
+        GROUP BY doc_id, gram
+    ), bgb AS (
+        SELECT doc_id, cnt, gram FROM (
+            SELECT doc_id, cnt, gram,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+            FROM bgc) WHERE rn = 1
     )
     SELECT doc_id, source,
            CASE WHEN n_tok > 0 THEN ROUND({_SQL_QUALITY}, 6) END AS quality,
@@ -218,8 +240,16 @@ _SQL_MIX_FRAC = (
              AS bow_fingerprint,
            CAST(FLOOR({_SQL_MIX_W}) AS BIGINT)
              + CASE WHEN {_SQL_MIX_FRAC} < {_SQL_MIX_W} - FLOOR({_SQL_MIX_W})
-                    THEN 1 ELSE 0 END AS mix_n_copies
+                    THEN 1 ELSE 0 END AS mix_n_copies,
+           CASE WHEN n_tok > 0 THEN ROUND(tkb.cnt * 1.0 / n_tok, 6) END
+             AS rep_top_token_frac,
+           COALESCE(bgb.cnt, 0) AS top_bigram_cnt,
+           CASE WHEN bgb.cnt > 0 AND tok_chars > 0
+                THEN ROUND(bgb.cnt * (len(bgb.gram) - 1) * 1.0 / tok_chars, 6) END
+             AS rep_top_bigram_frac
     FROM t
+    LEFT JOIN tkb USING (doc_id)
+    LEFT JOIN bgb USING (doc_id)
     """,
 )
 def t03_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,8 +263,14 @@ def t03_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights through `operators/sampling.mix_n_copies` (drop /
     downsample / upsample exercised via src0=2.25, src1=0.4, src2=0,
     default 1.0; hash-deterministic, so the DuckDB twin re-derives the
-    exact decision from the same md5)."""
+    exact decision from the same md5) — PLUS (r4) the Gopher
+    repetition metrics from `operators/quality`: most-frequent-token
+    fraction and most-frequent-bigram char coverage, computed
+    SHUFFLE-FREE with the sorted-run fold (the DuckDB twin uses the
+    explode → group → rank plan; same result, different engine
+    strategy — exactly what the hash gate certifies)."""
     from ..operators.dedup import bow_fingerprint
+    from ..operators.quality import top_run, word_bigrams
     from ..operators.sampling import mix_n_copies
 
     docs = read_table(spark, sf_dir, "documents")
@@ -251,6 +287,8 @@ def t03_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x).alias("tok_chars"),
         F.size(F.filter(toks, lambda x: F.array_contains(stop, x))).alias("stop_hits"),
         mix_n_copies(F.col("doc_id"), mix_w).alias("mix_n_copies"),
+        top_run(toks).alias("_tt"),
+        top_run(word_bigrams(toks)).alias("_tb"),
     )
     len_part = 40 * F.least(F.col("n_tok") / 50.0, F.lit(1.0))
     shape_part = 30 * F.greatest(
@@ -270,6 +308,17 @@ def t03_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
         bow_fingerprint(F.col("text")).alias("bow_fingerprint"),
         "mix_n_copies",
+        F.when(has_tok, F.round(F.col("_tt.cnt") * 1.0 / F.col("n_tok"), 6)).alias(
+            "rep_top_token_frac"
+        ),
+        F.col("_tb.cnt").alias("top_bigram_cnt"),
+        F.when(
+            (F.col("_tb.cnt") > 0) & (F.col("tok_chars") > 0),
+            F.round(
+                F.col("_tb.cnt") * (F.length(F.col("_tb.val")) - 1) * 1.0 / F.col("tok_chars"),
+                6,
+            ),
+        ).alias("rep_top_bigram_frac"),
     )
 
 
