@@ -269,3 +269,68 @@ def d04_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash64 fingerprints with 16-bit bands for hamming-bucketed
     near-dup candidate generation."""
     return simhash_fingerprints(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# x03 — near-dup clustering: pairs → connected components → canonical
+# survivor (⊕D9). Named past the driver's 50-query correctness cap
+# (bench + verify_local + pytest cover it); the oracle is a DuckDB
+# RECURSIVE transitive closure over the same brute-force pair set —
+# tractable at sf0.01, while the Spark side runs the O(log² n)
+# alternating-star iteration that survives 100 TB graphs.
+# ---------------------------------------------------------------------------
+
+_SQL_COMPONENTS = f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id AS id, {_SQL_TOKSET} AS toks FROM documents
+        WHERE doc_id % 5 = 0 AND len({_SQL_TOKSET}) > 0
+    ),
+    pairs AS (
+        SELECT a.id AS u, b.id AS v
+        FROM t a JOIN t b ON a.id < b.id
+        WHERE ROUND(len(list_intersect(a.toks, b.toks)) * 1.0
+                    / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.8
+    ),
+    sym AS (
+        SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM sym
+        UNION
+        SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        WHERE s.v <> r.u
+    ),
+    comp AS (
+        SELECT u AS node, LEAST(u, MIN(v)) AS component
+        FROM reach GROUP BY u
+    )
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS component,
+           COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+    LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+
+@register(
+    "x03_dedup_components",
+    _SQL_COMPONENTS,
+    doc="""Near-dup clustering end to end: exact Jaccard pairs (≥0.8,
+    prefix-filtered inverted index) over a 1-in-5 corpus slice →
+    alternating large-star/small-star connected components → min-id
+    canonical survivor per cluster. The oracle recomputes components
+    via a recursive-CTE transitive closure.""",
+)
+def x03_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster canonicalization (SURVEY §2.11 ⊕D9): labels
+    every document in the slice with its near-dup component and the
+    keep/drop decision (component minimum survives)."""
+    from ..operators.dedup import jaccard_similarity_pairs
+    from ..operators.graph import canonicalize_components, connected_components
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    pairs = jaccard_similarity_pairs(docs, threshold=0.8)
+    labels = connected_components(pairs, nodes=docs, node_col="doc_id")
+    return canonicalize_components(labels).select(
+        F.col("node").alias("doc_id"), "component", "is_canonical"
+    )
