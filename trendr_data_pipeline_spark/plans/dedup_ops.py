@@ -283,7 +283,7 @@ def d04_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_COMPONENTS = f"""
     WITH RECURSIVE t AS (
         SELECT doc_id AS id, {_SQL_TOKSET} AS toks FROM documents
-        WHERE doc_id % 5 = 0 AND len({_SQL_TOKSET}) > 0
+        WHERE doc_id % 10 = 0 AND len({_SQL_TOKSET}) > 0
     ),
     pairs AS (
         SELECT a.id AS u, b.id AS v
@@ -307,7 +307,7 @@ _SQL_COMPONENTS = f"""
     SELECT d.doc_id,
            COALESCE(c.component, d.doc_id) AS component,
            COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
-    FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
     LEFT JOIN comp c ON d.doc_id = c.node
 """
 
@@ -316,7 +316,7 @@ _SQL_COMPONENTS = f"""
     "x03_dedup_components",
     _SQL_COMPONENTS,
     doc="""Near-dup clustering end to end: exact Jaccard pairs (≥0.8,
-    prefix-filtered inverted index) over a 1-in-5 corpus slice →
+    prefix-filtered inverted index) over a 1-in-10 corpus slice →
     alternating large-star/small-star connected components → min-id
     canonical survivor per cluster. The oracle recomputes components
     via a recursive-CTE transitive closure.""",
@@ -328,7 +328,7 @@ def x03_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import jaccard_similarity_pairs
     from ..operators.graph import canonicalize_components, connected_components
 
-    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     pairs = jaccard_similarity_pairs(docs, threshold=0.8)
     labels = connected_components(pairs, nodes=docs, node_col="doc_id")
     return canonicalize_components(labels).select(
