@@ -1,0 +1,85 @@
+"""Sequence-packing oracles: the two-phase bucketed prefix sum vs
+the single-partition global window it replaces, plus chunk-span edge
+cases (straddling docs, zero-weight docs, bucket boundaries)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from trendr_data_pipeline_spark.operators.packing import (
+    global_running_offsets,
+    pack_sequences,
+)
+
+
+def global_window_offsets(df):
+    w = (
+        Window.orderBy("bucket", "k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return df.withColumn("offset", F.coalesce(F.sum("w").over(w), F.lit(0)).cast("long"))
+
+
+def make_df(spark, rows):
+    return spark.createDataFrame(rows, "bucket string, k long, w long")
+
+
+def test_two_phase_matches_global_window(spark):
+    rng = random.Random(7)
+    rows = [
+        (f"s{rng.randrange(5)}", k, rng.choice([0, 1, 3, 47, 512, 700]))
+        for k in range(400)
+    ]
+    df = make_df(spark, rows).repartition(16)
+    got = {
+        (r["bucket"], r["k"]): r["offset"]
+        for r in global_running_offsets(df, "w", "bucket", "k").collect()
+    }
+    want = {
+        (r["bucket"], r["k"]): r["offset"]
+        for r in global_window_offsets(make_df(spark, rows)).collect()
+    }
+    assert got == want
+
+
+def test_empty_and_single_bucket(spark):
+    df = make_df(spark, [("only", 1, 10), ("only", 2, 0), ("only", 3, 5)])
+    got = {r["k"]: r["offset"] for r in global_running_offsets(df, "w", "bucket", "k").collect()}
+    assert got == {1: 0, 2: 10, 3: 10}
+    empty = make_df(spark, [("x", 1, 1)]).where("k < 0")
+    assert global_running_offsets(empty, "w", "bucket", "k").count() == 0
+
+
+def test_pack_sequences_spans(spark):
+    # seq_len 10: doc a spans [0,25) -> seqs 0..2; b [25,25) zero-tok;
+    # c [25,30) -> seq 2; d (next bucket) [30,42) -> seqs 3..4
+    df = spark.createDataFrame(
+        [("s1", 1, 25), ("s1", 2, 0), ("s1", 3, 5), ("s2", 4, 12)],
+        "source string, doc_id long, n_tok long",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in pack_sequences(
+            df, seq_len=10, weight_col="n_tok", bucket_col="source", order_col="doc_id"
+        ).collect()
+    }
+    assert (rows[1]["tok_offset"], rows[1]["first_seq"], rows[1]["last_seq"], rows[1]["n_seqs"]) == (0, 0, 2, 3)
+    assert (rows[2]["first_seq"], rows[2]["n_seqs"]) == (None, 0)
+    assert (rows[3]["tok_offset"], rows[3]["first_seq"], rows[3]["last_seq"]) == (25, 2, 2)
+    assert (rows[4]["tok_offset"], rows[4]["first_seq"], rows[4]["last_seq"], rows[4]["n_seqs"]) == (30, 3, 4, 2)
+
+
+def test_no_global_exchange_on_big_frame(spark):
+    """The corpus-grain plan must not funnel through a single-partition
+    window: the only SinglePartition exchange allowed is the tiny
+    bucket-totals frame (guarded by checking the window over the big
+    frame is partitioned)."""
+    df = make_df(spark, [("s", k, 1) for k in range(10)]).repartition(4)
+    plan = global_running_offsets(df, "w", "bucket", "k")._jdf.queryExecution().executedPlan().toString()
+    # the big-frame window carries a partition spec (hashpartitioning
+    # on bucket); count SinglePartition exchanges — exactly one, for
+    # the bucket-totals running sum
+    assert plan.count("SinglePartition") == 1, plan

@@ -1,0 +1,101 @@
+"""Sequence packing: lay a corpus out as one contiguous token stream
+and chunk it into fixed-length training sequences (the GPT-style
+concat-and-chunk step every LLM data pipeline ends with; documents
+may straddle chunk boundaries).
+
+The defining primitive is a GLOBAL running token offset under a
+total document order. The naive Spark form —
+``sum(w) over (order by k)`` with no partition — collapses the whole
+corpus into ONE window partition and is the canonical 100 TB
+scale-killer. This module implements the two-phase form instead:
+
+1. cumulative sum WITHIN each bucket of the order's leading column
+   (one shuffle, parallel across buckets);
+2. bucket totals (tiny — one row per bucket) get their own running
+   total on a single partition, which is fine BECAUSE it is tiny;
+3. broadcast-join the bucket base offsets back and add.
+
+The result is bit-identical to the global window (the x04 gate
+hash-checks it against a DuckDB global-window oracle) while keeping
+every big shuffle keyed and parallel. Requirement: the bucket column
+must be the leading column of the total order — (bucket, order_col)
+IS the global order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["global_running_offsets", "pack_sequences"]
+
+
+def global_running_offsets(
+    df: DataFrame,
+    weight_col: str,
+    bucket_col: str,
+    order_col: str,
+    out_col: str = "offset",
+) -> DataFrame:
+    """Exclusive prefix sum of ``weight_col`` under the total order
+    (bucket_col, order_col), without a global window.
+
+    ``(bucket_col, order_col)`` must be unique per row (it defines
+    where each row starts in the stream).
+    """
+    within = Window.partitionBy(bucket_col).orderBy(order_col)
+    with_cum = df.withColumn(
+        "_cum_incl", F.sum(F.col(weight_col).cast("long")).over(within)
+    )
+
+    # one row per bucket — a single-partition running total over THIS
+    # frame is deliberate and safe (|buckets| rows, not |corpus|)
+    totals = df.groupBy(bucket_col).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("_bucket_total")
+    )
+    base_w = Window.orderBy(bucket_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = totals.withColumn(
+        "_base", F.coalesce(F.sum("_bucket_total").over(base_w), F.lit(0))
+    ).select(bucket_col, "_base")
+
+    return (
+        with_cum.join(F.broadcast(bases), bucket_col)
+        .withColumn(
+            out_col, F.col("_base") + F.col("_cum_incl") - F.col(weight_col).cast("long")
+        )
+        .drop("_cum_incl", "_base")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    weight_col: str = "n_tok",
+    bucket_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each document its span of fixed-length training
+    sequences: ``tok_offset`` (global stream position), ``first_seq``
+    / ``last_seq`` (chunk ids the document touches, straddling
+    allowed), ``n_seqs``. Zero-weight documents occupy no tokens:
+    NULL seq ids, ``n_seqs = 0``.
+    """
+    out = global_running_offsets(
+        df, weight_col, bucket_col, order_col, out_col="tok_offset"
+    )
+    w = F.col(weight_col).cast("long")
+    nonzero = w > 0
+    first = F.floor(F.col("tok_offset") / seq_len).cast("long")
+    last = F.floor((F.col("tok_offset") + w - 1) / seq_len).cast("long")
+    return (
+        out.withColumn("first_seq", F.when(nonzero, first))
+        .withColumn("last_seq", F.when(nonzero, last))
+        .withColumn(
+            "n_seqs",
+            F.when(nonzero, F.col("last_seq") - F.col("first_seq") + 1).otherwise(
+                F.lit(0)
+            ).cast("long"),
+        )
+    )

@@ -472,3 +472,57 @@ def t05_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# x04 — sequence packing (⊕T9): global token offsets + fixed-length
+# chunk spans via the two-phase prefix sum. Named past the driver's
+# 50-query cap (verify_local + pytest cover it); the oracle is the
+# GLOBAL-WINDOW form the Spark side deliberately avoids — the hash
+# gate certifies two-phase == global-window.
+# ---------------------------------------------------------------------------
+
+_SQL_PACKING = f"""
+    WITH t AS (
+        SELECT doc_id, source, len({_SQL_TOKS}) AS n_tok FROM documents
+    ), o AS (
+        SELECT doc_id, source, n_tok,
+               CAST(COALESCE(SUM(n_tok) OVER (
+                   ORDER BY source, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS tok_offset
+        FROM t
+    )
+    SELECT doc_id, source, n_tok, tok_offset,
+           CASE WHEN n_tok > 0 THEN tok_offset // 512 END AS first_seq,
+           CASE WHEN n_tok > 0 THEN (tok_offset + n_tok - 1) // 512 END AS last_seq,
+           CASE WHEN n_tok > 0
+                THEN (tok_offset + n_tok - 1) // 512 - tok_offset // 512 + 1
+                ELSE 0 END AS n_seqs
+    FROM o
+"""
+
+
+@register(
+    "x04_sequence_packing",
+    _SQL_PACKING,
+    doc="""GPT-style concat-and-chunk packing layout: each document's
+    global token offset and the span of 512-token training sequences
+    it occupies (straddling allowed). Spark side uses the two-phase
+    bucketed prefix sum (operators/packing); the oracle is the
+    single-partition global window it replaces.""",
+)
+def x04_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing layout (SURVEY §2.11 ⊕T9): global running
+    token offsets under the (source, doc_id) total order WITHOUT a
+    global window — per-bucket cumsum, tiny bucket-base running
+    total, broadcast add-back — then 512-token chunk spans."""
+    from ..operators.packing import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(tokens(F.lower(F.col("text")))).alias("n_tok")
+    )
+    return pack_sequences(t, seq_len=512).select(
+        "doc_id", "source", "n_tok", "tok_offset",
+        "first_seq", "last_seq", "n_seqs",
+    )
