@@ -137,3 +137,21 @@ def test_gate_columns_nonvacuous_on_fixture(spark):
     fracs = {r["rep_top_token_frac"] for r in rows if r["rep_top_token_frac"] is not None}
     assert len(fracs) > 10
     assert any(r["top_bigram_cnt"] and r["top_bigram_cnt"] > 1 for r in rows)
+
+
+def test_dedup_lines(spark):
+    from pyspark.sql import functions as F
+
+    from trendr_data_pipeline_spark.operators.quality import dedup_lines
+
+    cases = [
+        ("a b\nc d\na b\n\nc d\ne", "a b\nc d\ne"),
+        ("only", "only"),
+        ("", ""),
+        ("x\nx\nx", "x"),
+        ("  \n\n  ", ""),
+    ]
+    df = spark.createDataFrame([(i, t) for i, (t, _) in enumerate(cases)], "i long, t string")
+    got = {r["i"]: r["d"] for r in df.select("i", dedup_lines(F.col("t")).alias("d")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)

@@ -35,6 +35,7 @@ __all__ = [
     "top_run",
     "word_bigrams",
     "lines_of",
+    "dedup_lines",
     "repetition_metrics",
 ]
 
@@ -90,6 +91,15 @@ def lines_of(text: Column) -> Column:
     blank separator lines would otherwise count each other as
     duplicates and swamp the signal)."""
     return F.filter(F.split(text, r"\n"), lambda s: F.length(F.trim(s)) > 0)
+
+
+def dedup_lines(text: Column) -> Column:
+    """Intra-document line dedup (the C4 rule, applied at line grain):
+    keep the FIRST occurrence of each non-empty line, preserving
+    order — ``array_distinct`` is documented order-preserving on
+    first occurrence. Row-local, zero shuffle; blank lines collapse
+    (they are separators, not content)."""
+    return F.concat_ws("\n", F.array_distinct(lines_of(text)))
 
 
 def _chars_of(arr: Column) -> Column:
