@@ -373,6 +373,20 @@ _SQL_GRAMS = (
                len(list_filter(toks, x -> list_contains(['el','los','las','y','es'], x))) AS hits_es,
                len(list_filter(toks, x -> list_contains(['的','是','了','在','和'], x))) AS hits_zh
         FROM t
+    ), bgc AS (
+        SELECT doc_id, gram, tok_chars, COUNT(*) AS cnt
+        FROM (SELECT doc_id,
+                     UNNEST(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1])) AS gram,
+                     list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS tok_chars
+              FROM t WHERE len(toks) >= 2)
+        GROUP BY doc_id, gram, tok_chars
+    ), bgb AS (
+        SELECT doc_id, cnt * (len(gram) - 1) * 1.0 / tok_chars AS rep_frac
+        FROM (SELECT doc_id, cnt, gram, tok_chars,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY cnt DESC, gram ASC) AS rn
+              FROM bgc) WHERE rn = 1 AND tok_chars > 0
     ), scored AS (
         SELECT m.doc_id,
                m.doc_id > canonical_id AS is_dup,
@@ -384,13 +398,17 @@ _SQL_GRAMS = (
                     WHEN 40 * least(n_tok / 50.0, 1.0)
                      + 30 * greatest(1.0 - abs(tok_chars * 1.0 / n_tok - 4.5) / 4.5, 0.0)
                      + 30 * least(stop_hits * 5.0 / n_tok, 1.0) >= 35 THEN 'medium'
-                    ELSE 'low' END AS quality_class
-        FROM m WHERE n_tok > 0
+                    ELSE 'low' END AS quality_class,
+               COALESCE(bgb.rep_frac > 0.2, FALSE) AS is_repetitive
+        FROM m LEFT JOIN bgb ON m.doc_id = bgb.doc_id
+        WHERE n_tok > 0
     )
     SELECT doc_id, predicted_lang, quality_class, is_dup, is_contaminated,
+           is_repetitive,
            CASE WHEN is_dup THEN 'drop_duplicate'
                 WHEN is_contaminated THEN 'drop_contaminated'
                 WHEN predicted_lang = 'unknown' THEN 'drop_language'
+                WHEN is_repetitive THEN 'drop_repetition'
                 WHEN quality_class = 'low' THEN 'drop_quality'
                 ELSE 'keep' END AS decision
     FROM scored
@@ -411,6 +429,7 @@ def t05_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     from ..operators.dedup import bow_fingerprint, ngram_contamination_flags
+    from ..operators.quality import top_run, word_bigrams
 
     docs = read_table(spark, sf_dir, "documents")
     contam = ngram_contamination_flags(
@@ -425,6 +444,7 @@ def t05_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tok"),
         F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x).alias("tok_chars"),
         F.size(F.filter(toks, lambda x: F.array_contains(stop, x))).alias("stop_hits"),
+        top_run(word_bigrams(toks)).alias("_tb"),
     )
     for lang, markers in _MARKERS.items():
         arr = F.array(*[F.lit(m) for m in markers])
@@ -451,9 +471,13 @@ def t05_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = len_part + shape_part + stop_part
     qc = F.when(q >= 60, "high").when(q >= 35, "medium").otherwise("low")
 
+    rep_frac = (
+        F.col("_tb.cnt") * (F.length(F.col("_tb.val")) - 1) * 1.0 / F.col("tok_chars")
+    )
     out = (
         t.withColumn("predicted_lang", pred)
         .withColumn("quality_class", qc)
+        .withColumn("is_repetitive", F.coalesce(rep_frac > 0.2, F.lit(False)))
         .join(contam, "doc_id", "left")
         .withColumn("is_contaminated", F.coalesce(F.col("is_contaminated"), F.lit(False)))
     )
@@ -463,9 +487,11 @@ def t05_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_class",
         "is_dup",
         "is_contaminated",
+        "is_repetitive",
         F.when(F.col("is_dup"), "drop_duplicate")
         .when(F.col("is_contaminated"), "drop_contaminated")
         .when(F.col("predicted_lang") == "unknown", "drop_language")
+        .when(F.col("is_repetitive"), "drop_repetition")
         .when(F.col("quality_class") == "low", "drop_quality")
         .otherwise("keep")
         .alias("decision"),
