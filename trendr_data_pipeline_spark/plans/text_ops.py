@@ -46,18 +46,33 @@ _BPE_PAT = r"'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9']+"
                    AS bpe_tokens
         FROM documents
     )
-    SELECT source,
-           COUNT(*) AS n_docs,
-           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-           {sql_davg('n_tokens')} AS avg_tokens,
-           {sql_dsum('CASE WHEN n_tokens = 0 THEN NULL ELSE tok_chars * 1.0 / n_tokens END')}
-               AS sum_avg_token_len,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
-           {sql_davg('CASE WHEN n_tokens = 0 THEN NULL ELSE bpe_tokens * 1.0 / n_tokens END')}
-               AS sum_ratio_avg
-    FROM t
-    GROUP BY source
+    , v AS (
+        SELECT source, tok, COUNT(*) AS cnt
+        FROM (SELECT source, UNNEST({_SQL_TOKS}) AS tok FROM documents)
+        GROUP BY source, tok
+    ), vs AS (
+        SELECT source, COUNT(*) AS distinct_tokens,
+               CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS hapax_tokens
+        FROM v GROUP BY source
+    ), agg AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               {sql_davg('n_tokens')} AS avg_tokens,
+               {sql_dsum('CASE WHEN n_tokens = 0 THEN NULL ELSE tok_chars * 1.0 / n_tokens END')}
+                   AS sum_avg_token_len,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+               {sql_davg('CASE WHEN n_tokens = 0 THEN NULL ELSE bpe_tokens * 1.0 / n_tokens END')}
+                   AS sum_ratio_avg
+        FROM t
+        GROUP BY source
+    )
+    SELECT agg.*,
+           COALESCE(vs.distinct_tokens, 0) AS distinct_tokens,
+           COALESCE(vs.hapax_tokens, 0) AS hapax_tokens
+    FROM agg LEFT JOIN vs USING (source)
     """,
 )
 def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,7 +81,10 @@ def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (GPT-2 class regex — contractions / letter runs / digit runs /
     punctuation runs, lookahead-free so both engines' regex dialects
     agree) — the cost-model columns a training-data pipeline budgets
-    corpora with; aggregates per source."""
+    corpora with; aggregates per source. Late-r4 addition: vocabulary
+    stats (distinct tokens + hapax legomena per source) via the
+    two-level (source, token) → source partial-agg pyramid — the
+    shuffle carries the distinct vocab, not the token stream."""
     docs = read_table(spark, sf_dir, "documents")
     toks = tokens(F.lower(F.col("text")))
     t = docs.select(
@@ -79,7 +97,7 @@ def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bpe_tokens"),
     )
     nonzero = F.col("n_tokens") != 0
-    return t.groupBy("source").agg(
+    agg = t.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         davg("n_tokens").alias("avg_tokens"),
@@ -91,6 +109,26 @@ def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg(F.when(nonzero, F.col("bpe_tokens") * 1.0 / F.col("n_tokens"))).alias(
             "sum_ratio_avg"
         ),
+    )
+    # vocabulary stats: token-grain partial-agg pyramid (source, token)
+    # → source; the (source, token) shuffle is the corpus's distinct
+    # vocab, not the token stream (map-side combine collapses repeats)
+    vocab = (
+        docs.select("source", F.explode(toks).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("distinct_tokens"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("hapax_tokens"),
+        )
+    )
+    return agg.join(vocab, "source", "left").select(
+        agg["*"],
+        F.coalesce("distinct_tokens", F.lit(0)).alias("distinct_tokens"),
+        F.coalesce("hapax_tokens", F.lit(0)).alias("hapax_tokens"),
     )
 
 
