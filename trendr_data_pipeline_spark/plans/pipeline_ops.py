@@ -324,3 +324,86 @@ def p08_streaming_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import jobs
 
     return _replay_events(spark, sf_dir, jobs.daily_usage_counters, "p08_daily")
+
+
+# ---------------------------------------------------------------------------
+# x05 — streaming interval join under the oracle (SS11, hash-gated
+# via verify_local; named past the driver's 50-query recording cap).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x05_streaming_interval_join",
+    # identical to e08's oracle: per purchase, the same user's events
+    # in the following 6 hours
+    """
+    SELECT a.event_id, a.user_id,
+           CAST(COUNT(b.event_id) AS BIGINT) AS n_follow,
+           COALESCE(CAST(SUM(CAST(b.value AS DECIMAL(28,6))) AS DOUBLE), 0.0)
+             AS sum_value,
+           CAST(COUNT(CASE WHEN b.event_type = 'error' THEN 1 END) AS BIGINT)
+             AS n_errors
+    FROM events a LEFT JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+    WHERE a.event_type = 'purchase'
+    GROUP BY a.event_id, a.user_id
+    """,
+    doc="""SS11 watermarked stream-stream interval join replayed
+    synchronously (two file-stream scans of the same staged fixture,
+    append-mode memory sink), then batch-aggregated to e08's anchor
+    grain and left-completed with follower-less purchases. Oracle =
+    e08's brute-force range-join SQL — the streaming join's state
+    eviction must lose nothing on a bounded replay.""",
+)
+def x05_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming import jobs
+    from ._numeric import dsum
+
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet")
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            jobs.interval_join_stream(
+                jobs.events_stream(spark, stage), jobs.events_stream(spark, stage)
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("x05_pairs")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        pairs = spark.table("x05_pairs")
+        agg = pairs.groupBy(
+            F.col("a_event_id").alias("event_id"), F.col("a_user_id").alias("user_id")
+        ).agg(
+            F.count("p_event_id").alias("n_follow"),
+            F.coalesce(dsum(F.col("p_value")), F.lit(0.0)).alias("sum_value"),
+            F.count(F.when(F.col("p_event_type") == "error", 1)).alias("n_errors"),
+        )
+        anchors = (
+            read_table(spark, sf_dir, "events")
+            .filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id")
+        )
+        return anchors.join(agg, ["event_id", "user_id"], "left").select(
+            "event_id",
+            "user_id",
+            F.coalesce("n_follow", F.lit(0).cast("long")).alias("n_follow"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+            F.coalesce("n_errors", F.lit(0).cast("long")).alias("n_errors"),
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        shutil.rmtree(stage, ignore_errors=True)
