@@ -83,3 +83,25 @@ def test_no_global_exchange_on_big_frame(spark):
     # on bucket); count SinglePartition exchanges — exactly one, for
     # the bucket-totals running sum
     assert plan.count("SinglePartition") == 1, plan
+
+
+def test_null_bucket_rows_survive(spark):
+    """NULL buckets are a real group: rows must not be dropped by the
+    add-back join, and the group orders LAST (SQL default)."""
+    df = spark.createDataFrame(
+        [("a", 1, 5), (None, 2, 7), ("b", 3, 11), (None, 4, 2)],
+        "bucket string, k long, w long",
+    )
+    got = {r["k"]: r["offset"] for r in global_running_offsets(df, "w", "bucket", "k").collect()}
+    w = (
+        Window.orderBy(F.col("bucket").asc_nulls_last(), F.col("k"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        r["k"]: r["offset"]
+        for r in df.withColumn(
+            "offset", F.coalesce(F.sum("w").over(w), F.lit(0)).cast("long")
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == 4

@@ -49,23 +49,29 @@ def global_running_offsets(
     )
 
     # one row per bucket — a single-partition running total over THIS
-    # frame is deliberate and safe (|buckets| rows, not |corpus|)
+    # frame is deliberate and safe (|buckets| rows, not |corpus|).
+    # NULL buckets are a real group: the running total orders them
+    # LAST (matching SQL's default ORDER BY semantics) and the
+    # add-back join is null-safe so their rows are not dropped.
     totals = df.groupBy(bucket_col).agg(
         F.sum(F.col(weight_col).cast("long")).alias("_bucket_total")
     )
-    base_w = Window.orderBy(bucket_col).rowsBetween(
+    base_w = Window.orderBy(F.col(bucket_col).asc_nulls_last()).rowsBetween(
         Window.unboundedPreceding, -1
     )
     bases = totals.withColumn(
         "_base", F.coalesce(F.sum("_bucket_total").over(base_w), F.lit(0))
-    ).select(bucket_col, "_base")
+    ).select(F.col(bucket_col).alias("_bucket_key"), "_base")
 
     return (
-        with_cum.join(F.broadcast(bases), bucket_col)
+        with_cum.join(
+            F.broadcast(bases),
+            F.col(bucket_col).eqNullSafe(F.col("_bucket_key")),
+        )
         .withColumn(
             out_col, F.col("_base") + F.col("_cum_incl") - F.col(weight_col).cast("long")
         )
-        .drop("_cum_incl", "_base")
+        .drop("_cum_incl", "_base", "_bucket_key")
     )
 
 

@@ -34,6 +34,7 @@ from ..functions.text import tokens
 __all__ = [
     "top_run",
     "word_bigrams",
+    "bigram_char_coverage",
     "lines_of",
     "dedup_lines",
     "repetition_metrics",
@@ -84,6 +85,19 @@ def word_bigrams(toks: Column) -> Column:
             lambda i: F.concat(F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def bigram_char_coverage(tb: Column, tok_chars: Column) -> Column:
+    """Characters covered by a ``top_run`` bigram champion over total
+    token chars: count × (champion length − 1 — the −1 cancels the
+    joining space, leaving its two tokens' chars), overlap-blind as
+    in Gopher. NULL when there is no bigram or no token chars. The
+    single home of this formula — t03, t05 and
+    :func:`repetition_metrics` all route through it."""
+    return F.when(
+        (tb["cnt"] > 0) & (tok_chars > 0),
+        tb["cnt"] * (F.length(tb["val"]) - 1) * 1.0 / tok_chars,
+    )
 
 
 def lines_of(text: Column) -> Column:
@@ -162,12 +176,7 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("top_bigram_cnt", F.col("_tb.cnt"))
         .withColumn(
             "rep_top_bigram_frac",
-            F.when(
-                (F.col("_tb.cnt") > 0) & (tok_chars > 0),
-                F.round(
-                    F.col("_tb.cnt") * (F.length(F.col("_tb.val")) - 1) / tok_chars, 6
-                ),
-            ),
+            F.round(bigram_char_coverage(F.col("_tb"), tok_chars), 6),
         )
         .drop("_toks", "_lines", "_tt", "_tb")
     )

@@ -128,10 +128,13 @@ def _replay_events(
     name: str,
     output_mode: str = "complete",
     shuffle_partitions: str = "8",
+    n_streams: int = 1,
 ) -> DataFrame:
     """Replay the events fixture through a streaming job synchronously
     (staged file source → memory sink → processAllAvailable) and return
-    the sink table. Shared by p02/p08.
+    the sink table. Shared by p02/p08/x05; ``build`` receives
+    ``n_streams`` independent file-stream scans of the same staged
+    fixture (stream-stream joins need two).
 
     The file-stream source needs a directory, so events.parquet is
     staged into a temp dir (removed afterwards — the memory sink holds
@@ -151,10 +154,10 @@ def _replay_events(
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet"))
-        stream = jobs.events_stream(spark, stage)
+        streams = [jobs.events_stream(spark, stage) for _ in range(n_streams)]
         spark.conf.set("spark.sql.shuffle.partitions", shuffle_partitions)
         q = (
-            build(stream)
+            build(*streams)
             .writeStream.outputMode(output_mode)
             .format("memory")
             .queryName(name)
@@ -357,53 +360,33 @@ def p08_streaming_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     eviction must lose nothing on a bounded replay.""",
 )
 def x05_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
-    import tempfile
-
     from ..streaming import jobs
     from ._numeric import dsum
 
-    stage = tempfile.mkdtemp(prefix="events_stream_")
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        shutil.copy(
-            os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet")
-        )
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        q = (
-            jobs.interval_join_stream(
-                jobs.events_stream(spark, stage), jobs.events_stream(spark, stage)
-            )
-            .writeStream.outputMode("append")
-            .format("memory")
-            .queryName("x05_pairs")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-        pairs = spark.table("x05_pairs")
-        agg = pairs.groupBy(
-            F.col("a_event_id").alias("event_id"), F.col("a_user_id").alias("user_id")
-        ).agg(
-            F.count("p_event_id").alias("n_follow"),
-            F.coalesce(dsum(F.col("p_value")), F.lit(0.0)).alias("sum_value"),
-            F.count(F.when(F.col("p_event_type") == "error", 1)).alias("n_errors"),
-        )
-        anchors = (
-            read_table(spark, sf_dir, "events")
-            .filter(F.col("event_type") == "purchase")
-            .select("event_id", "user_id")
-        )
-        return anchors.join(agg, ["event_id", "user_id"], "left").select(
-            "event_id",
-            "user_id",
-            F.coalesce("n_follow", F.lit(0).cast("long")).alias("n_follow"),
-            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
-            F.coalesce("n_errors", F.lit(0).cast("long")).alias("n_errors"),
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
-        shutil.rmtree(stage, ignore_errors=True)
+    pairs = _replay_events(
+        spark,
+        sf_dir,
+        jobs.interval_join_stream,
+        "x05_pairs",
+        output_mode="append",
+        n_streams=2,
+    )
+    agg = pairs.groupBy(
+        F.col("a_event_id").alias("event_id"), F.col("a_user_id").alias("user_id")
+    ).agg(
+        F.count("p_event_id").alias("n_follow"),
+        F.coalesce(dsum(F.col("p_value")), F.lit(0.0)).alias("sum_value"),
+        F.count(F.when(F.col("p_event_type") == "error", 1)).alias("n_errors"),
+    )
+    anchors = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id")
+    )
+    return anchors.join(agg, ["event_id", "user_id"], "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce("n_follow", F.lit(0).cast("long")).alias("n_follow"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        F.coalesce("n_errors", F.lit(0).cast("long")).alias("n_errors"),
+    )

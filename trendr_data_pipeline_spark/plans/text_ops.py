@@ -308,7 +308,7 @@ def t03_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode → group → rank plan; same result, different engine
     strategy — exactly what the hash gate certifies)."""
     from ..operators.dedup import bow_fingerprint
-    from ..operators.quality import top_run, word_bigrams
+    from ..operators.quality import bigram_char_coverage, top_run, word_bigrams
     from ..operators.sampling import mix_n_copies
 
     docs = read_table(spark, sf_dir, "documents")
@@ -350,12 +350,8 @@ def t03_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rep_top_token_frac"
         ),
         F.col("_tb.cnt").alias("top_bigram_cnt"),
-        F.when(
-            (F.col("_tb.cnt") > 0) & (F.col("tok_chars") > 0),
-            F.round(
-                F.col("_tb.cnt") * (F.length(F.col("_tb.val")) - 1) * 1.0 / F.col("tok_chars"),
-                6,
-            ),
+        F.round(
+            bigram_char_coverage(F.col("_tb"), F.col("tok_chars")), 6
         ).alias("rep_top_bigram_frac"),
     )
 
@@ -467,7 +463,7 @@ def t05_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     from ..operators.dedup import bow_fingerprint, ngram_contamination_flags
-    from ..operators.quality import top_run, word_bigrams
+    from ..operators.quality import bigram_char_coverage, top_run, word_bigrams
 
     docs = read_table(spark, sf_dir, "documents")
     contam = ngram_contamination_flags(
@@ -509,9 +505,7 @@ def t05_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = len_part + shape_part + stop_part
     qc = F.when(q >= 60, "high").when(q >= 35, "medium").otherwise("low")
 
-    rep_frac = (
-        F.col("_tb.cnt") * (F.length(F.col("_tb.val")) - 1) * 1.0 / F.col("tok_chars")
-    )
+    rep_frac = bigram_char_coverage(F.col("_tb"), F.col("tok_chars"))
     out = (
         t.withColumn("predicted_lang", pred)
         .withColumn("quality_class", qc)
