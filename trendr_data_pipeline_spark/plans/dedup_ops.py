@@ -304,11 +304,20 @@ _SQL_COMPONENTS = f"""
         SELECT u AS node, LEAST(u, MIN(v)) AS component
         FROM reach GROUP BY u
     )
-    SELECT d.doc_id,
-           COALESCE(c.component, d.doc_id) AS component,
-           COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
-    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
-    LEFT JOIN comp c ON d.doc_id = c.node
+    SELECT doc_id, component, is_canonical,
+           CASE WHEN f < 0.9e0 THEN 'train'
+                WHEN f < 0.95e0 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT d.doc_id,
+               COALESCE(c.component, d.doc_id) AS component,
+               COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical,
+               (('0x' || substr(md5('split' ||
+                    CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT
+                 / 4294967296.0e0) AS f
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        LEFT JOIN comp c ON d.doc_id = c.node
+    )
 """
 
 
@@ -323,14 +332,23 @@ _SQL_COMPONENTS = f"""
 )
 def x03_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster canonicalization (SURVEY §2.11 ⊕D9): labels
-    every document in the slice with its near-dup component and the
-    keep/drop decision (component minimum survives)."""
+    every document in the slice with its near-dup component, the
+    keep/drop decision (component minimum survives), and a
+    LEAKAGE-SAFE train/val/test split — assigned per COMPONENT via
+    the deterministic md5 fraction, so two near-duplicate documents
+    can never straddle a train/eval boundary (splitting per DOCUMENT
+    would leak eval content into training through its near-dups)."""
     from ..operators.dedup import jaccard_similarity_pairs
     from ..operators.graph import canonicalize_components, connected_components
+    from ..operators.sampling import hash_fraction
 
     docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     pairs = jaccard_similarity_pairs(docs, threshold=0.8)
     labels = connected_components(pairs, nodes=docs, node_col="doc_id")
+    frac = hash_fraction(F.col("component"), salt="split")
     return canonicalize_components(labels).select(
-        F.col("node").alias("doc_id"), "component", "is_canonical"
+        F.col("node").alias("doc_id"),
+        "component",
+        "is_canonical",
+        F.when(frac < 0.9, "train").when(frac < 0.95, "val").otherwise("test").alias("split"),
     )
