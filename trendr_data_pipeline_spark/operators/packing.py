@@ -34,16 +34,21 @@ def global_running_offsets(
     df: DataFrame,
     weight_col: str,
     bucket_col: str,
-    order_col: str,
+    order_col: str | list[str],
     out_col: str = "offset",
 ) -> DataFrame:
     """Exclusive prefix sum of ``weight_col`` under the total order
-    (bucket_col, order_col), without a global window.
+    (bucket_col, *order_cols), without a global window.
 
-    ``(bucket_col, order_col)`` must be unique per row (it defines
-    where each row starts in the stream).
+    ``(bucket_col, *order_cols)`` must be unique per row (it defines
+    where each row starts in the stream), and ``bucket_col`` must be
+    a monotone function of the leading order column (e.g. its floor)
+    so bucket order agrees with the global order.
     """
-    within = Window.partitionBy(bucket_col).orderBy(order_col)
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    within = Window.partitionBy(bucket_col).orderBy(
+        *[F.col(c).asc_nulls_last() for c in order_cols]
+    )
     with_cum = df.withColumn(
         "_cum_incl", F.sum(F.col(weight_col).cast("long")).over(within)
     )

@@ -218,6 +218,17 @@ _SQL_QUALITY = (
 )
 
 
+def _quality_expr(n_tok, tok_chars, stop_hits):
+    """The Spark twin of ``_SQL_QUALITY`` — single home of the
+    length/word-shape/stopword blend used by t03, t05 and x06."""
+    len_part = 40 * F.least(n_tok / 50.0, F.lit(1.0))
+    shape_part = 30 * F.greatest(
+        1.0 - F.abs(tok_chars * 1.0 / n_tok - 4.5) / 4.5, F.lit(0.0)
+    )
+    stop_part = 30 * F.least(stop_hits * 5.0 / n_tok, F.lit(1.0))
+    return len_part + shape_part + stop_part
+
+
 #: per-source mixture weights exercised by the gate: drop / downsample
 #: / default / upsample (fractional + guaranteed-copy parts)
 _MIX_WEIGHTS = {"src0": 2.25, "src1": 0.4, "src2": 0.0}
@@ -328,12 +339,7 @@ def t03_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_run(toks).alias("_tt"),
         top_run(word_bigrams(toks)).alias("_tb"),
     )
-    len_part = 40 * F.least(F.col("n_tok") / 50.0, F.lit(1.0))
-    shape_part = 30 * F.greatest(
-        1.0 - F.abs(F.col("tok_chars") * 1.0 / F.col("n_tok") - 4.5) / 4.5, F.lit(0.0)
-    )
-    stop_part = 30 * F.least(F.col("stop_hits") * 5.0 / F.col("n_tok"), F.lit(1.0))
-    q = len_part + shape_part + stop_part
+    q = _quality_expr(F.col("n_tok"), F.col("tok_chars"), F.col("stop_hits"))
     has_tok = F.col("n_tok") > 0
     return t.select(
         "doc_id",
@@ -497,12 +503,7 @@ def t05_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred = pred.when(F.col(f"hits_{lang}") >= rest, F.lit(lang))
     pred = pred.otherwise(F.lit(_LANG_ORDER[-1]))
 
-    len_part = 40 * F.least(F.col("n_tok") / 50.0, F.lit(1.0))
-    shape_part = 30 * F.greatest(
-        1.0 - F.abs(F.col("tok_chars") * 1.0 / F.col("n_tok") - 4.5) / 4.5, F.lit(0.0)
-    )
-    stop_part = 30 * F.least(F.col("stop_hits") * 5.0 / F.col("n_tok"), F.lit(1.0))
-    q = len_part + shape_part + stop_part
+    q = _quality_expr(F.col("n_tok"), F.col("tok_chars"), F.col("stop_hits"))
     qc = F.when(q >= 60, "high").when(q >= 35, "medium").otherwise("low")
 
     rep_frac = bigram_char_coverage(F.col("_tb"), F.col("tok_chars"))
@@ -583,4 +584,89 @@ def x04_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(t, seq_len=512).select(
         "doc_id", "source", "n_tok", "tok_offset",
         "first_seq", "last_seq", "n_seqs",
+    )
+
+
+# ---------------------------------------------------------------------------
+# x06 — quality-budget corpus selection (⊕T10): greedy highest-quality
+# documents under a global token budget, via the same two-phase
+# prefix-sum machinery as x04 ordered by quality instead of doc id.
+# Past the driver's 50-query cap; oracle = the global-window form.
+# ---------------------------------------------------------------------------
+
+#: token budget for the gated/benched setting: ~half the corpus at
+#: sf0.01, ~5% at sf0.1 — non-vacuous at every fixture scale
+_BUDGET = 15000
+
+_SQL_BUDGET = f"""
+    WITH t AS (
+        SELECT doc_id,
+               len({_SQL_TOKS}) AS n_tok,
+               list_aggregate(list_transform({_SQL_TOKS}, x -> len(x)), 'sum') AS tok_chars,
+               len(list_filter({_SQL_TOKS},
+                   x -> list_contains(['the','a','of','and','is','to','in'], x))) AS stop_hits
+        FROM documents
+    ), s AS (
+        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+               CASE WHEN n_tok > 0 THEN ROUND({_SQL_QUALITY}, 6) END AS quality
+        FROM t
+    ), o AS (
+        SELECT doc_id, n_tok, quality,
+               CAST(COALESCE(SUM(n_tok) OVER (
+                   ORDER BY -quality ASC NULLS LAST, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS tok_offset
+        FROM s
+    )
+    SELECT doc_id, quality, n_tok, tok_offset,
+           tok_offset + n_tok <= {_BUDGET} AS selected
+    FROM o
+"""
+
+
+@register(
+    "x06_budget_selection",
+    _SQL_BUDGET,
+    doc="""Greedy quality-budget selection: documents taken in
+    descending quality order (doc_id tie-break) until the corpus
+    token budget is exhausted; a document is selected iff it fits
+    entirely. Spark side is the two-phase bucketed prefix sum
+    (bucket = floor(-quality), monotone in the sort key); oracle is
+    the single-partition global window it replaces.""",
+)
+def x06_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus selection under a token budget (SURVEY §2.11 ⊕T10) —
+    the step after scoring: keep the best documents until the
+    training-token budget is hit. Ordering is (quality DESC, doc_id);
+    NULL-quality (token-less) docs sort last on both engines
+    (asc_nulls_last ↔ SQL NULLS LAST, through the null-safe bucket
+    machinery of operators/packing)."""
+    from ..operators.packing import global_running_offsets
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "is", "to", "in"]])
+    t = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x).alias("tok_chars"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop, x))).alias("stop_hits"),
+    )
+    q = _quality_expr(F.col("n_tok"), F.col("tok_chars"), F.col("stop_hits"))
+    s = t.select(
+        "doc_id",
+        "n_tok",
+        F.when(F.col("n_tok") > 0, F.round(q, 6)).alias("quality"),
+    ).withColumn("sortkey", -F.col("quality")).withColumn(
+        "qbucket", F.floor(F.col("sortkey"))
+    )
+    o = global_running_offsets(
+        s, "n_tok", "qbucket", ["sortkey", "doc_id"], out_col="tok_offset"
+    )
+    return o.select(
+        "doc_id",
+        "quality",
+        "n_tok",
+        "tok_offset",
+        (F.col("tok_offset") + F.col("n_tok") <= F.lit(_BUDGET)).alias("selected"),
     )
