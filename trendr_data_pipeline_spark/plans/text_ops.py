@@ -670,3 +670,71 @@ def x06_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok_offset",
         (F.col("tok_offset") + F.col("n_tok") <= F.lit(_BUDGET)).alias("selected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x07 — TF-IDF top terms per document (⊕T11). Past the driver's
+# 50-query cap; verify_local + the pytest contract gate hash-check it.
+# Both engines rank on the ROUNDED tfidf (libm ln may differ in the
+# last ulp between JVM and C; ranking on the rounded value with a
+# token tie-break keeps the two orderings identical).
+# ---------------------------------------------------------------------------
+
+_SQL_TFIDF = f"""
+    WITH t AS (
+        SELECT doc_id, UNNEST({_SQL_TOKS}) AS tok FROM documents
+    ), tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY doc_id, tok
+    ), dfreq AS (
+        SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), n AS (
+        SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf
+    ), scored AS (
+        SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+               ROUND(tf.tf * ln(n.n_docs * 1.0 / dfreq.df), 6) AS tfidf
+        FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n
+    )
+    SELECT doc_id, tok, tf, df, tfidf, rk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, tok ASC) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+"""
+
+
+@register(
+    "x07_tfidf_topk",
+    _SQL_TFIDF,
+    doc="""Top-5 TF-IDF terms per document: (doc, token) term counts,
+    corpus document frequencies, idf = ln(N/df), ranked on the
+    rounded score with a deterministic token tie-break.""",
+)
+def x07_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction (SURVEY §2.11 ⊕T11): two keyed
+    aggregations (doc-token term counts; token document frequencies —
+    both benefit from map-side combine), a broadcast of the 1-row
+    corpus size, a token-keyed join (broadcast at fixture scale, a
+    plain shuffle join when the vocabulary outgrows it), and a
+    per-document top-k window. No Python anywhere."""
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    t = docs.select("doc_id", F.explode(toks).alias("tok"))
+    tf = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "tok", "tf", "df", "tfidf", "rk")
+    )
