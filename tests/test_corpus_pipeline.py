@@ -1,0 +1,72 @@
+"""End-to-end invariants of the composed training-corpus pipeline
+(clean → redact → canonicalize → budget-select → pack) at sf0.001."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SMOKE_SF
+from trendr_data_pipeline_spark.plans.corpus_pipeline import build_training_corpus
+
+BUDGET = 8000
+SEQ = 128
+
+
+def _run(spark):
+    if not hasattr(_run, "rows"):
+        _run.rows = build_training_corpus(
+            spark, SMOKE_SF, seq_len=SEQ, token_budget=BUDGET
+        ).collect()
+    return _run.rows
+
+
+def test_budget_respected(spark):
+    rows = _run(spark)
+    assert rows, "pipeline selected nothing"
+    total = sum(r["n_tok"] for r in rows)
+    assert total <= BUDGET
+    for r in rows:
+        assert r["tok_offset"] + r["n_tok"] <= BUDGET
+
+
+def test_offsets_contiguous_and_spans_consistent(spark):
+    rows = _run(spark)
+    # selected docs form one contiguous token stream from 0
+    pos = 0
+    for r in sorted(rows, key=lambda r: r["tok_offset"]):
+        assert r["tok_offset"] == pos
+        assert r["first_seq"] == r["tok_offset"] // SEQ
+        assert r["last_seq"] == (r["tok_offset"] + r["n_tok"] - 1) // SEQ
+        assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1
+        pos += r["n_tok"]
+
+
+def test_quality_greedy_order(spark):
+    rows = _run(spark)
+    # stream order is quality-descending (doc_id tie-break)
+    ordered = sorted(rows, key=lambda r: r["tok_offset"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert (-a["quality"], a["doc_id"]) < (-b["quality"], b["doc_id"])
+
+
+def test_no_exact_or_near_dups_survive(spark):
+    from trendr_data_pipeline_spark.operators.dedup import (
+        bow_fingerprint,
+        jaccard_similarity_pairs,
+    )
+
+    rows = _run(spark)
+    df = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+    )
+    fps = df.select(bow_fingerprint(F.col("text")).alias("fp")).collect()
+    assert len({r["fp"] for r in fps}) == len(fps), "exact dup survived"
+    assert jaccard_similarity_pairs(df, threshold=0.8).count() == 0, (
+        "near-dup pair survived canonicalization"
+    )
+
+
+def test_one_canonical_per_component(spark):
+    rows = _run(spark)
+    comps = [r["component"] for r in rows]
+    assert len(set(comps)) == len(comps)

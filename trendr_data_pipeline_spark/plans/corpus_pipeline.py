@@ -1,0 +1,128 @@
+"""The composed end-to-end training-corpus pipeline — every
+north-star stage chained the way a real pre-training data build runs
+them (the individual stages are each hash-gated; this module is the
+user-facing composition, invariant-tested in
+tests/test_corpus_pipeline.py):
+
+1. corpus clean (t05 ladder: exact-dup flag, benchmark
+   decontamination, language ID, Gopher repetition, quality) — keep
+   only 'keep' decisions;
+2. PII redaction over the survivors' text (scan-local regexp);
+3. near-dup cluster canonicalization: exact Jaccard pairs →
+   connected components → component-minimum survives (removes the
+   TRANSITIVE near-dups the per-doc ladder cannot see);
+4. greedy quality-budget selection (best documents first until the
+   token budget is exhausted);
+5. sequence packing (global token offsets + fixed-length chunk
+   spans via the two-phase prefix sum).
+
+Shuffle inventory at 100 TB: the t05 fingerprint window + gram
+semi-join, the pair join + O(log² n) component rounds (both bounded
+by near-dup density), and one keyed window per prefix-sum bucket —
+redaction, quality, and selection predicates all ride existing
+scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.pii import redact_pii
+from ..functions.text import tokens
+from ..io import read_table
+from ..operators.dedup import jaccard_similarity_pairs
+from ..operators.graph import canonicalize_components, connected_components
+from ..operators.packing import global_running_offsets
+from .text_ops import _quality_expr, t05_corpus_clean
+
+
+def build_training_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    seq_len: int = 512,
+    token_budget: int = 15000,
+    near_dup_threshold: float = 0.8,
+) -> DataFrame:
+    """Run the full pipeline; returns one row per SELECTED document:
+    (doc_id, source, text, n_tok, quality, component, tok_offset,
+    first_seq, last_seq, n_seqs), ordered by its position in the
+    packed token stream. ``text`` is PII-redacted."""
+    docs = read_table(spark, sf_dir, "documents")
+
+    # 1. per-doc ladder (dup/contamination/language/repetition/quality)
+    kept_ids = (
+        t05_corpus_clean(spark, sf_dir)
+        .filter(F.col("decision") == "keep")
+        .select("doc_id")
+    )
+    kept = docs.join(kept_ids, "doc_id")
+
+    # 2. PII redaction (fixture contains none; the stage still runs)
+    kept = kept.withColumn("text", redact_pii(F.col("text")))
+
+    # 3. transitive near-dup canonicalization
+    pairs = jaccard_similarity_pairs(kept, threshold=near_dup_threshold)
+    labels = connected_components(pairs, nodes=kept, node_col="doc_id")
+    canonical = canonicalize_components(labels).filter("is_canonical")
+    survivors = kept.join(
+        canonical.select(F.col("node").alias("doc_id"), "component"), "doc_id"
+    )
+
+    # 4. greedy quality-budget selection (x06 semantics)
+    toks = tokens(F.lower(F.col("text")))
+    stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "is", "to", "in"]])
+    scored = survivors.select(
+        "doc_id",
+        "source",
+        "text",
+        "component",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x).alias(
+            "_tok_chars"
+        ),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop, x))).alias("_stop_hits"),
+    )
+    q = _quality_expr(F.col("n_tok"), F.col("_tok_chars"), F.col("_stop_hits"))
+    scored = (
+        scored.withColumn("quality", F.when(F.col("n_tok") > 0, F.round(q, 6)))
+        .withColumn("_sortkey", -F.col("quality"))
+        .withColumn("_qbucket", F.floor(F.col("_sortkey")))
+        .drop("_tok_chars", "_stop_hits")
+    )
+    # composite (quality DESC, doc_id) total order needs the doc_id
+    # tie-break, so use the offsets primitive directly rather than
+    # pack_sequences' single-order-column convenience wrapper
+    offsets = global_running_offsets(
+        scored, "n_tok", "_qbucket", ["_sortkey", "doc_id"], out_col="tok_offset"
+    )
+    w = F.col("n_tok")
+    selected = offsets.filter(F.col("tok_offset") + w <= token_budget)
+
+    # 5. chunk spans over the selected prefix
+    first = F.floor(F.col("tok_offset") / seq_len).cast("long")
+    last = F.floor((F.col("tok_offset") + w - 1) / seq_len).cast("long")
+    nonzero = w > 0
+    return (
+        selected.withColumn("first_seq", F.when(nonzero, first))
+        .withColumn("last_seq", F.when(nonzero, last))
+        .withColumn(
+            "n_seqs",
+            F.when(nonzero, F.col("last_seq") - F.col("first_seq") + 1)
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            "n_tok",
+            "quality",
+            "component",
+            "tok_offset",
+            "first_seq",
+            "last_seq",
+            "n_seqs",
+        )
+        .orderBy("tok_offset", "doc_id")
+    )
