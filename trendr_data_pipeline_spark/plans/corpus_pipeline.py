@@ -21,6 +21,13 @@ semi-join, the pair join + O(log² n) component rounds (both bounded
 by near-dup density), and one keyed window per prefix-sum bucket —
 redaction, quality, and selection predicates all ride existing
 scans.
+
+Fixture caveat (measured): 71 s end-to-end at sf0.1, ~90% of it the
+exact pair join + component rounds over the ~1.5 M qualifying pairs
+the 24%-density fixture produces among survivors (SCALING.md's
+standing density artifact). At real corpus density (<1% pairs) stage
+3 is the cheap stage; swap `jaccard_similarity_pairs` for
+`minhash_lsh_pairs` when the corpus outgrows the exact path.
 """
 
 from __future__ import annotations
