@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["global_running_offsets", "pack_sequences"]
+__all__ = ["global_running_offsets", "chunk_spans", "pack_sequences"]
 
 
 def global_running_offsets(
@@ -41,9 +41,15 @@ def global_running_offsets(
     (bucket_col, *order_cols), without a global window.
 
     ``(bucket_col, *order_cols)`` must be unique per row (it defines
-    where each row starts in the stream), and ``bucket_col`` must be
-    a monotone function of the leading order column (e.g. its floor)
-    so bucket order agrees with the global order.
+    where each row starts in the stream). Two valid contracts for the
+    bucket column:
+
+    - the intended total order IS (bucket_col, *order_cols) — any
+      bucket works (x04's (source, doc_id) layout); or
+    - the intended order is (*order_cols) alone — then bucket_col
+      must be a MONOTONE function of order_cols[0] (e.g. its floor,
+      x06's quality buckets) so bucket boundaries cannot interleave
+      the order.
     """
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     within = Window.partitionBy(bucket_col).orderBy(
@@ -80,28 +86,20 @@ def global_running_offsets(
     )
 
 
-def pack_sequences(
-    df: DataFrame,
-    seq_len: int,
-    weight_col: str = "n_tok",
-    bucket_col: str = "source",
-    order_col: str = "doc_id",
-) -> DataFrame:
-    """Assign each document its span of fixed-length training
-    sequences: ``tok_offset`` (global stream position), ``first_seq``
-    / ``last_seq`` (chunk ids the document touches, straddling
-    allowed), ``n_seqs``. Zero-weight documents occupy no tokens:
-    NULL seq ids, ``n_seqs = 0``.
-    """
-    out = global_running_offsets(
-        df, weight_col, bucket_col, order_col, out_col="tok_offset"
-    )
+def chunk_spans(df: DataFrame, seq_len: int, weight_col: str = "n_tok") -> DataFrame:
+    """Chunk-span columns from an existing ``tok_offset``:
+    ``first_seq`` / ``last_seq`` (chunk ids the document touches,
+    straddling allowed) and ``n_seqs``. Zero-weight documents occupy
+    no tokens: NULL seq ids, ``n_seqs = 0``. Single home of the span
+    semantics — used by :func:`pack_sequences` and the composed
+    corpus pipeline (which filters on a budget between offsets and
+    spans)."""
     w = F.col(weight_col).cast("long")
     nonzero = w > 0
     first = F.floor(F.col("tok_offset") / seq_len).cast("long")
     last = F.floor((F.col("tok_offset") + w - 1) / seq_len).cast("long")
     return (
-        out.withColumn("first_seq", F.when(nonzero, first))
+        df.withColumn("first_seq", F.when(nonzero, first))
         .withColumn("last_seq", F.when(nonzero, last))
         .withColumn(
             "n_seqs",
@@ -110,3 +108,20 @@ def pack_sequences(
             ).cast("long"),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    weight_col: str = "n_tok",
+    bucket_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each document its span of fixed-length training
+    sequences: ``tok_offset`` (global stream position) plus the
+    :func:`chunk_spans` columns.
+    """
+    out = global_running_offsets(
+        df, weight_col, bucket_col, order_col, out_col="tok_offset"
+    )
+    return chunk_spans(out, seq_len, weight_col)

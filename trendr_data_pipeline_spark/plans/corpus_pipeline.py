@@ -36,12 +36,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.pii import redact_pii
-from ..functions.text import tokens
 from ..io import read_table
 from ..operators.dedup import jaccard_similarity_pairs
 from ..operators.graph import canonicalize_components, connected_components
-from ..operators.packing import global_running_offsets
-from .text_ops import _quality_expr, t05_corpus_clean
+from ..operators.packing import chunk_spans, global_running_offsets
+from .text_ops import budget_scored, t05_corpus_clean
 
 
 def build_training_corpus(
@@ -76,49 +75,20 @@ def build_training_corpus(
         canonical.select(F.col("node").alias("doc_id"), "component"), "doc_id"
     )
 
-    # 4. greedy quality-budget selection (x06 semantics)
-    toks = tokens(F.lower(F.col("text")))
-    stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "is", "to", "in"]])
-    scored = survivors.select(
-        "doc_id",
-        "source",
-        "text",
-        "component",
-        F.size(toks).cast("long").alias("n_tok"),
-        F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x).alias(
-            "_tok_chars"
-        ),
-        F.size(F.filter(toks, lambda x: F.array_contains(stop, x))).alias("_stop_hits"),
-    )
-    q = _quality_expr(F.col("n_tok"), F.col("_tok_chars"), F.col("_stop_hits"))
-    scored = (
-        scored.withColumn("quality", F.when(F.col("n_tok") > 0, F.round(q, 6)))
-        .withColumn("_sortkey", -F.col("quality"))
-        .withColumn("_qbucket", F.floor(F.col("_sortkey")))
-        .drop("_tok_chars", "_stop_hits")
-    )
-    # composite (quality DESC, doc_id) total order needs the doc_id
-    # tie-break, so use the offsets primitive directly rather than
-    # pack_sequences' single-order-column convenience wrapper
+    # 4. greedy quality-budget selection (x06 semantics, shared
+    # scoring helper; composite (quality DESC, doc_id) total order
+    # needs the doc_id tie-break, so use the offsets primitive
+    # directly rather than pack_sequences' single-order-column
+    # convenience wrapper)
+    scored = budget_scored(survivors, ["doc_id", "source", "text", "component"])
     offsets = global_running_offsets(
         scored, "n_tok", "_qbucket", ["_sortkey", "doc_id"], out_col="tok_offset"
     )
-    w = F.col("n_tok")
-    selected = offsets.filter(F.col("tok_offset") + w <= token_budget)
+    selected = offsets.filter(F.col("tok_offset") + F.col("n_tok") <= token_budget)
 
-    # 5. chunk spans over the selected prefix
-    first = F.floor(F.col("tok_offset") / seq_len).cast("long")
-    last = F.floor((F.col("tok_offset") + w - 1) / seq_len).cast("long")
-    nonzero = w > 0
+    # 5. chunk spans over the selected prefix (shared span semantics)
     return (
-        selected.withColumn("first_seq", F.when(nonzero, first))
-        .withColumn("last_seq", F.when(nonzero, last))
-        .withColumn(
-            "n_seqs",
-            F.when(nonzero, F.col("last_seq") - F.col("first_seq") + 1)
-            .otherwise(F.lit(0))
-            .cast("long"),
-        )
+        chunk_spans(selected, seq_len)
         .select(
             "doc_id",
             "source",

@@ -229,6 +229,41 @@ def _quality_expr(n_tok, tok_chars, stop_hits):
     return len_part + shape_part + stop_part
 
 
+#: the quality blend's stopword list — single home; the SQL twins
+#: embed _SQL_STOP, derived from the same constant
+_STOPWORDS = ["the", "a", "of", "and", "is", "to", "in"]
+_SQL_STOP = "[" + ",".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+
+def _stop_array():
+    return F.array(*[F.lit(w) for w in _STOPWORDS])
+
+
+def budget_scored(docs, keep_cols):
+    """Shared scoring stage for x06 and the composed corpus pipeline:
+    token/char/stopword counts → rounded quality → descending sort
+    key and its monotone floor bucket. ``keep_cols`` are passed
+    through unchanged."""
+    toks = tokens(F.lower(F.col("text")))
+    t = docs.select(
+        *keep_cols,
+        F.size(toks).cast("long").alias("n_tok"),
+        F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x).alias(
+            "_tok_chars"
+        ),
+        F.size(F.filter(toks, lambda x: F.array_contains(_stop_array(), x))).alias(
+            "_stop_hits"
+        ),
+    )
+    q = _quality_expr(F.col("n_tok"), F.col("_tok_chars"), F.col("_stop_hits"))
+    return (
+        t.withColumn("quality", F.when(F.col("n_tok") > 0, F.round(q, 6)))
+        .withColumn("_sortkey", -F.col("quality"))
+        .withColumn("_qbucket", F.floor(F.col("_sortkey")))
+        .drop("_tok_chars", "_stop_hits")
+    )
+
+
 #: per-source mixture weights exercised by the gate: drop / downsample
 #: / default / upsample (fractional + guaranteed-copy parts)
 _MIX_WEIGHTS = {"src0": 2.25, "src1": 0.4, "src2": 0.0}
@@ -253,7 +288,7 @@ _SQL_MIX_FRAC = (
                len({_SQL_TOKS}) AS n_tok,
                list_aggregate(list_transform({_SQL_TOKS}, x -> len(x)), 'sum') AS tok_chars,
                len(list_filter({_SQL_TOKS},
-                   x -> list_contains(['the','a','of','and','is','to','in'], x))) AS stop_hits
+                   x -> list_contains({_SQL_STOP}, x))) AS stop_hits
         FROM documents
     ), tkc AS (
         SELECT doc_id, tok, COUNT(*) AS cnt
@@ -324,7 +359,7 @@ def t03_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     toks = tokens(F.lower(F.col("text")))
-    stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "is", "to", "in"]])
+    stop = _stop_array()
     mix_w = F.lit(1.0)
     for src, w in _MIX_WEIGHTS.items():
         mix_w = F.when(F.col("source") == src, F.lit(float(w))).otherwise(mix_w)
@@ -406,7 +441,7 @@ _SQL_GRAMS = (
                len(toks) AS n_tok,
                list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS tok_chars,
                len(list_filter(toks,
-                   x -> list_contains(['the','a','of','and','is','to','in'], x))) AS stop_hits,
+                   x -> list_contains({_SQL_STOP}, x))) AS stop_hits,
                len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS hits_en,
                len(list_filter(toks, x -> list_contains(['le','la','les','et','une'], x))) AS hits_fr,
                len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS hits_de,
@@ -476,7 +511,7 @@ def t05_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, docs.filter(F.col("doc_id") % 50 == 0), n=8
     )
     toks = tokens(F.lower(F.col("text")))
-    stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "is", "to", "in"]])
+    stop = _stop_array()
     t = docs.select(
         "doc_id",
         toks.alias("toks"),
@@ -604,7 +639,7 @@ _SQL_BUDGET = f"""
                len({_SQL_TOKS}) AS n_tok,
                list_aggregate(list_transform({_SQL_TOKS}, x -> len(x)), 'sum') AS tok_chars,
                len(list_filter({_SQL_TOKS},
-                   x -> list_contains(['the','a','of','and','is','to','in'], x))) AS stop_hits
+                   x -> list_contains({_SQL_STOP}, x))) AS stop_hits
         FROM documents
     ), s AS (
         SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
@@ -644,24 +679,9 @@ def x06_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.packing import global_running_offsets
 
     docs = read_table(spark, sf_dir, "documents")
-    toks = tokens(F.lower(F.col("text")))
-    stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "is", "to", "in"]])
-    t = docs.select(
-        "doc_id",
-        F.size(toks).cast("long").alias("n_tok"),
-        F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x).alias("tok_chars"),
-        F.size(F.filter(toks, lambda x: F.array_contains(stop, x))).alias("stop_hits"),
-    )
-    q = _quality_expr(F.col("n_tok"), F.col("tok_chars"), F.col("stop_hits"))
-    s = t.select(
-        "doc_id",
-        "n_tok",
-        F.when(F.col("n_tok") > 0, F.round(q, 6)).alias("quality"),
-    ).withColumn("sortkey", -F.col("quality")).withColumn(
-        "qbucket", F.floor(F.col("sortkey"))
-    )
+    s = budget_scored(docs, ["doc_id"])
     o = global_running_offsets(
-        s, "n_tok", "qbucket", ["sortkey", "doc_id"], out_col="tok_offset"
+        s, "n_tok", "_qbucket", ["_sortkey", "doc_id"], out_col="tok_offset"
     )
     return o.select(
         "doc_id",
