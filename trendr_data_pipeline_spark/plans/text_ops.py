@@ -758,3 +758,74 @@ def x07_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("doc_id", "tok", "tf", "df", "tfidf", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# x08 — unigram-LM perplexity scoring (⊕T12, the CCNet practice:
+# score documents by language-model perplexity and filter the tails).
+# Past the driver's 50-query cap; verify_local + the pytest contract
+# gate hash-check it. Determinism: the per-token tf·ln(p) addends are
+# quantized to DECIMAL(28,6) before summation (order-insensitive,
+# identical in both engines); exp is fed the ROUNDED avg-nll so
+# JVM/libm last-ulp differences cannot reach the output.
+# ---------------------------------------------------------------------------
+
+_SQL_PPL = f"""
+    WITH t AS (
+        SELECT doc_id, UNNEST({_SQL_TOKS}) AS tok FROM documents
+    ), tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY doc_id, tok
+    ), corpus AS (
+        SELECT tok, CAST(SUM(tf) AS BIGINT) AS ctok FROM tf GROUP BY tok
+    ), tot AS (
+        SELECT CAST(SUM(ctok) AS BIGINT) AS total FROM corpus
+    ), j AS (
+        SELECT tf.doc_id, tf.tf, corpus.ctok, tot.total
+        FROM tf JOIN corpus USING (tok) CROSS JOIN tot
+    ), d AS (
+        SELECT doc_id,
+               {sql_dsum('tf * ln(ctok * 1.0 / total)')} AS s,
+               CAST(SUM(tf) AS BIGINT) AS n_tok
+        FROM j GROUP BY doc_id
+    )
+    SELECT doc_id, n_tok,
+           ROUND(-s / n_tok, 6) AS avg_nll,
+           ROUND(exp(ROUND(-s / n_tok, 6)), 3) AS ppl
+    FROM d
+"""
+
+
+@register(
+    "x08_unigram_perplexity",
+    _SQL_PPL,
+    doc="""Per-document unigram-LM perplexity against the corpus's own
+    token distribution: p(tok) = count(tok)/total, avg negative log
+    prob per token, ppl = exp(avg_nll). Documents with zero tokens
+    carry no probability mass and are absent (doc grain = tokenful
+    docs).""",
+)
+def x08_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity quality filter (SURVEY §2.11 ⊕T12): the corpus IS
+    the language model — token counts (one keyed agg with map-side
+    combine), a broadcast scalar total, and one more keyed agg for
+    the per-document average. At 100 TB the LM table is the
+    vocabulary, not the token stream; in production the join side
+    would be a PRE-TRAINED LM's table — same plan, different input."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    t = docs.select("doc_id", F.explode(toks).alias("tok"))
+    tf = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    corpus = tf.groupBy("tok").agg(F.sum("tf").cast("long").alias("ctok"))
+    tot = corpus.agg(F.sum("ctok").cast("long").alias("total"))
+    j = tf.join(corpus, "tok").crossJoin(F.broadcast(tot))
+    d = j.groupBy("doc_id").agg(
+        dsum(F.col("tf") * F.log(F.col("ctok") * 1.0 / F.col("total"))).alias("s"),
+        F.sum("tf").cast("long").alias("n_tok"),
+    )
+    avg_nll = F.round(-F.col("s") / F.col("n_tok"), 6)
+    return d.select(
+        "doc_id",
+        "n_tok",
+        avg_nll.alias("avg_nll"),
+        F.round(F.exp(avg_nll), 3).alias("ppl"),
+    )
