@@ -403,3 +403,51 @@ def test_jaccard_pairs_df_cap_boundary_equivalence(spark):
     )
     assert set(lossy) <= set(base)
     assert lossy != base
+
+
+def test_semantic_dedup_invariants(spark):
+    """⊕D10 semantic dedup: survivors contain no near-dup pair, every
+    dropped row has a surviving representative above threshold, and
+    labels agree with union-find over the exact pair graph."""
+    from pyspark.sql import functions as F
+
+    from trendr_data_pipeline_spark.operators.similarity import (
+        embedding_near_dup_join,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{SMOKE_SF}/embeddings.parquet")
+    labels = semantic_dedup(emb, threshold=0.99).collect()
+    assert len(labels) == emb.count()
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_join(emb, emb, threshold=0.99)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .collect()
+    }
+    # union-find reference
+    nodes = {r["node"] for r in labels}
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min = {}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {n: comp_min[find(n)] for n in nodes}
+    got = {r["node"]: r["component"] for r in labels}
+    assert got == want
+
+    survivors = {r["node"] for r in labels if r["is_canonical"]}
+    for a, b in pairs:
+        assert not (a in survivors and b in survivors), (a, b)

@@ -330,3 +330,44 @@ def lsh_bucketed_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rk")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Semantic deduplication (the SemDeDup practice — Abbas et al.
+    2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication", public): documents whose EMBEDDINGS are
+    near-identical are duplicates even when their text is not, so the
+    dedup unit is the embedding-cosine near-dup graph's connected
+    component, canonicalized to its minimum id.
+
+    Composition of existing gated machinery: sign-sketch LSH pair
+    generation (:func:`embedding_near_dup_join`, gate d06) →
+    alternating-star connected components (`operators/graph`, gate
+    x03) → min-id survivor. Returns (node, component, is_canonical)
+    for every embedding row.
+
+    SemDeDup proper clusters with k-means first and dedups within
+    clusters; the LSH bucket join here plays the same
+    candidate-bounding role with an exact verify, so the output is
+    threshold-exact rather than cluster-approximate.
+    """
+    from .graph import canonicalize_components, connected_components
+
+    pairs = embedding_near_dup_join(
+        embeddings,
+        embeddings,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+    ).filter(F.col("id_a") < F.col("id_b"))
+    labels = connected_components(
+        pairs, src="id_a", dst="id_b", nodes=embeddings, node_col=id_col
+    )
+    return canonicalize_components(labels)
