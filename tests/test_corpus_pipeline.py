@@ -70,3 +70,35 @@ def test_one_canonical_per_component(spark):
     rows = _run(spark)
     comps = [r["component"] for r in rows]
     assert len(set(comps)) == len(comps)
+
+
+def test_ppl_cap_filters_tail(spark):
+    from trendr_data_pipeline_spark.plans.text_ops import x08_unigram_perplexity
+
+    # a cap at the corpus median must drop roughly the high-ppl half
+    ppl = {r["doc_id"]: r["ppl"] for r in x08_unigram_perplexity(spark, SMOKE_SF).collect()}
+    cap = sorted(ppl.values())[len(ppl) // 2]
+    rows = build_training_corpus(
+        spark, SMOKE_SF, seq_len=SEQ, token_budget=BUDGET, ppl_cap=cap
+    ).collect()
+    assert rows
+    for r in rows:
+        assert ppl[r["doc_id"]] <= cap
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    from trendr_data_pipeline_spark.plans.corpus_pipeline import write_training_shards
+
+    corpus = build_training_corpus(spark, SMOKE_SF, seq_len=SEQ, token_budget=BUDGET)
+    out = str(tmp_path / "shards")
+    write_training_shards(corpus, out, seqs_per_shard=4)
+    back = spark.read.parquet(out)
+    assert back.count() == len(_run(spark))
+    # shard column matches the layout contract
+    bad = back.filter(
+        (F.col("first_seq") / 4).cast("long") != F.col("shard")
+    ).count()
+    assert bad == 0
+    # reading one shard prunes partitions (layout is usable for range reads)
+    one = back.filter(F.col("shard") == 0)
+    assert 0 < one.count() < back.count()

@@ -49,11 +49,19 @@ def build_training_corpus(
     seq_len: int = 512,
     token_budget: int = 15000,
     near_dup_threshold: float = 0.8,
+    ppl_cap: float | None = None,
 ) -> DataFrame:
     """Run the full pipeline; returns one row per SELECTED document:
     (doc_id, source, text, n_tok, quality, component, tok_offset,
     first_seq, last_seq, n_seqs), ordered by its position in the
-    packed token stream. ``text`` is PII-redacted."""
+    packed token stream. ``text`` is PII-redacted.
+
+    ``ppl_cap`` optionally inserts the CCNet-style perplexity filter
+    between canonicalization and selection: documents whose
+    unigram-LM perplexity (x08's scoring, computed against the
+    ORIGINAL corpus distribution so the model does not drift with the
+    filtering) exceeds the cap are dropped before the budget greedy
+    runs."""
     docs = read_table(spark, sf_dir, "documents")
 
     # 1. per-doc ladder (dup/contamination/language/repetition/quality)
@@ -74,6 +82,17 @@ def build_training_corpus(
     survivors = kept.join(
         canonical.select(F.col("node").alias("doc_id"), "component"), "doc_id"
     )
+
+    # 3b. optional perplexity tail-drop (CCNet practice; x08 scoring)
+    if ppl_cap is not None:
+        from .text_ops import x08_unigram_perplexity
+
+        ok = (
+            x08_unigram_perplexity(spark, sf_dir)
+            .filter(F.col("ppl") <= ppl_cap)
+            .select("doc_id")
+        )
+        survivors = survivors.join(ok, "doc_id")
 
     # 4. greedy quality-budget selection (x06 semantics, shared
     # scoring helper; composite (quality DESC, doc_id) total order
@@ -103,3 +122,20 @@ def build_training_corpus(
         )
         .orderBy("tok_offset", "doc_id")
     )
+
+
+def write_training_shards(
+    corpus: DataFrame, out_dir: str, seqs_per_shard: int = 64
+) -> None:
+    """Land the packed corpus as a partitioned dataset: shard id =
+    first_seq // seqs_per_shard, so a trainer reading sequence range
+    [a, b) prunes to ⌈(b−a)/seqs_per_shard⌉ partitions (the
+    partition-pruning proof for this layout is
+    tests/test_io_layout.py's pattern; the round-trip invariant is
+    tests/test_corpus_pipeline.py)."""
+    from ..io import write_partitioned
+
+    sharded = corpus.withColumn(
+        "shard", (F.col("first_seq") / seqs_per_shard).cast("long")
+    )
+    write_partitioned(sharded, out_dir, ["shard"])
