@@ -84,21 +84,44 @@ def test_ppl_cap_filters_tail(spark):
     assert rows
     for r in rows:
         assert ppl[r["doc_id"]] <= cap
+    # the cap must actually BITE: the uncapped selection contains
+    # above-cap docs (else this test has no power) and none survive
+    uncapped_above = {r["doc_id"] for r in _run(spark) if ppl[r["doc_id"]] > cap}
+    assert uncapped_above, "fixture gave the cap nothing to drop"
+    assert uncapped_above.isdisjoint({r["doc_id"] for r in rows})
 
 
-def test_write_training_shards_roundtrip(spark, tmp_path):
+def test_write_training_shards_range_reads(spark, tmp_path):
     from trendr_data_pipeline_spark.plans.corpus_pipeline import write_training_shards
 
+    SPS = 4
     corpus = build_training_corpus(spark, SMOKE_SF, seq_len=SEQ, token_budget=BUDGET)
     out = str(tmp_path / "shards")
-    write_training_shards(corpus, out, seqs_per_shard=4)
+    write_training_shards(corpus, out, seqs_per_shard=SPS)
     back = spark.read.parquet(out)
-    assert back.count() == len(_run(spark))
-    # shard column matches the layout contract
-    bad = back.filter(
-        (F.col("first_seq") / 4).cast("long") != F.col("shard")
-    ).count()
-    assert bad == 0
-    # reading one shard prunes partitions (layout is usable for range reads)
-    one = back.filter(F.col("shard") == 0)
-    assert 0 < one.count() < back.count()
+
+    rows = _run(spark)
+    # every doc appears once per overlapped shard — no more, no less
+    expected_rows = sum(
+        (r["last_seq"] // SPS) - (r["first_seq"] // SPS) + 1 for r in rows
+    )
+    assert back.count() == expected_rows
+    assert back.select("doc_id").distinct().count() == len(rows)
+
+    # range-read completeness: reading the shards covering sequence
+    # range [a, b) must yield EVERY doc contributing tokens to it —
+    # including docs straddling a shard boundary
+    max_seq = max(r["last_seq"] for r in rows)
+    assert max_seq >= 2 * SPS, "fixture too small to exercise boundaries"
+    for a, b in [(0, SPS), (SPS, 2 * SPS), (SPS - 1, SPS + 1), (0, max_seq + 1)]:
+        want = {r["doc_id"] for r in rows if r["first_seq"] < b and r["last_seq"] >= a}
+        got = {
+            r["doc_id"]
+            for r in back.filter(
+                (F.col("shard") >= a // SPS) & (F.col("shard") <= (b - 1) // SPS)
+            )
+            .filter((F.col("first_seq") < b) & (F.col("last_seq") >= a))
+            .select("doc_id")
+            .collect()
+        }
+        assert got == want, (a, b)

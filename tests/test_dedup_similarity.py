@@ -406,9 +406,11 @@ def test_jaccard_pairs_df_cap_boundary_equivalence(spark):
 
 
 def test_semantic_dedup_invariants(spark):
-    """⊕D10 semantic dedup: survivors contain no near-dup pair, every
-    dropped row has a surviving representative above threshold, and
-    labels agree with union-find over the exact pair graph."""
+    """⊕D10 semantic dedup: survivors contain no near-dup pair, and
+    labels agree with union-find over the exact pair graph (a dropped
+    row's representative is its component minimum, which under
+    transitive closure is near-dup to a CHAIN, not necessarily to the
+    row itself)."""
     from pyspark.sql import functions as F
 
     from trendr_data_pipeline_spark.operators.similarity import (
@@ -416,7 +418,7 @@ def test_semantic_dedup_invariants(spark):
         semantic_dedup,
     )
 
-    emb = spark.read.parquet(f"{SMOKE_SF}/embeddings.parquet")
+    emb = read_table(spark, SMOKE_SF, "embeddings")
     labels = semantic_dedup(emb, threshold=0.99).collect()
     assert len(labels) == emb.count()
 

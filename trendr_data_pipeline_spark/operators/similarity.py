@@ -239,6 +239,8 @@ def embedding_near_dup_join(
     dim: int = 64,
     bits: int = 16,
     tables: int = 8,
+    broadcast_incoming: bool = True,
+    self_join: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate screening: every (incoming,
     corpus) pair with cosine ≥ ``threshold`` — the embedding leg of the
@@ -266,10 +268,25 @@ def embedding_near_dup_join(
             F.posexplode(sketch(F.col(vec_col))).alias("tbl", "bucket"),
         )
 
+    # broadcast_incoming fits the asymmetric screen (small incoming
+    # batch vs big corpus, d06's shape); for the SYMMETRIC all-pairs
+    # case (semantic_dedup) the "incoming" side IS the corpus and
+    # must shuffle-join instead. self_join restricts candidates to
+    # one orientation (q_id < c_id) BEFORE the exact-cosine verify —
+    # symmetric sketches emit every colliding pair twice, and the
+    # verify is the dominant per-candidate cost.
+    q_side = sketched(incoming, "q")
+    if broadcast_incoming:
+        q_side = F.broadcast(q_side)
+    orient = (
+        (F.col("q_id") < F.col("c_id"))
+        if self_join
+        else (F.col("q_id") != F.col("c_id"))
+    )
     cands = (
         sketched(spread(corpus), "c")
-        .join(F.broadcast(sketched(incoming, "q")), ["tbl", "bucket"])
-        .filter(F.col("q_id") != F.col("c_id"))
+        .join(q_side, ["tbl", "bucket"])
+        .filter(orient)
         .select(F.col("q_id").alias("id_a"), F.col("c_id").alias("id_b"), "q_v", "c_v")
         .distinct()
     )
@@ -366,7 +383,9 @@ def semantic_dedup(
         id_col=id_col,
         vec_col=vec_col,
         dim=dim,
-    ).filter(F.col("id_a") < F.col("id_b"))
+        broadcast_incoming=False,  # symmetric: "incoming" IS the corpus
+        self_join=True,  # one orientation, pre-verify
+    )
     labels = connected_components(
         pairs, src="id_a", dst="id_b", nodes=embeddings, node_col=id_col
     )

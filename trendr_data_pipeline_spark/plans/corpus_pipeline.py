@@ -127,15 +127,29 @@ def build_training_corpus(
 def write_training_shards(
     corpus: DataFrame, out_dir: str, seqs_per_shard: int = 64
 ) -> None:
-    """Land the packed corpus as a partitioned dataset: shard id =
-    first_seq // seqs_per_shard, so a trainer reading sequence range
-    [a, b) prunes to ⌈(b−a)/seqs_per_shard⌉ partitions (the
-    partition-pruning proof for this layout is
-    tests/test_io_layout.py's pattern; the round-trip invariant is
-    tests/test_corpus_pipeline.py)."""
+    """Land the packed corpus as a partitioned dataset a trainer can
+    range-read: each document is written to EVERY shard its sequence
+    span [first_seq, last_seq] overlaps (shard id = seq // seqs_per_
+    shard), so reading shards ⌊a/sps⌋..⌈b/sps⌉−1 yields every doc
+    contributing tokens to sequence range [a, b) — including docs
+    that straddle a shard boundary, which keying on first_seq alone
+    would silently exclude from the right-hand shard. The duplication
+    factor is 1 + span/seqs_per_shard ≈ 1 for any sane shard size
+    (the interval-join bucketing trade, operators/temporal.py).
+    Zero-token docs (NULL span) land once, in shard 0 (they carry no
+    tokens). Round-trip + range-completeness invariants:
+    tests/test_corpus_pipeline.py."""
     from ..io import write_partitioned
 
+    first = F.coalesce(F.col("first_seq"), F.lit(0))
+    last = F.coalesce(F.col("last_seq"), first)
     sharded = corpus.withColumn(
-        "shard", (F.col("first_seq") / seqs_per_shard).cast("long")
+        "shard",
+        F.explode(
+            F.sequence(
+                F.floor(first / seqs_per_shard).cast("long"),
+                F.floor(last / seqs_per_shard).cast("long"),
+            )
+        ),
     )
     write_partitioned(sharded, out_dir, ["shard"])

@@ -700,6 +700,17 @@ def x06_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # token tie-break keeps the two orderings identical).
 # ---------------------------------------------------------------------------
 
+def _doc_token_tf(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok, tf) term counts — the shared first stage of the
+    corpus-statistics queries (x07 TF-IDF, x08 perplexity)."""
+    toks = tokens(F.lower(F.col("text")))
+    return (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
 _SQL_TFIDF = f"""
     WITH t AS (
         SELECT doc_id, UNNEST({_SQL_TOKS}) AS tok FROM documents
@@ -738,10 +749,7 @@ def x07_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document top-k window. No Python anywhere."""
     from pyspark.sql.window import Window
 
-    docs = read_table(spark, sf_dir, "documents")
-    toks = tokens(F.lower(F.col("text")))
-    t = docs.select("doc_id", F.explode(toks).alias("tok"))
-    tf = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    tf = _doc_token_tf(read_table(spark, sf_dir, "documents"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
@@ -764,10 +772,12 @@ def x07_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x08 — unigram-LM perplexity scoring (⊕T12, the CCNet practice:
 # score documents by language-model perplexity and filter the tails).
 # Past the driver's 50-query cap; verify_local + the pytest contract
-# gate hash-check it. Determinism: the per-token tf·ln(p) addends are
-# quantized to DECIMAL(28,6) before summation (order-insensitive,
-# identical in both engines); exp is fed the ROUNDED avg-nll so
-# JVM/libm last-ulp differences cannot reach the output.
+# gate hash-check it. Determinism: ln(p) is rounded to 9 decimals
+# PER TOKEN before entering any sum — after that every addend is an
+# identical double on both engines (int × fixed-decimal double), so
+# the DECIMAL(28,6) accumulation sees bit-identical inputs and the
+# libm-ulp boundary risk scales with |vocab|, not with the number of
+# (doc, token) addends; exp is likewise fed the ROUNDED avg-nll.
 # ---------------------------------------------------------------------------
 
 _SQL_PPL = f"""
@@ -784,7 +794,7 @@ _SQL_PPL = f"""
         FROM tf JOIN corpus USING (tok) CROSS JOIN tot
     ), d AS (
         SELECT doc_id,
-               {sql_dsum('tf * ln(ctok * 1.0 / total)')} AS s,
+               {sql_dsum('tf * ROUND(ln(ctok * 1.0 / total), 9)')} AS s,
                CAST(SUM(tf) AS BIGINT) AS n_tok
         FROM j GROUP BY doc_id
     )
@@ -811,15 +821,12 @@ def x08_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-document average. At 100 TB the LM table is the
     vocabulary, not the token stream; in production the join side
     would be a PRE-TRAINED LM's table — same plan, different input."""
-    docs = read_table(spark, sf_dir, "documents")
-    toks = tokens(F.lower(F.col("text")))
-    t = docs.select("doc_id", F.explode(toks).alias("tok"))
-    tf = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    tf = _doc_token_tf(read_table(spark, sf_dir, "documents"))
     corpus = tf.groupBy("tok").agg(F.sum("tf").cast("long").alias("ctok"))
     tot = corpus.agg(F.sum("ctok").cast("long").alias("total"))
     j = tf.join(corpus, "tok").crossJoin(F.broadcast(tot))
     d = j.groupBy("doc_id").agg(
-        dsum(F.col("tf") * F.log(F.col("ctok") * 1.0 / F.col("total"))).alias("s"),
+        dsum(F.col("tf") * F.round(F.log(F.col("ctok") * 1.0 / F.col("total")), 9)).alias("s"),
         F.sum("tf").cast("long").alias("n_tok"),
     )
     avg_nll = F.round(-F.col("s") / F.col("n_tok"), 6)
