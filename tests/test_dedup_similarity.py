@@ -453,3 +453,56 @@ def test_semantic_dedup_invariants(spark):
     survivors = {r["node"] for r in labels if r["is_canonical"]}
     for a, b in pairs:
         assert not (a in survivors and b in survivors), (a, b)
+
+
+def test_quantize_embeddings_invariants(spark):
+    """int8 quantization: codes bounded [0,255], reconstruction error
+    ≤ scale/2 (+ the 1e-6 integer-microunit grain), constant vectors
+    quantize to all-zero codes with zero error, and the operator is
+    deterministic (codes_md5 stable across evaluations)."""
+    from trendr_data_pipeline_spark.operators.similarity import quantize_embeddings
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    const = spark.createDataFrame(
+        [(100000, [1.5] * 8, 0)], "vec_id bigint, embedding array<float>, label int"
+    )
+    out = quantize_embeddings(emb.unionByName(const)).collect()
+    assert len(out) == emb.count() + 1
+    by_id = {r["vec_id"]: r for r in out}
+    c = by_id[100000]
+    assert c["scale_q"] == 0.0 and c["code_min"] == 0 and c["code_max"] == 0
+    assert c["mae"] == 0.0
+    for r in out:
+        assert 0 <= r["code_min"] <= r["code_max"] <= 255
+        # mae ≤ scale/2 + rounding grain (scale_q is the 6-dp print)
+        assert r["mae"] <= r["scale_q"] / 2 + 2e-6
+    again = {r["vec_id"]: r["codes_md5"]
+             for r in quantize_embeddings(emb.unionByName(const)).collect()}
+    assert again == {r["vec_id"]: r["codes_md5"] for r in out}
+
+
+def test_temperature_mix_flattens_sources(spark):
+    """α=1/2 temperature mixing: every rate ≤ 1, smaller sources keep
+    a HIGHER fraction than larger ones (the flattening property), the
+    total kept mass lands near target_frac, and the decision is
+    deterministic."""
+    from trendr_data_pipeline_spark.operators.sampling import temperature_mix
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = temperature_mix(docs, target_frac=0.5, salt="tmix").collect()
+    assert out, "no sources survived"
+    rows = sorted(out, key=lambda r: r["n_docs"])
+    for r in rows:
+        assert 0.0 < r["rate_q"] <= 1.0
+        assert r["n_kept"] <= r["n_docs"]
+    # flattening: keep-rate is non-increasing in source size
+    rates = [r["rate_q"] for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(rates, rates[1:]))
+    total = sum(r["n_docs"] for r in rows)
+    kept = sum(r["n_kept"] for r in rows)
+    assert abs(kept / total - 0.5) < 0.1
+    again = sorted(
+        temperature_mix(docs, target_frac=0.5, salt="tmix").collect(),
+        key=lambda r: r["n_docs"],
+    )
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]

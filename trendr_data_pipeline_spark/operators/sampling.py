@@ -68,3 +68,71 @@ def apply_mix(
         .withColumn("_i", F.explode(F.sequence(F.lit(1), F.col("_n"))))
         .drop("_n", "_i")
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    alpha_sqrt: bool = True,
+    target_frac: float = 0.5,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual-sampling
+    practice from the T5/mT5 papers: sample source s with probability
+    ∝ n_s^α, α < 1 flattens the source distribution so small sources
+    are not drowned out). With α = 1/2 the weight is ``sqrt(n_s)`` —
+    chosen deliberately: IEEE-754 ``sqrt`` is exactly rounded, so
+    both engines of the driver gate compute bit-identical weights
+    (a general ``pow`` goes through libm and is NOT exactly rounded).
+
+    Per-source keep rate for a target corpus of ``target_frac · N``
+    docs: ``rate_s = min(1, p_s · target_frac · N / n_s)`` with
+    ``p_s = w_s / Σw``. The denominator is accumulated in exact
+    DECIMAL (order-free; see plans/_numeric.py) and cast to double
+    once, so the rate every row is filtered on is bit-stable across
+    partitionings and engines. The keep decision itself is the
+    deterministic md5 ``hash_fraction`` — no RNG.
+
+    Scale shape: one groupBy over the facts for the per-source
+    counts (map-side combined), a broadcast of the tiny rate frame
+    back onto the facts (no fact shuffle), then the output grain's
+    aggregation. The rate frame is |sources| rows — always
+    broadcastable.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from ..plans._numeric import DEC
+
+    counts = docs.groupBy(source_col).agg(F.count("*").alias("n_docs"))
+    w = F.sqrt(F.col("n_docs").cast("double")) if alpha_sqrt else F.col("n_docs").cast("double")
+    counts = counts.withColumn("w_dec", w.cast(DEC))
+    tot = counts.agg(
+        F.sum("w_dec").alias("denom_dec"), F.sum("n_docs").alias("total_docs")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        F.col(source_col),
+        F.col("n_docs"),
+        F.least(
+            F.lit(1.0),
+            (F.col("w_dec").cast("double") / F.col("denom_dec").cast("double"))
+            * (F.col("total_docs").cast("double") * F.lit(float(target_frac)))
+            / F.col("n_docs").cast("double"),
+        ).alias("rate"),
+    )
+    return (
+        docs.join(F.broadcast(rates), source_col)
+        .filter(hash_fraction(F.col(key_col), salt) < F.col("rate"))
+        .groupBy(source_col, "n_docs", "rate")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+        .select(
+            source_col,
+            "n_docs",
+            F.round(F.col("rate"), 6).alias("rate_q"),
+            "n_kept",
+            "chars_kept",
+        )
+    )

@@ -164,3 +164,61 @@ def x02_ivf_fast_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return ivf_topk(queries, emb, k=10, nlist=16, nprobe=4)
+
+
+#: DuckDB twin of operators/similarity.quantize_embeddings — replays
+#: the identical IEEE-754 double expression per element (float32→
+#: double widening is exact; +,-,*,/ and floor are exactly rounded,
+#: so both engines produce bit-identical codes), then hashes the FULL
+#: code vector. The per-element |err| is quantized to integer
+#: microunits before summing: int64 addition is order-free, so the
+#: aggregate is partitioning-proof on the Spark side.
+_ORACLE_QUANTIZE = """
+    WITH p AS (
+        SELECT vec_id,
+               CAST(embedding AS DOUBLE[]) AS v,
+               CAST(len(embedding) AS INT) AS n_dims,
+               CAST(list_min(embedding) AS DOUBLE) AS vmin,
+               (CAST(list_max(embedding) AS DOUBLE)
+                - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale
+        FROM embeddings
+    ), c AS (
+        SELECT vec_id, n_dims, vmin, scale, v,
+               CASE WHEN scale = 0
+                    THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(v, x -> CAST(least(255.0, greatest(0.0,
+                             floor((x - vmin) / scale + 0.5))) AS BIGINT))
+               END AS codes
+        FROM p
+    )
+    SELECT vec_id, n_dims,
+           round(vmin, 6) AS vmin_q,
+           round(scale, 6) AS scale_q,
+           md5(array_to_string(codes, ' ')) AS codes_md5,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           CAST(list_min(codes) AS INT) AS code_min,
+           CAST(list_max(codes) AS INT) AS code_max,
+           round(CAST(list_sum(list_transform(list_zip(v, codes), t ->
+                     CAST(floor(abs(t[1] - (vmin + CAST(t[2] AS DOUBLE) * scale))
+                                * 1e6 + 0.5) AS BIGINT))) AS DOUBLE)
+                 / (1e6 * n_dims), 6) AS mae
+    FROM c
+"""
+
+
+@register(
+    "x09_embedding_quantize",
+    _ORACLE_QUANTIZE,
+    doc="""Scalar int8 quantization of the embedding column (⊕: the
+    standard 4× storage/serving compression for vector corpora —
+    FAISS ScalarQuantizer QT_8bit practice). One Arrow-batched numpy
+    projection, zero shuffles; the gate hash-checks the md5 of EVERY
+    per-vector code vector plus exact integer error sums against a
+    DuckDB replay of the same IEEE-754 expression. Named past the
+    driver's 50-query cap; checked by tools/verify_local.""",
+)
+def x09_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantize_embeddings
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb)

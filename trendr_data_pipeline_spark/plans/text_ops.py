@@ -836,3 +836,44 @@ def x08_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg_nll.alias("avg_nll"),
         F.round(F.exp(avg_nll), 3).alias("ppl"),
     )
+
+
+@register(
+    "x10_temperature_mix",
+    """
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), c2 AS (
+        SELECT source, n_docs,
+               CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(28,6)) AS w_dec
+        FROM counts
+    ), tot AS (
+        SELECT SUM(w_dec) AS denom_dec, SUM(n_docs) AS total_docs FROM c2
+    ), rates AS (
+        SELECT source, n_docs,
+               least(1.0e0,
+                     (CAST(w_dec AS DOUBLE) / CAST(denom_dec AS DOUBLE))
+                     * (CAST(total_docs AS DOUBLE) * 0.5e0)
+                     / CAST(n_docs AS DOUBLE)) AS rate
+        FROM c2 CROSS JOIN tot
+    )
+    SELECT d.source, r.n_docs, round(r.rate, 6) AS rate_q,
+           COUNT(*) AS n_kept, CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
+    FROM documents d JOIN rates r USING (source)
+    WHERE (('0x' || substr(md5('tmix' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0e0) < r.rate
+    GROUP BY d.source, r.n_docs, r.rate
+    """,
+    doc="""Temperature-scaled source mixing (⊕T13, the T5/mT5
+    α-sampling practice at α=1/2): per-source keep rates ∝ sqrt(n_s),
+    normalized via exact-decimal accumulation, applied with the
+    deterministic md5 hash fraction. sqrt (not pow) so both engines'
+    weights are bit-identical (IEEE sqrt is exactly rounded; libm pow
+    is not). Named past the driver's 50-query cap; checked by
+    tools/verify_local.""",
+)
+def x10_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import temperature_mix
+
+    docs = read_table(spark, sf_dir, "documents")
+    return temperature_mix(docs, target_frac=0.5, salt="tmix")
