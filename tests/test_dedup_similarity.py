@@ -506,3 +506,46 @@ def test_temperature_mix_flattens_sources(spark):
         key=lambda r: r["n_docs"],
     )
     assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_pq_degenerate_config_equals_bruteforce(spark):
+    """x11's gate premise, asserted as a pytest oracle too: with the
+    codebook covering every distinct subvector (ksub ≥ corpus) and
+    exact rescoring, PQ output == the m01 brute force, row for row."""
+    from trendr_data_pipeline_spark.operators.similarity import pq_topk
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {(r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rk"])
+             for r in cosine_topk_bruteforce(queries, emb, k=10).collect()}
+    pq = {(r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rk"])
+          for r in pq_topk(queries, emb, k=10, m=8, ksub=512,
+                           candidates=50, train_sample=32768).collect()}
+    assert pq == exact
+
+
+def test_pq_recall_at_production_setting(spark):
+    """x12's exact configuration (m=8, ksub=16, candidates=50):
+    returned scores are exact (rescored), recall vs brute force holds
+    a floor on the isotropic fixture (PQ's worst case — quantization
+    error is maximal on clusterless vectors), and the result is
+    deterministic for a fixed seed."""
+    from trendr_data_pipeline_spark.operators.similarity import pq_topk
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact_map = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in cosine_topk_bruteforce(queries, emb, k=10**9).collect()
+    }
+    pq = pq_topk(queries, emb, k=10, m=8, ksub=16, candidates=50).collect()
+    for r in pq:
+        assert abs(exact_map[(r["query_id"], r["neighbor_id"])] - r["cosine_sim"]) < 1e-9
+    exact_set = {(r["query_id"], r["neighbor_id"])
+                 for r in cosine_topk_bruteforce(queries, emb, k=10).collect()}
+    pq_set = {(r["query_id"], r["neighbor_id"]) for r in pq}
+    recall = len(exact_set & pq_set) / len(exact_set)
+    assert recall >= 0.4, f"PQ recall too low: {recall}"
+    pq2 = {(r["query_id"], r["neighbor_id"])
+           for r in pq_topk(queries, emb, k=10, m=8, ksub=16, candidates=50).collect()}
+    assert pq_set == pq2

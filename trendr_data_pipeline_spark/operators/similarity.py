@@ -471,3 +471,183 @@ def quantize_embeddings(
             F.col("q.err_micro_sum").cast("double") / (F.lit(1e6) * F.size(codes)), 6
         ).alias("mae"),
     )
+
+
+def _pq_train(X, m: int, ksub: int, seed: int, iters: int = 10):
+    """Driver-side per-subspace k-means (plain L2 Lloyd) over the
+    normalized sample matrix. Returns the (m, ksub, dsub) codebook.
+
+    Exactness escape hatch (the gate's degenerate case, same spirit
+    as IVF's full-probe form): when a subspace's sample has at most
+    ``ksub`` DISTINCT subvectors, the codebook is simply those
+    subvectors (padded by repetition) — reconstruction is then exact
+    for every sampled vector, so if the sample covers the corpus, PQ
+    degenerates to exact search and the brute-force SQL oracle
+    applies to the whole encode → ADC → rescore machinery."""
+    import numpy as np
+
+    n, dim = X.shape
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = []
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        uniq = np.unique(S, axis=0)
+        if len(uniq) <= ksub:
+            C = np.concatenate([uniq, np.repeat(uniq[:1], ksub - len(uniq), axis=0)])
+        else:
+            C = S[rng.choice(n, size=ksub, replace=False)]
+            for _ in range(iters):
+                d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                assign = np.argmin(d2, axis=1)
+                for c in range(ksub):
+                    members = S[assign == c]
+                    if len(members):
+                        C[c] = members.mean(axis=0)
+        books.append(C)
+    return np.stack(books)  # (m, ksub, dsub)
+
+
+def _pq_encode(books):
+    """Factory: pandas UDF mapping an embedding to its m PQ codes
+    (normalized subvector → nearest codeword per subspace, one numpy
+    distance computation per Arrow batch per subspace; ties go to the
+    lower code via argmin)."""
+    import numpy as np
+
+    m, ksub, dsub = books.shape
+
+    def f(s: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in s])
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        out = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            S = X[:, j * dsub : (j + 1) * dsub]
+            # ||s-c||^2 = ||s||^2 - 2 s·c + ||c||^2; argmin over c
+            d2 = (S**2).sum(axis=1, keepdims=True) - 2.0 * (S @ books[j].T) + (
+                books[j] ** 2
+            ).sum(axis=1)[None, :]
+            out[:, j] = np.argmin(d2, axis=1)
+        return pd.Series(list(out))
+
+    return F.pandas_udf(f, "array<int>")
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    candidates: int = 50,
+    seed: int = 42,
+    train_sample: int = 4096,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011, "Product
+    quantization for nearest neighbor search", public — the FAISS
+    ``PQ``/``IVFPQ`` practice): vectors are split into ``m``
+    subspaces, each subvector replaced by its nearest codeword id
+    from a per-subspace ``ksub``-entry codebook; a query scores the
+    whole corpus with the Asymmetric Distance Computation — one
+    (m × ksub) lookup table of query-subvector · codeword inner
+    products, so scoring a candidate is m table lookups instead of a
+    ``dim``-wide dot product. Codes are 4× to 32× smaller than the
+    vectors, which is what makes a 100 TB corpus scannable.
+
+    Spark shape — the part that must survive 1000 executors:
+
+    - the codebook trains DRIVER-side on a hash-ordered ≤
+      ``train_sample`` sample (the FAISS practice, same as
+      :func:`ivf_topk`), milliseconds of numpy;
+    - corpus encoding is one Arrow-batched projection (no shuffle);
+    - ADC scoring + per-partition top-``candidates`` is a
+      ``mapInPandas`` over the (id, codes) stream — Python sees only
+      int codes, never the vectors, and each partition emits at most
+      |queries|·``candidates`` rows, so the shuffle that follows is
+      bounded by queries·candidates·partitions regardless of corpus
+      size;
+    - global top-``candidates`` per query, then EXACT cosine
+      rescoring against the raw vectors (broadcast-joined back:
+      candidate ids are a small side, the corpus never shuffles),
+      then the final top-k — identical tie-breaking to m01.
+
+    The gate (x11) runs the degenerate-exact configuration (see
+    :func:`_pq_train`); the production setting (x12) is benched with
+    a pytest-pinned recall floor vs the m01 brute force."""
+    import numpy as np
+
+    sample = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(train_sample)
+        .collect()
+    )
+    X = np.array([r["v"] for r in sample], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    books = _pq_train(X, m=m, ksub=ksub, seed=seed)
+
+    encode = _pq_encode(books)
+    coded = corpus.select(
+        F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("codes")
+    )
+
+    qrows = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)).collect()
+    qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    Q = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    dsub = Q.shape[1] // m
+    # ADC tables: tables[q, j, c] = q_sub_j · codeword_jc
+    tables = np.stack(
+        [Q[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)], axis=1
+    )
+
+    def adc_partition(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].values)  # (B, m)
+            scores = np.zeros((len(qids), len(pdf)), dtype=np.float64)
+            for j in range(m):
+                scores += tables[:, j, :][:, codes[:, j]]
+            nb = pdf["neighbor_id"].values
+            top = min(candidates, scores.shape[1])
+            idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, top),
+                    "neighbor_id": nb[idx.ravel()],
+                    "adc": np.take_along_axis(scores, idx, axis=1).ravel(),
+                }
+            )
+            yield out[out["query_id"] != out["neighbor_id"]]
+
+    local = coded.mapInPandas(
+        adc_partition, "query_id bigint, neighbor_id bigint, adc double"
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        local.withColumn("crk", F.row_number().over(wq))
+        .filter(F.col("crk") <= candidates)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rescore: the small candidate frame broadcasts into the
+    # corpus scan (no corpus shuffle), then the query vectors join on
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored = (
+        cv.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cosine_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rk")
+    )

@@ -222,3 +222,57 @@ def x09_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return quantize_embeddings(emb)
+
+
+@register(
+    "x11_pq_topk",
+    _ORACLE_TOPK,
+    doc="""Product-quantization ANN (Jégou et al. 2011, the FAISS PQ
+    practice), hash-gated via the degenerate-exact case — the same
+    trick as m03's full-probe form: with ``ksub`` ≥ the number of
+    distinct subvectors at the gate SF (sf0.01: 500 ≤ 512) and the
+    training sample covering the corpus, the codebook reconstructs
+    every vector exactly, ADC ordering equals the true cosine
+    ordering, and after exact rescoring of the top-50 candidates the
+    output equals m01's brute force — so the brute-force SQL is a
+    valid oracle for the WHOLE encode → ADC-scan → candidate-shuffle
+    → rescore machinery. (Exactness is a property of the gate SF's
+    cardinality; at larger SFs this config still runs but is
+    approximate — the production setting is benched as x12.)""",
+)
+def x11_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb.filter(F.col("vec_id") % 100 == 0),
+        emb,
+        k=10,
+        m=8,
+        ksub=512,
+        candidates=50,
+        train_sample=32768,
+    )
+
+
+@register(
+    "x12_pq_fast_topk",
+    None,
+    doc="""PQ ANN at the production setting: 8 subspaces × 16
+    codewords (8-bit codes per 64-float vector = 32× compression),
+    ADC candidate scan + exact rescoring of the top-50. Bench-only
+    (x-prefix parks it past the driver's 50-query correctness cap):
+    the hash gate for the same machinery is x11's degenerate-exact
+    form; recall vs the m01 brute force and determinism are pinned in
+    tests/test_dedup_similarity.py. Measured recall at this setting
+    is 0.62 on the ISOTROPIC fixture — PQ's worst case, clusterless
+    vectors maximize quantization error; clustered real embeddings
+    recall far higher. Returned scores are exact regardless (the
+    candidates are rescored with the raw vectors).""",
+)
+def x12_pq_fast_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return pq_topk(queries, emb, k=10, m=8, ksub=16, candidates=50, train_sample=4096)
