@@ -549,3 +549,57 @@ def test_pq_recall_at_production_setting(spark):
     pq2 = {(r["query_id"], r["neighbor_id"])
            for r in pq_topk(queries, emb, k=10, m=8, ksub=16, candidates=50).collect()}
     assert pq_set == pq2
+
+
+def test_duplicated_span_coverage_planted(spark):
+    """x13's semantics on a hand-built corpus: a 10-token span shared
+    by two docs marks 3 windows each (10-8+1) covering all 10 tokens;
+    a doc of unique tokens reports zero; short docs (<8 tokens)
+    report zero windows."""
+    from trendr_data_pipeline_spark.operators.dedup import duplicated_span_coverage
+
+    span = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = spark.createDataFrame(
+        [
+            (1, span),
+            (2, span + " kilo lima"),
+            (3, "uniq1 uniq2 uniq3 uniq4 uniq5 uniq6 uniq7 uniq8 uniq9"),
+            (4, "tiny doc"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicated_span_coverage(docs, n=8).collect()}
+    assert out[1]["n_tok"] == 10 and out[1]["n_dup_windows"] == 3
+    assert out[1]["covered_tok"] == 10 and out[1]["dup_frac"] == 1.0
+    # doc 2 shares only the 3 windows inside the common 10-token span
+    assert out[2]["n_dup_windows"] == 3 and out[2]["covered_tok"] == 10
+    assert out[2]["dup_frac"] == round(10 / 12, 6)
+    assert out[3]["n_dup_windows"] == 0 and out[3]["dup_frac"] == 0.0
+    assert out[4]["n_tok"] == 2 and out[4]["n_dup_windows"] == 0
+
+
+def test_label_centroid_stats_matches_numpy(spark):
+    """x14 vs a direct numpy oracle on the smoke fixture: centroid
+    norms and cosine-to-centroid stats agree to the rounding grain,
+    and group sizes partition the corpus."""
+    import numpy as np
+
+    from trendr_data_pipeline_spark.operators.similarity import label_centroid_stats
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    rows = emb.collect()
+    out = {r["label"]: r for r in label_centroid_stats(emb).collect()}
+    assert sum(r["n_vecs"] for r in out.values()) == len(rows)
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(np.asarray(r["embedding"], dtype=np.float64))
+    for lab, vecs in by_label.items():
+        X = np.stack(vecs)
+        c = X.mean(axis=0)
+        got = out[lab]
+        assert got["n_vecs"] == len(vecs)
+        assert abs(got["centroid_norm_q"] - np.linalg.norm(c)) < 1e-4
+        cos = X @ c / (np.linalg.norm(X, axis=1) * np.linalg.norm(c))
+        assert abs(got["mean_cos"] - cos.mean()) < 1e-4
+        assert abs(got["min_cos"] - cos.min()) < 1e-4
+        assert abs(got["max_cos"] - cos.max()) < 1e-4

@@ -118,7 +118,7 @@ def word_ngrams(col: Column, n: int = 8) -> Column:
     return F.when(m >= 1, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
 
 
-def word_ngram_hashes(col: Column, n: int = 8) -> Column:
+def word_ngram_hashes(col: Column, n: int = 8, positional: bool = False) -> Column:
     """Distinct word n-grams as order-sensitive 64-bit hashes — the
     hot-path twin of :func:`word_ngrams` (whose per-gram slice +
     array_join lambdas are interpreted and dominate t05's runtime,
@@ -132,7 +132,11 @@ def word_ngram_hashes(col: Column, n: int = 8) -> Column:
     hash) with a numpy sliding-window dot. Used as an internal join
     key only — both sides of the contamination semi-join use the same
     encoding, so the ~2⁻⁶⁴-per-pair collision odds are the only
-    approximation (same posture as d05's hashed shingles)."""
+    approximation (same posture as d05's hashed shingles).
+
+    ``positional=True`` keeps ALL windows in document order (index i =
+    the gram starting at 1-based token position i+1) instead of the
+    distinct set — the shape span-level dedup needs."""
     import hashlib
     import re
 
@@ -166,7 +170,7 @@ def word_ngram_hashes(col: Column, n: int = 8) -> Column:
                 h = np.fromiter((th(t) for t in toks), dtype=np.uint64, count=len(toks))
                 win = np.lib.stride_tricks.sliding_window_view(h, n)
                 g = (win * mults[None, :]).sum(axis=1, dtype=np.uint64)
-                out.append(np.unique(g).astype(np.int64))
+                out.append(g.astype(np.int64) if positional else np.unique(g).astype(np.int64))
         return pd.Series(out)
 
     return F.pandas_udf(batch, "array<long>")(col)
@@ -841,3 +845,78 @@ def simhash_fingerprints(
     for i in range(4):
         sh = sh.withColumn(f"band{i}", F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(0xFFFF))
     return sh
+
+
+def duplicated_span_coverage(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated-SPAN detection (the practice from Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", public: document-level dedup misses long repeated spans —
+    boilerplate, licenses, templates — inside otherwise-distinct
+    documents; those spans are what models memorize).
+
+    A window = a word ``n``-gram at a token position. A window is
+    duplicated when its gram occurs in ≥ ``min_docs`` DISTINCT
+    documents. Returns per document: total tokens, the number of
+    duplicated windows, the number of token positions covered by at
+    least one duplicated window (the union of the [i, i+n-1]
+    intervals, computed by exploding each window into its covered
+    positions — integer-exact, no interval-merge logic to diverge
+    between engines), and the covered fraction.
+
+    Scale shape: positional grams travel as 64-bit hashes (one Arrow
+    pass, :func:`word_ngram_hashes` ``positional=True``); the
+    duplicated-gram set comes from one groupBy on the hash
+    (map-side-combined count of distinct docs via the two-level
+    groupBy below); flagging windows is a LEFT SEMI join on the hash
+    (AQE broadcasts the dup set when small — at web scale it shuffles
+    both sides on the gram key, never materializing pairs); coverage
+    is one per-doc aggregation. Nothing ever holds a doc×doc pair.
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(word_ngram_hashes(F.col(text_col), n, positional=True)).alias(
+            "pos0", "gram"
+        ),
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), F.col("gram"))
+    # distinct (gram, doc) first so the count is per-document, then
+    # count — both aggs map-side combine on the same gram key
+    dup = (
+        grams.select("gram", id_col)
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    dw = grams.join(dup, "gram", "left_semi")
+    per_window = dw.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    covered = (
+        dw.select(F.col(id_col), F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("tokpos"))
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("tokpos")).alias("covered_tok"))
+    )
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: F.length(x) > 0)
+    base = docs.select(F.col(id_col), F.size(toks).alias("n_tok"))
+    return (
+        base.join(per_window, id_col, "left")
+        .join(covered, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tok").cast("bigint").alias("n_tok"),
+            F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("bigint").alias("n_dup_windows"),
+            F.coalesce(F.col("covered_tok"), F.lit(0)).cast("bigint").alias("covered_tok"),
+            F.when(F.col("n_tok") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce(F.col("covered_tok"), F.lit(0)) / F.col("n_tok"), 6
+                )
+            )
+            .alias("dup_frac"),
+        )
+    )

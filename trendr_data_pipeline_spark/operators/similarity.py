@@ -651,3 +651,52 @@ def pq_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rk")
     )
+
+
+def label_centroid_stats(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding centroid + compactness audit (the cluster
+    health check every embedding-curation pipeline runs — SemDeDup /
+    DBSCAN-style curation decides per-cluster, so the pipeline needs
+    per-cluster mean vectors and cosine-to-centroid spreads).
+
+    The centroid is a per-DIMENSION mean: ``posexplode`` the vectors
+    to (label, pos, val) and aggregate with exact DECIMAL sums (a
+    64-dim double sum is order-dependent; decimal accumulation makes
+    the result partitioning-proof and oracle-identical — see
+    plans/_numeric.py), then reassemble the 64 means into an array
+    ordered by position. Scale shape: ONE shuffle on (label, pos) —
+    the map-side partial agg collapses each partition to
+    |labels|·dim rows, so the shuffle volume is tiny regardless of
+    corpus size; the finished centroid frame (|labels| rows)
+    broadcasts back onto the vectors for the cosine-to-centroid pass,
+    and the final per-label rollup map-side combines again."""
+    from ..plans._numeric import davg
+
+    el = embeddings.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    cent = el.groupBy(label_col, "pos").agg(davg("val").alias("mean"))
+    carr = cent.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean"))), lambda s: s["mean"]
+        ).alias("centroid")
+    )
+    scored = embeddings.join(F.broadcast(carr), label_col).select(
+        F.col(label_col),
+        F.col("centroid"),
+        F.round(cosine(F.col(vec_col), F.col("centroid")), 6).alias("cos_c"),
+    )
+    return (
+        scored.groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.first(l2norm(F.col("centroid"))), 6).alias("centroid_norm_q"),
+            F.round(davg("cos_c"), 6).alias("mean_cos"),
+            F.round(F.min("cos_c"), 6).alias("min_cos"),
+            F.round(F.max("cos_c"), 6).alias("max_cos"),
+        )
+    )

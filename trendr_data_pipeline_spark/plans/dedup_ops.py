@@ -352,3 +352,55 @@ def x03_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_canonical",
         F.when(frac < 0.9, "train").when(frac < 0.95, "val").otherwise("test").alias("split"),
     )
+
+
+@register(
+    "x13_duplicated_spans",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           x -> len(x) > 0) AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(toks[i:i+7], ' ') AS gram
+        FROM t CROSS JOIN UNNEST(range(1, greatest(len(toks) - 6, 1))) AS r(i)
+        WHERE len(toks) >= 8
+    ), dup AS (
+        SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ), dw AS (
+        SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)
+    ), nw AS (
+        SELECT doc_id, COUNT(*) AS n_dup_windows FROM dw GROUP BY doc_id
+    ), cov AS (
+        SELECT doc_id, COUNT(DISTINCT pos + j) AS covered_tok
+        FROM dw CROSS JOIN UNNEST(range(8)) AS rr(j)
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tok,
+           CAST(COALESCE(nw.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           CAST(COALESCE(cov.covered_tok, 0) AS BIGINT) AS covered_tok,
+           CASE WHEN len(t.toks) = 0 THEN 0.0e0
+                ELSE round(COALESCE(cov.covered_tok, 0) * 1.0e0 / len(t.toks), 6)
+           END AS dup_frac
+    FROM t
+    LEFT JOIN nw USING (doc_id)
+    LEFT JOIN cov USING (doc_id)
+    """,
+    doc="""Cross-document duplicated-span coverage (⊕: Lee et al.
+    2022's ExactSubstr practice, bounded to word-8-gram windows):
+    per-doc count of windows whose gram occurs in ≥2 distinct docs
+    and the union of token positions they cover. Spark side travels
+    hashed positional grams (one Arrow pass); the oracle rebuilds
+    the same windows as strings — the gate checks every count and
+    fraction, with hash collisions (~2⁻⁶⁴/pair) the only divergence
+    risk, same posture as the d05/t05 gram gates. Named past the
+    driver's 50-query cap; checked by tools/verify_local.""",
+)
+def x13_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import duplicated_span_coverage
+
+    docs = read_table(spark, sf_dir, "documents")
+    return duplicated_span_coverage(docs, n=8, min_docs=2)

@@ -276,3 +276,54 @@ def x12_pq_fast_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return pq_topk(queries, emb, k=10, m=8, ksub=16, candidates=50, train_sample=4096)
+
+
+@register(
+    "x14_label_centroids",
+    """
+    WITH el AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ), cent AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(val AS DECIMAL(28,6))) AS DOUBLE) / COUNT(val) AS mean
+        FROM el GROUP BY label, pos
+    ), carr AS (
+        SELECT label, list(mean ORDER BY pos) AS centroid FROM cent GROUP BY label
+    ), cn AS (
+        SELECT label, centroid,
+               sqrt(list_dot_product(centroid, centroid)) AS cnorm
+        FROM carr
+    ), scored AS (
+        SELECT e.label, c.cnorm,
+               ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
+                     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(c.centroid, c.centroid))), 6) AS cos_c
+        FROM embeddings e JOIN cn c USING (label)
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           round(cnorm, 6) AS centroid_norm_q,
+           round(CAST(SUM(CAST(cos_c AS DECIMAL(28,6))) AS DOUBLE) / COUNT(cos_c), 6)
+               AS mean_cos,
+           round(MIN(cos_c), 6) AS min_cos,
+           round(MAX(cos_c), 6) AS max_cos
+    FROM scored
+    GROUP BY label, cnorm
+    """,
+    doc="""Per-label embedding centroid + compactness audit (⊕: the
+    per-cluster health stats embedding-curation decides on). Centroid
+    = per-dimension mean via exact-decimal accumulation over a
+    posexplode — ONE shuffle on (label, pos) with map-side partial
+    aggregation collapsing to |labels|·dim rows per partition; the
+    |labels|-row centroid frame broadcasts back for the
+    cosine-to-centroid pass. Named past the driver's 50-query cap;
+    checked by tools/verify_local.""",
+)
+def x14_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import label_centroid_stats
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return label_centroid_stats(emb)
