@@ -148,3 +148,55 @@ def test_shingle_hash_counts_match_string_shingles_random(spark):
                 assert len(strs[a] & strs[b]) == len(hshs[a] & hshs[b])
 
     inner()
+
+
+def test_bpe_merges_match_reference_learner(spark):
+    """x15 parity: the distributed BPE learner reproduces an
+    independent pure-Python reference (Sennrich-style: word-frequency
+    dict, weighted pair counts, lexicographic tie-break, greedy
+    left-to-right merge application) on the smoke corpus — the merge
+    table, pair counts, and final corpus symbol totals all match."""
+    import re
+    from collections import Counter
+
+    from trendr_data_pipeline_spark.operators.bpe import bpe_segment_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = bpe_segment_stats(docs, num_merges=10).collect()
+    got_merges = [(r["step"], r["left"], r["right"], r["pair_count"])
+                  for r in out if r["step"] > 0]
+    summary = [r for r in out if r["step"] == -1][0]
+
+    # reference learner
+    vocab = Counter()
+    for r in docs.select("text").collect():
+        for w in re.split(r"\s+", r["text"].lower()):
+            if w:
+                vocab[w] += 1
+    segs = {w: list(w) for w in vocab}
+    ref_merges = []
+    for step in range(1, 11):
+        pc = Counter()
+        for w, syms in segs.items():
+            c = vocab[w]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (left, right), wcnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        ref_merges.append((step, left, right, wcnt))
+        for w, syms in segs.items():
+            out_s, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out_s.append(left + right)
+                    i += 2
+                else:
+                    out_s.append(syms[i])
+                    i += 1
+            segs[w] = out_s
+    assert got_merges == ref_merges
+    assert summary["corpus_chars"] == sum(c * len(w) for w, c in vocab.items())
+    assert summary["corpus_syms"] == sum(c * len(segs[w]) for w, c in vocab.items())
+    # merges must actually compress the corpus
+    assert summary["corpus_syms"] < summary["corpus_chars"]

@@ -1,0 +1,154 @@
+"""BPE vocabulary induction over a document corpus (north-star
+LLM-pipeline op: learning the tokenizer's merge table IS a corpus
+aggregation job — Sennrich et al. 2016, "Neural Machine Translation of
+Rare Words with Subword Units", public; the practice behind the
+GPT-2/Llama tokenizers).
+
+Classic BPE learns from the WORD-FREQUENCY dictionary, not the raw
+stream: the corpus collapses to (distinct word, count) once — at web
+scale the vocabulary frame is millions of rows where the corpus is
+trillions of tokens, so every merge round runs on the small frame.
+That collapse is the one fact-table shuffle; each of the ``k`` merge
+rounds is then a groupBy over the cached vocabulary frame:
+
+1. adjacent symbol pairs via ``zip_with`` over two ``slice``\\ s of the
+   symbol array (JVM-side; NEVER ``element_at`` inside a ``sequence``
+   lambda — the unbound-expression trap re-evaluates the array per
+   element, see SCALING.md);
+2. weighted pair counts (map-side combined — |distinct pairs| rows
+   shuffle, not |words|);
+3. the argmax pair comes to the driver — ONE row per round (the same
+   bounded-driver-fetch posture as IVF/PQ codebook training);
+4. the merge applies to the symbol arrays in one Arrow batch pass
+   (left-to-right greedy, overlapping occurrences consume left-first
+   — the reference semantics of the public implementations).
+
+Rounds checkpoint with ``localCheckpoint`` (same lineage-cutting
+pattern as operators/graph.py) so round ``k`` does not replay rounds
+``1..k-1``.
+
+Determinism: ties on pair count break on the pair's lexicographic
+order, so the learned table is a pure function of the corpus.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _chars_udf():
+    def f(s: pd.Series) -> pd.Series:
+        return s.map(list)
+
+    return F.pandas_udf(f, "array<string>")
+
+
+def _merge_udf(left: str, right: str):
+    """Apply one merge (left, right) → left+right to a symbol array,
+    greedy left-to-right (overlaps consume left-first)."""
+    merged = left + right
+
+    def f(s: pd.Series) -> pd.Series:
+        def apply(syms):
+            out = []
+            i, n = 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return out
+
+        return s.map(apply)
+
+    return F.pandas_udf(f, "array<string>")
+
+
+def word_frequencies(
+    docs: DataFrame, text_col: str = "text", lowercase: bool = True
+) -> DataFrame:
+    """(word, cnt) dictionary — whitespace words, matching the
+    ``\\s+``-split token semantics used across the text operators."""
+    txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    w = F.explode(F.split(txt, r"\s+")).alias("word")
+    return (
+        docs.select(w)
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    num_merges: int = 10,
+    text_col: str = "text",
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Learn ``num_merges`` BPE merges. Returns (merge table, final
+    vocabulary frame). Merge table rows: (step, left, right,
+    weighted pair count at selection time). The vocabulary frame is
+    (word, cnt, syms) with ``syms`` the word's symbol sequence after
+    all merges."""
+    vocab = (
+        word_frequencies(docs, text_col)
+        .withColumn("syms", _chars_udf()(F.col("word")))
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, num_merges + 1):
+        n = F.size("syms")
+        pairs = vocab.filter(n >= 2).select(
+            F.col("cnt"),
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), 1, n - 1),
+                    F.slice(F.col("syms"), 2, n - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p")
+            .agg(F.sum("cnt").alias("wcnt"))
+            .orderBy(F.col("wcnt").desc(), F.col("p.l").asc(), F.col("p.r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, wcnt = best[0]["p"]["l"], best[0]["p"]["r"], best[0]["wcnt"]
+        merges.append((step, left, right, int(wcnt)))
+        nxt = vocab.withColumn("syms", _merge_udf(left, right)(F.col("syms"))).localCheckpoint()
+        vocab.unpersist()
+        vocab = nxt
+    return merges, vocab
+
+
+def bpe_segment_stats(
+    docs: DataFrame, num_merges: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level tokenizer-fitness report for a learned merge
+    table: per merge step, the merged symbol plus the resulting
+    vocabulary compression — total symbols per corpus word occurrence
+    before/after. One row per merge step (step, left, right, merged,
+    pair_count) plus a final summary row (step = -1) carrying corpus
+    symbol totals (weighted by word counts, integer-exact)."""
+    merges, vocab = learn_bpe_merges(docs, num_merges=num_merges, text_col=text_col)
+    spark = docs.sparkSession
+    total = vocab.select(
+        F.sum(F.col("cnt") * F.length("word")).alias("chars"),
+        F.sum(F.col("cnt") * F.size("syms")).alias("syms"),
+    ).collect()[0]
+    rows = [
+        (step, left, right, left + right, int(wcnt), None, None)
+        for (step, left, right, wcnt) in merges
+    ] + [(-1, None, None, None, None, int(total["chars"]), int(total["syms"]))]
+    return spark.createDataFrame(
+        rows,
+        "step int, left string, right string, merged string,"
+        " pair_count bigint, corpus_chars bigint, corpus_syms bigint",
+    )

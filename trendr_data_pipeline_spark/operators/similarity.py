@@ -497,8 +497,12 @@ def _pq_train(X, m: int, ksub: int, seed: int, iters: int = 10):
             C = np.concatenate([uniq, np.repeat(uniq[:1], ksub - len(uniq), axis=0)])
         else:
             C = S[rng.choice(n, size=ksub, replace=False)]
+            s2 = (S**2).sum(axis=1, keepdims=True)
             for _ in range(iters):
-                d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                # ||s-c||^2 = ||s||^2 - 2 s·c + ||c||^2 via one matmul —
+                # the (n × ksub × dsub) broadcast temporary was the
+                # dominant cost of the gated x11 config (8.2 → ~2 s)
+                d2 = s2 - 2.0 * (S @ C.T) + (C**2).sum(axis=1)[None, :]
                 assign = np.argmin(d2, axis=1)
                 for c in range(ksub):
                     members = S[assign == c]

@@ -877,3 +877,24 @@ def x10_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return temperature_mix(docs, target_frac=0.5, salt="tmix")
+
+
+@register(
+    "x15_bpe_merges",
+    None,
+    doc="""BPE vocabulary induction (⊕: Sennrich et al. 2016, the
+    GPT-2/Llama tokenizer-training practice) — 10 merge rounds learned
+    from the word-frequency dictionary: the corpus collapses to
+    (distinct word, count) ONCE, every round then aggregates the small
+    cached vocab frame (pairs via zip_with over slices, argmax = a
+    one-row driver fetch, merge applied in one Arrow pass,
+    localCheckpoint between rounds). Rows-only under the driver gate —
+    an iterative argmax loop has no static SQL twin (same posture as
+    x01) — with full parity pinned in pytest against an independent
+    pure-Python reference BPE learner on the same corpus.""",
+)
+def x15_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_segment_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bpe_segment_stats(docs, num_merges=10)
