@@ -155,3 +155,36 @@ def test_dedup_lines(spark):
     got = {r["i"]: r["d"] for r in df.select("i", dedup_lines(F.col("t")).alias("d")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_quality_classifier_auc_and_determinism(spark):
+    """x16: the LR pipeline separates the weak label on HELD-OUT rows
+    (AUC ≥ 0.9 — the features contain the signal the label was built
+    from, so failure means broken plumbing, not a hard task), the
+    hash split is deterministic, and probabilities are calibrated to
+    [0, 1]."""
+    from trendr_data_pipeline_spark.operators.quality_model import (
+        train_and_score_quality,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = train_and_score_quality(docs).collect()
+    assert all(0.0 <= r["prob"] <= 1.0 for r in out)
+    holdout = [r for r in out if not r["is_train"]]
+    assert len(holdout) > 30
+    # rank-based AUC (Mann-Whitney)
+    pos = sorted(r["prob"] for r in holdout if r["label"] == 1.0)
+    neg = sorted(r["prob"] for r in holdout if r["label"] == 0.0)
+    assert pos and neg
+    import bisect
+
+    wins = sum(
+        bisect.bisect_left(neg, p) + 0.5 * (bisect.bisect_right(neg, p) - bisect.bisect_left(neg, p))
+        for p in pos
+    )
+    auc = wins / (len(pos) * len(neg))
+    assert auc >= 0.9, f"held-out AUC too low: {auc}"
+    again = train_and_score_quality(docs).collect()
+    assert {r["doc_id"]: r["is_train"] for r in again} == {
+        r["doc_id"]: r["is_train"] for r in out
+    }

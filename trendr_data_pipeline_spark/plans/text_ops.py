@@ -898,3 +898,121 @@ def x15_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return bpe_segment_stats(docs, num_merges=10)
+
+
+@register(
+    "x17_quality_embedding_corr",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               len({_SQL_TOKS}) AS n_tok,
+               list_aggregate(list_transform({_SQL_TOKS}, x -> len(x)), 'sum')
+                   AS tok_chars,
+               len(list_filter({_SQL_TOKS},
+                   x -> list_contains({_SQL_STOP}, x))) AS stop_hits
+        FROM documents
+    ), q AS (
+        SELECT doc_id, source, round({_SQL_QUALITY}, 6) AS quality
+        FROM t WHERE n_tok > 0
+    ), j AS (
+        SELECT q.source, q.quality AS x,
+               sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                     CAST(e.embedding AS DOUBLE[]))) AS y,
+               list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS y2
+        FROM q JOIN embeddings e ON q.doc_id = e.vec_id
+    ), s AS (
+        SELECT source, COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sx2,
+               CAST(SUM(CAST(y2 AS DECIMAL(28,6))) AS DOUBLE) AS sy2
+        FROM j GROUP BY source
+    )
+    SELECT source, n,
+           round(sx / n, 6) AS mean_quality,
+           round(sy / n, 6) AS mean_norm,
+           CASE WHEN (n * sx2 - sx * sx) <= 0 OR (n * sy2 - sy * sy) <= 0
+                THEN NULL
+                ELSE round((n * sxy - sx * sy)
+                           / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6)
+           END AS pearson_r
+    FROM s
+    """,
+    doc="""Cross-modal curation audit (⊕): per-source Pearson
+    correlation between the t03 text-quality score and the document
+    embedding's L2 norm — the sanity check an embedding-curation
+    pipeline runs before trusting either signal (a strong correlation
+    means one is redundant; a negative one means they disagree).
+    One 1:1 id equi-join between the two modalities (large-large at
+    scale — SMJ is correct there; AQE broadcasts at fixture size),
+    then one per-source aggregate with every Pearson term quantized
+    to exact DECIMAL before summing, so the correlation is
+    partitioning-proof. Named past the driver's 50-query cap; checked
+    by tools/verify_local.""",
+)
+def x17_quality_embedding_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import dot, l2norm
+    from ._numeric import DEC
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    scored = budget_scored(docs, [F.col("doc_id"), F.col("source")]).filter(
+        F.col("n_tok") > 0
+    )
+    j = scored.join(emb, scored["doc_id"] == emb["vec_id"]).select(
+        "source",
+        F.col("quality").alias("x"),
+        l2norm(F.col("embedding")).alias("y"),
+        dot(F.col("embedding"), F.col("embedding")).alias("y2"),
+    )
+
+    def dsum_of(c):
+        return F.sum(c.cast(DEC)).cast("double")
+
+    s = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum_of(F.col("x")).alias("sx"),
+        dsum_of(F.col("y")).alias("sy"),
+        dsum_of(F.col("x") * F.col("y")).alias("sxy"),
+        dsum_of(F.col("x") * F.col("x")).alias("sx2"),
+        dsum_of(F.col("y2")).alias("sy2"),
+    )
+    n = F.col("n")
+    varx = n * F.col("sx2") - F.col("sx") * F.col("sx")
+    vary = n * F.col("sy2") - F.col("sy") * F.col("sy")
+    return s.select(
+        "source",
+        "n",
+        F.round(F.col("sx") / n, 6).alias("mean_quality"),
+        F.round(F.col("sy") / n, 6).alias("mean_norm"),
+        F.when((varx <= 0) | (vary <= 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.sqrt(varx) * F.sqrt(vary)),
+                6,
+            )
+        )
+        .alias("pearson_r"),
+    )
+
+
+@register(
+    "x16_quality_classifier",
+    None,
+    doc="""Trained document-quality classifier (⊕: the fastText-style
+    quality-model practice behind the GPT-3/LLaMA corpus filters) —
+    JVM-computed text features → VectorAssembler → StandardScaler →
+    pyspark.ml LogisticRegression (distributed L-BFGS), deterministic
+    md5 hash split, every doc scored. Rows-only under the driver gate
+    (iterative optimization has no static SQL twin; same posture as
+    x15); held-out AUC ≥ 0.9 and split determinism pinned in
+    tests/test_quality.py.""",
+)
+def x16_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality_model import train_and_score_quality
+
+    docs = read_table(spark, sf_dir, "documents")
+    return train_and_score_quality(docs)
