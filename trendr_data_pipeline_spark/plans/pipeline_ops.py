@@ -390,3 +390,33 @@ def x05_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
         F.coalesce("n_errors", F.lit(0).cast("long")).alias("n_errors"),
     )
+
+
+@register(
+    "x18_streaming_momentum",
+    """
+    WITH w AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS TIMESTAMP)
+                   - CAST(k AS INT) * INTERVAL 1 DAY AS win_start,
+               value
+        FROM events CROSS JOIN UNNEST(range(14)) AS t(k)
+    )
+    SELECT win_start + INTERVAL 14 DAY AS win_end, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_14d
+    FROM w GROUP BY win_start, user_id
+    """,
+    doc="""SS6's 14-day/1-day-step sliding momentum window replayed as
+    a STREAM (complete-mode memory sink, the p02/p08/x05 harness) and
+    hash-checked against a batch oracle that enumerates the exact
+    window membership: an event belongs to the 14 epoch-aligned
+    windows whose start lies in (ts−14d, ts], i.e. floor_day(ts)−k for
+    k ∈ [0,14) — the same alignment Spark's window('ts','14 days',
+    '1 day') computes. Decimal value sums keep the hash
+    partitioning-proof. Fourth hash-gated streaming query; named past
+    the driver's 50-query cap; checked by tools/verify_local.""",
+)
+def x18_streaming_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import jobs
+
+    return _replay_events(spark, sf_dir, jobs.sliding_value_momentum, "x18_momentum")
