@@ -471,11 +471,11 @@ def test_quantize_embeddings_invariants(spark):
     by_id = {r["vec_id"]: r for r in out}
     c = by_id[100000]
     assert c["scale_q"] == 0.0 and c["code_min"] == 0 and c["code_max"] == 0
-    assert c["mae"] == 0.0
+    assert c["mae_micro"] == 0.0
     for r in out:
         assert 0 <= r["code_min"] <= r["code_max"] <= 255
-        # mae ≤ scale/2 + rounding grain (scale_q is the 6-dp print)
-        assert r["mae"] <= r["scale_q"] / 2 + 2e-6
+        # mae ≤ scale/2 + the 1e-6 quantization grain
+        assert r["mae_micro"] / 1e6 <= r["scale_q"] / 2 + 2e-6
     again = {r["vec_id"]: r["codes_md5"]
              for r in quantize_embeddings(emb.unionByName(const)).collect()}
     assert again == {r["vec_id"]: r["codes_md5"] for r in out}

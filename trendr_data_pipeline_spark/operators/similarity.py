@@ -467,9 +467,13 @@ def quantize_embeddings(
         F.aggregate(codes, F.lit(0).cast("bigint"), lambda a, c: a + c).alias("code_sum"),
         F.array_min(codes).cast("int").alias("code_min"),
         F.array_max(codes).cast("int").alias("code_max"),
-        F.round(
-            F.col("q.err_micro_sum").cast("double") / (F.lit(1e6) * F.size(codes)), 6
-        ).alias("mae"),
+        # mean |err| in 1e-6 units: exact-int sum / int count — one
+        # IEEE division of identical operands, so the value is
+        # bit-identical in both engines with NO rounding step (a
+        # round(x, 6) here once landed on an exact decimal half-point,
+        # where Java rounds the printed decimal and C rounds the
+        # binary value — the one divergence class rounding can't fix)
+        (F.col("q.err_micro_sum").cast("double") / F.size(codes)).alias("mae_micro"),
     )
 
 

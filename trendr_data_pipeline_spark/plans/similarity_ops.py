@@ -198,10 +198,10 @@ _ORACLE_QUANTIZE = """
            CAST(list_sum(codes) AS BIGINT) AS code_sum,
            CAST(list_min(codes) AS INT) AS code_min,
            CAST(list_max(codes) AS INT) AS code_max,
-           round(CAST(list_sum(list_transform(list_zip(v, codes), t ->
+           CAST(list_sum(list_transform(list_zip(v, codes), t ->
                      CAST(floor(abs(t[1] - (vmin + CAST(t[2] AS DOUBLE) * scale))
                                 * 1e6 + 0.5) AS BIGINT))) AS DOUBLE)
-                 / (1e6 * n_dims), 6) AS mae
+                 / n_dims AS mae_micro
     FROM c
 """
 
