@@ -200,3 +200,52 @@ def test_bpe_merges_match_reference_learner(spark):
     assert summary["corpus_syms"] == sum(c * len(segs[w]) for w, c in vocab.items())
     # merges must actually compress the corpus
     assert summary["corpus_syms"] < summary["corpus_chars"]
+
+
+def test_bpe_tokenize_consistent_with_learner(spark):
+    """x19 parity: (a) corpus-wide piece totals from the rank-based
+    encode loop equal the learner's final segmentation totals (the
+    standard BPE equivalence: encoding with merge ranks reproduces
+    the training-time segmentation); (b) per-source stats match a
+    pure-Python reference encode."""
+    import re
+    from collections import Counter
+
+    from trendr_data_pipeline_spark.operators.bpe import (
+        bpe_segment_stats,
+        bpe_tokenize_stats,
+        learn_bpe_merges,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    stats = bpe_tokenize_stats(docs, num_merges=10).collect()
+    summary = [r for r in bpe_segment_stats(docs, num_merges=10).collect() if r["step"] == -1][0]
+    assert sum(r["n_pieces"] for r in stats) == summary["corpus_syms"]
+    assert sum(r["n_chars"] for r in stats) == summary["corpus_chars"]
+
+    merges, _ = learn_bpe_merges(docs, num_merges=10)
+    ranks = {(left, right): i for i, (_, left, right, _) in enumerate(merges)}
+
+    def encode_len(word):
+        syms = list(word)
+        while len(syms) >= 2:
+            cands = [(ranks[(a, b)], i) for i, (a, b) in enumerate(zip(syms, syms[1:]))
+                     if (a, b) in ranks]
+            if not cands:
+                break
+            _, i = min(cands)
+            syms[i : i + 2] = [syms[i] + syms[i + 1]]
+        return len(syms)
+
+    ref = {}
+    for r in docs.select("source", "text").collect():
+        agg = ref.setdefault(r["source"], Counter())
+        for w in re.split(r"\s+", r["text"].lower()):
+            if w:
+                agg["n_words"] += 1
+                agg["n_chars"] += len(w)
+                agg["n_pieces"] += encode_len(w)
+    for r in stats:
+        a = ref[r["source"]]
+        assert (r["n_words"], r["n_chars"], r["n_pieces"]) == (
+            a["n_words"], a["n_chars"], a["n_pieces"]), r["source"]

@@ -188,3 +188,25 @@ def test_quality_classifier_auc_and_determinism(spark):
     assert {r["doc_id"]: r["is_train"] for r in again} == {
         r["doc_id"]: r["is_train"] for r in out
     }
+
+
+def test_classifier_after_observation(spark):
+    """Regression: scoring must work in a session where a df.observe
+    query has already run (A13). Model.transform's UDF closure drags
+    the session's ObservationManager into task serialization and
+    fails with "Task not serializable" once an Observation is
+    registered; scoring via extracted-coefficient expressions (the
+    serve-without-the-model practice) must be immune."""
+    from trendr_data_pipeline_spark.operators.mentions import observed_run_summary
+    from trendr_data_pipeline_spark.operators.quality_model import (
+        train_and_score_quality,
+    )
+
+    df = spark.createDataFrame([("p1", "ACCEPT"), ("p2", "REJECT")],
+                               "poi_id string, decision string")
+    observed, obs = observed_run_summary(df)
+    observed.collect()
+    assert obs.get["n_candidates"] == 2
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = train_and_score_quality(docs).collect()
+    assert len(out) > 0

@@ -152,3 +152,75 @@ def bpe_segment_stats(
         "step int, left string, right string, merged string,"
         " pair_count bigint, corpus_chars bigint, corpus_syms bigint",
     )
+
+
+def _encode_udf(merges: list[tuple[str, str]]):
+    """Factory: pandas UDF applying a learned merge table to a word —
+    the classic BPE encode loop: repeatedly merge the LOWEST-RANK
+    adjacent pair present (rank = learning order), until none
+    applies. Returns the symbol count per word (the piece sequence's
+    length is what corpus statistics need; emitting the pieces
+    themselves is the same loop with a different return)."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def f(s: pd.Series) -> pd.Series:
+        def encode(word: str) -> int:
+            syms = list(word)
+            while len(syms) >= 2:
+                best_i, best_rank = -1, None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_i, best_rank = i, r
+                if best_rank is None:
+                    break
+                syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+            return len(syms)
+
+        return s.map(encode).astype("int64")
+
+    return F.pandas_udf(f, "long")
+
+
+def bpe_tokenize_stats(
+    docs: DataFrame,
+    num_merges: int = 10,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Learn a merge table, then tokenize the corpus with it and
+    report per-``group_col`` compression: total words, total
+    characters, total BPE pieces, and pieces-per-char (an exact
+    integer/integer double — no rounding step to diverge).
+
+    Scale shape: the encode loop runs over the DISTINCT-WORD
+    dictionary only (the same corpus→vocab collapse the learner
+    uses — at web scale the vocab is millions of rows against
+    trillions of corpus tokens), and the per-word piece counts ride a
+    broadcast join back onto the exploded word stream; the final
+    rollup map-side combines per group."""
+    merges, _ = learn_bpe_merges(docs, num_merges=num_merges, text_col=text_col)
+    pairs = [(left, right) for (_, left, right, _) in merges]
+
+    words = docs.select(
+        F.col(group_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"),
+    ).filter(F.length("word") > 0)
+    vocab = words.select("word").distinct()
+    encoded = vocab.withColumn("n_pieces", _encode_udf(pairs)(F.col("word")))
+    return (
+        words.join(F.broadcast(encoded), "word")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("n_pieces").alias("n_pieces"),
+        )
+        .select(
+            group_col,
+            "n_words",
+            "n_chars",
+            "n_pieces",
+            (F.col("n_pieces").cast("double") / F.col("n_chars")).alias("pieces_per_char"),
+        )
+    )

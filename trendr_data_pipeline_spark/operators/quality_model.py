@@ -139,16 +139,32 @@ def train_and_score_quality(
     smodel = scaler.fit(train)
     model = lr.fit(smodel.transform(train))
 
-    from pyspark.ml.functions import vector_to_array
-
-    allv = smodel.transform(asm.transform(labeled))
-    scored = model.transform(allv)
-    p1 = F.element_at(vector_to_array(F.col("probability")), 2)
-    return scored.select(
+    # Score with PLAIN column expressions from the extracted
+    # coefficients instead of model.transform: (a) the scoring plan
+    # stays whole-stage codegen — no per-row ML vector UDF on the
+    # 100 TB side, the standard serve-without-the-model practice for
+    # linear models; (b) Model.transform's UDF closure drags the
+    # session's ObservationManager into task serialization, which
+    # BREAKS ("Task not serializable") in any session where a
+    # df.observe query has run (A13) — scoring via expressions
+    # sidesteps the interaction entirely (pinned by
+    # tests/test_quality.py::test_classifier_after_observation).
+    coef = model.coefficients.toArray()
+    intercept = float(model.intercept)
+    mean = smodel.mean.toArray()
+    std = smodel.std.toArray()
+    margin = F.lit(intercept)
+    for i, name in enumerate(FEATURES):
+        s = float(std[i]) if float(std[i]) != 0.0 else 1.0
+        margin = margin + F.lit(float(coef[i])) * (
+            (F.col(name) - F.lit(float(mean[i]))) / F.lit(s)
+        )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return labeled.select(
         "doc_id",
         "source",
         "label",
         "is_train",
-        F.round(p1, 4).alias("prob"),
-        F.col("prediction").cast("int").alias("prediction"),
+        F.round(prob, 4).alias("prob"),
+        (prob >= 0.5).cast("int").alias("prediction"),
     )

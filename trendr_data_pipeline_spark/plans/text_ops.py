@@ -1016,3 +1016,22 @@ def x16_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return train_and_score_quality(docs)
+
+
+@register(
+    "x19_bpe_tokenize",
+    None,
+    doc="""BPE APPLICATION (⊕, the encode half of the x15 learner):
+    tokenize the corpus with the learned 10-merge table and report
+    per-source compression. The encode loop runs over the
+    distinct-word dictionary only, piece counts ride a broadcast join
+    back onto the exploded word stream, and pieces_per_char is an
+    exact integer/integer division (no rounding step). Rows-only
+    under the gate (depends on the iteratively-learned table); full
+    parity vs a pure-Python reference encoder in pytest.""",
+)
+def x19_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_tokenize_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bpe_tokenize_stats(docs, num_merges=10)
