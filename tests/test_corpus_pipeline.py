@@ -125,3 +125,40 @@ def test_write_training_shards_range_reads(spark, tmp_path):
             .collect()
         }
         assert got == want, (a, b)
+
+
+def test_classifier_floor_and_mix_stages(spark):
+    """The two r5 optional stages compose correctly: with a
+    quality_prob_floor every selected doc scores at or above the
+    floor under the same full-corpus model; with mix_target_frac the
+    selection is a subset of the deterministic mix-keep set and the
+    stage is reproducible."""
+    from trendr_data_pipeline_spark.operators.quality_model import (
+        train_and_score_quality,
+    )
+    from trendr_data_pipeline_spark.operators.sampling import hash_fraction
+
+    docs = spark.read.parquet(f"{SMOKE_SF}/documents.parquet")
+    probs = {r["doc_id"]: r["prob"]
+             for r in train_and_score_quality(docs).collect()}
+    floored = build_training_corpus(
+        spark, SMOKE_SF, seq_len=SEQ, token_budget=BUDGET, quality_prob_floor=0.5
+    ).collect()
+    assert floored, "floor dropped everything"
+    assert all(probs[r["doc_id"]] >= 0.5 for r in floored)
+    # (no subset relation vs the un-floored run: dropping docs frees
+    # budget, which can legitimately pull NEW docs into the greedy)
+
+    mixed = build_training_corpus(
+        spark, SMOKE_SF, seq_len=SEQ, token_budget=BUDGET, mix_target_frac=0.5
+    ).collect()
+    assert mixed
+    # every selected doc must have passed the deterministic hash keep
+    # decision for its source (rates ≤ 1, so frac < 1 is necessary)
+    fracs = {r["doc_id"]: r["frac"] for r in docs.select(
+        "doc_id", hash_fraction(F.col("doc_id"), "corpus-mix").alias("frac")).collect()}
+    assert all(fracs[r["doc_id"]] < 1.0 for r in mixed)
+    again = build_training_corpus(
+        spark, SMOKE_SF, seq_len=SEQ, token_budget=BUDGET, mix_target_frac=0.5
+    ).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in mixed]

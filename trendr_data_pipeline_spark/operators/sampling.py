@@ -70,6 +70,61 @@ def apply_mix(
     )
 
 
+def temperature_rates(
+    docs: DataFrame,
+    source_col: str = "source",
+    alpha_sqrt: bool = True,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """The |sources|-row keep-rate frame behind :func:`temperature_mix`
+    (split out so the corpus pipeline can apply the SAME rates as a
+    row-level filter): (source, n_docs, rate)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from ..plans._numeric import DEC
+
+    counts = docs.groupBy(source_col).agg(F.count("*").alias("n_docs"))
+    w = F.sqrt(F.col("n_docs").cast("double")) if alpha_sqrt else F.col("n_docs").cast("double")
+    counts = counts.withColumn("w_dec", w.cast(DEC))
+    tot = counts.agg(
+        F.sum("w_dec").alias("denom_dec"), F.sum("n_docs").alias("total_docs")
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col(source_col),
+        F.col("n_docs"),
+        F.least(
+            F.lit(1.0),
+            (F.col("w_dec").cast("double") / F.col("denom_dec").cast("double"))
+            * (F.col("total_docs").cast("double") * F.lit(float(target_frac)))
+            / F.col("n_docs").cast("double"),
+        ).alias("rate"),
+    )
+
+
+def apply_temperature_mix(
+    docs: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    alpha_sqrt: bool = True,
+    target_frac: float = 0.5,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Row-level form: the input rows that survive the temperature
+    mix, original schema preserved. Facts never shuffle — the rate
+    frame broadcasts onto them and the keep decision is the
+    deterministic md5 hash fraction."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    rates = temperature_rates(docs, source_col, alpha_sqrt, target_frac)
+    return (
+        docs.join(
+            F.broadcast(rates.select(source_col, "rate")), source_col
+        )
+        .filter(hash_fraction(F.col(key_col), salt) < F.col("rate"))
+        .drop("rate")
+    )
+
+
 def temperature_mix(
     docs: DataFrame,
     source_col: str = "source",
@@ -102,24 +157,7 @@ def temperature_mix(
     """
     from pyspark.sql import functions as F  # noqa: F811
 
-    from ..plans._numeric import DEC
-
-    counts = docs.groupBy(source_col).agg(F.count("*").alias("n_docs"))
-    w = F.sqrt(F.col("n_docs").cast("double")) if alpha_sqrt else F.col("n_docs").cast("double")
-    counts = counts.withColumn("w_dec", w.cast(DEC))
-    tot = counts.agg(
-        F.sum("w_dec").alias("denom_dec"), F.sum("n_docs").alias("total_docs")
-    )
-    rates = counts.crossJoin(F.broadcast(tot)).select(
-        F.col(source_col),
-        F.col("n_docs"),
-        F.least(
-            F.lit(1.0),
-            (F.col("w_dec").cast("double") / F.col("denom_dec").cast("double"))
-            * (F.col("total_docs").cast("double") * F.lit(float(target_frac)))
-            / F.col("n_docs").cast("double"),
-        ).alias("rate"),
-    )
+    rates = temperature_rates(docs, source_col, alpha_sqrt, target_frac)
     return (
         docs.join(F.broadcast(rates), source_col)
         .filter(hash_fraction(F.col(key_col), salt) < F.col("rate"))

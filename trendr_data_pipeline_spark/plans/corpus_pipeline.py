@@ -11,6 +11,11 @@ tests/test_corpus_pipeline.py):
 3. near-dup cluster canonicalization: exact Jaccard pairs →
    connected components → component-minimum survives (removes the
    TRANSITIVE near-dups the per-doc ladder cannot see);
+   3b. optional CCNet-style perplexity tail-drop (x08 scoring);
+   3c. optional trained-classifier floor (x16, the fastText-model
+   practice);
+   3d. optional α=1/2 temperature source mixing (x10) — the mixture
+   decides the source composition the budget greedy selects from;
 4. greedy quality-budget selection (best documents first until the
    token budget is exhausted);
 5. sequence packing (global token offsets + fixed-length chunk
@@ -50,6 +55,8 @@ def build_training_corpus(
     token_budget: int = 15000,
     near_dup_threshold: float = 0.8,
     ppl_cap: float | None = None,
+    quality_prob_floor: float | None = None,
+    mix_target_frac: float | None = None,
 ) -> DataFrame:
     """Run the full pipeline; returns one row per SELECTED document:
     (doc_id, source, text, n_tok, quality, component, tok_offset,
@@ -61,7 +68,14 @@ def build_training_corpus(
     unigram-LM perplexity (x08's scoring, computed against the
     ORIGINAL corpus distribution so the model does not drift with the
     filtering) exceeds the cap are dropped before the budget greedy
-    runs."""
+    runs.
+
+    ``quality_prob_floor`` optionally inserts the trained-classifier
+    filter (x16, the fastText-model practice): documents the model
+    scores below the floor are dropped. ``mix_target_frac``
+    optionally applies α=1/2 temperature source mixing (x10) after
+    all quality filtering — the mixture decides the SOURCE
+    composition of what the budget greedy then selects from."""
     docs = read_table(spark, sf_dir, "documents")
 
     # 1. per-doc ladder (dup/contamination/language/repetition/quality)
@@ -93,6 +107,30 @@ def build_training_corpus(
             .select("doc_id")
         )
         survivors = survivors.join(ok, "doc_id")
+
+    # 3c. optional trained-classifier floor (x16 practice): scores
+    # come from the model fit on the FULL corpus (same no-drift
+    # posture as the perplexity stage)
+    if quality_prob_floor is not None:
+        from ..operators.quality_model import train_and_score_quality
+
+        ok = (
+            train_and_score_quality(docs)
+            .filter(F.col("prob") >= quality_prob_floor)
+            .select("doc_id")
+        )
+        survivors = survivors.join(ok, "doc_id")
+
+    # 3d. optional temperature source mixing (x10): rebalance the
+    # source composition before the budget greedy; rates computed on
+    # the current survivor counts so the target fraction refers to
+    # what is actually left
+    if mix_target_frac is not None:
+        from ..operators.sampling import apply_temperature_mix
+
+        survivors = apply_temperature_mix(
+            survivors, target_frac=mix_target_frac, salt="corpus-mix"
+        )
 
     # 4. greedy quality-budget selection (x06 semantics, shared
     # scoring helper; composite (quality DESC, doc_id) total order
