@@ -603,3 +603,28 @@ def test_label_centroid_stats_matches_numpy(spark):
         assert abs(got["mean_cos"] - cos.mean()) < 1e-4
         assert abs(got["min_cos"] - cos.min()) < 1e-4
         assert abs(got["max_cos"] - cos.max()) < 1e-4
+
+
+def test_hashed_vectors_round_trip_into_similarity(spark):
+    """x20's dense companion: assemble_dense scatters the sparse rows
+    into the exact dense vector (python oracle), and the result drops
+    straight into the cosine top-k operator."""
+    from trendr_data_pipeline_spark.operators.vectorize import (
+        assemble_dense,
+        hashed_tf_sparse,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sparse = hashed_tf_sparse(docs, dim=64)
+    srows = sparse.collect()
+    dense = {r["doc_id"]: r["embedding"] for r in assemble_dense(sparse, dim=64).collect()}
+    want: dict[int, list] = {}
+    for r in srows:
+        v = want.setdefault(r["doc_id"], [0.0] * 64)
+        v[r["bucket"]] = float(r["w"])
+    assert dense == want
+    # shape-compatible with the similarity operators
+    emb = assemble_dense(sparse, dim=64)
+    queries = emb.filter(F.col("doc_id") % 100 == 0)
+    top = cosine_topk_bruteforce(queries, emb, k=3, id_col="doc_id").collect()
+    assert top and all(r["rk"] <= 3 for r in top)

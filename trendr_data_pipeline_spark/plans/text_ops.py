@@ -1035,3 +1035,38 @@ def x19_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return bpe_tokenize_stats(docs, num_merges=10)
+
+
+@register(
+    "x20_hashed_vectors",
+    f"""
+    WITH t AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    )
+    SELECT doc_id,
+           (('0x' || substr(md5('fh' || tok), 1, 8))::BIGINT % 64 + 64) % 64
+               AS bucket,
+           CAST(SUM(CASE WHEN ('0x' || substr(md5('fs' || tok), 1, 1))::INT < 8
+                         THEN 1 ELSE -1 END) AS BIGINT) AS w
+    FROM t
+    GROUP BY doc_id, bucket
+    HAVING SUM(CASE WHEN ('0x' || substr(md5('fs' || tok), 1, 1))::INT < 8
+                    THEN 1 ELSE -1 END) <> 0
+    """,
+    doc="""Feature-hashing vectorizer (⊕: the signed hashing trick of
+    Weinberger et al. 2009, the fastText/VW practice): each doc
+    becomes a 64-bucket signed-TF sparse vector, gated at the
+    (doc, bucket) grain — integer weights, md5-derived buckets and
+    signs identical in both engines, so the gate hash-checks the
+    ENTIRE sparse matrix. One token explode + one map-side-combined
+    (doc, bucket) shuffle, all JVM expressions. The dense-assembly
+    companion (`operators/vectorize.assemble_dense`) feeds these
+    vectors straight into the cosine/LSH/IVF/PQ operators
+    (pytest-verified round trip). Named past the driver's 50-query
+    cap; checked by tools/verify_local.""",
+)
+def x20_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.vectorize import hashed_tf_sparse
+
+    docs = read_table(spark, sf_dir, "documents")
+    return hashed_tf_sparse(docs, dim=64)
