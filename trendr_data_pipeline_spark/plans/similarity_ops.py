@@ -230,15 +230,15 @@ def x09_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="""Product-quantization ANN (Jégou et al. 2011, the FAISS PQ
     practice), hash-gated via the degenerate-exact case — the same
     trick as m03's full-probe form: with ``ksub`` ≥ the number of
-    distinct subvectors at the gate SF (sf0.01: 500 ≤ 512) and the
-    training sample covering the corpus, the codebook reconstructs
-    every vector exactly, ADC ordering equals the true cosine
-    ordering, and after exact rescoring of the top-50 candidates the
-    output equals m01's brute force — so the brute-force SQL is a
-    valid oracle for the WHOLE encode → ADC-scan → candidate-shuffle
-    → rescore machinery. (Exactness is a property of the gate SF's
-    cardinality; at larger SFs this config still runs but is
-    approximate — the production setting is benched as x12.)""",
+    distinct subvectors at every fixture SF (≤2000 vectors at sf0.1
+    vs ksub=2048) and the training sample covering the corpus, the
+    codebook reconstructs every vector exactly, ADC ordering equals
+    the true cosine ordering, and after exact rescoring of the
+    top-50 candidates the output equals m01's brute force — so the
+    brute-force SQL is a valid oracle for the WHOLE encode →
+    ADC-scan → candidate-shuffle → rescore machinery, at any SF the
+    gate runs (verified at sf0.01 AND sf0.1). The production setting
+    is benched as x12.""",
 )
 def x11_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import pq_topk
@@ -249,9 +249,9 @@ def x11_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         k=10,
         m=8,
-        ksub=512,
+        ksub=2048,
         candidates=50,
-        train_sample=32768,
+        train_sample=65536,
     )
 
 
