@@ -249,3 +249,74 @@ def test_bpe_tokenize_consistent_with_learner(spark):
         a = ref[r["source"]]
         assert (r["n_words"], r["n_chars"], r["n_pieces"]) == (
             a["n_words"], a["n_chars"], a["n_pieces"]), r["source"]
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+            min_size=4, max_size=4,
+        ),
+        min_size=1, max_size=8,
+    )
+)
+@_SETTINGS
+def test_quantize_engine_parity_random_vectors(spark, duck, vecs):
+    """x09 property parity: for ARBITRARY float32 vectors (including
+    constant and near-constant ones), the Spark quantizer and the
+    DuckDB oracle expression produce identical codes, checksums and
+    integer error sums — the systematic version of the knife-edge
+    hunt that caught the r5 mae rounding divergence."""
+    from trendr_data_pipeline_spark.operators.similarity import quantize_embeddings
+    from trendr_data_pipeline_spark.plans.similarity_ops import _ORACLE_QUANTIZE
+
+    rows = [(i, v, 0) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    got = {r["vec_id"]: (r["codes_md5"], r["code_sum"], r["mae_micro"])
+           for r in quantize_embeddings(df).collect()}
+    import pandas as pd
+
+    pdf = pd.DataFrame({"vec_id": [r[0] for r in rows],
+                        "embedding": [r[1] for r in rows]})
+    duck.register("embeddings_prop", pdf)
+    sql = _ORACLE_QUANTIZE.replace("FROM embeddings", "FROM embeddings_prop")
+    want = {r[0]: (r[4], r[5], r[8]) for r in duck.execute(sql).fetchall()}
+    duck.unregister("embeddings_prop")
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(list("abcd")), min_size=0, max_size=12).map(" ".join),
+        min_size=1, max_size=6,
+    )
+)
+@_SETTINGS
+def test_duplicated_spans_match_bruteforce(spark, docs_texts):
+    """x13 property parity vs a brute-force Python oracle on random
+    tiny-alphabet corpora (maximally collision-prone gram sets):
+    window counts and covered-position unions must match exactly."""
+    import re
+
+    from trendr_data_pipeline_spark.operators.dedup import duplicated_span_coverage
+
+    n = 3
+    rows = [(i, t) for i, t in enumerate(docs_texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["n_tok"], r["n_dup_windows"], r["covered_tok"])
+           for r in duplicated_span_coverage(df, n=n).collect()}
+
+    toks = {i: [w for w in re.split(r"\s+", t.lower()) if w] for i, t in rows}
+    gram_docs: dict[tuple, set] = {}
+    for i, ts in toks.items():
+        for j in range(len(ts) - n + 1):
+            gram_docs.setdefault(tuple(ts[j:j + n]), set()).add(i)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    want = {}
+    for i, ts in toks.items():
+        wins = [j for j in range(len(ts) - n + 1) if tuple(ts[j:j + n]) in dup]
+        covered = set()
+        for j in wins:
+            covered.update(range(j, j + n))
+        want[i] = (len(ts), len(wins), len(covered))
+    assert got == want
