@@ -34,8 +34,20 @@ def _ensure_shipped(spark: SparkSession) -> None:
     import tempfile
     import zipfile
 
-    zpath = os.path.join(tempfile.gettempdir(), "trendr_data_pipeline_spark_pkg.zip")
     pkg = Path(_REPO) / "trendr_data_pipeline_spark"
+    # content-addressed archive name: two drivers running DIFFERENT
+    # checkouts must not race each other into shipping the wrong
+    # version (a fixed shared name is atomic against torn reads, but
+    # not against cross-version interleaving)
+    import hashlib
+
+    h = hashlib.sha256()
+    for p in sorted(pkg.rglob("*.py")):
+        h.update(str(p.relative_to(pkg)).encode())
+        h.update(p.read_bytes())
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"trendr_data_pipeline_spark_pkg_{h.hexdigest()[:16]}.zip"
+    )
     # write to a private temp name, then atomic-rename into place:
     # concurrent driver processes (bench + pytest) share the stable
     # path, and a reader must never see a half-written archive

@@ -623,6 +623,14 @@ def test_hashed_vectors_round_trip_into_similarity(spark):
         v = want.setdefault(r["doc_id"], [0.0] * 64)
         v[r["bucket"]] = float(r["w"])
     assert dense == want
+    # all_ids keeps zero-vector docs (token-less / fully-cancelled)
+    extra = spark.createDataFrame([(999999, "")], "doc_id bigint, text string")
+    with_zero = assemble_dense(
+        sparse, dim=64, all_ids=docs.select("doc_id").union(extra.select("doc_id"))
+    ).collect()
+    by_id = {r["doc_id"]: r["embedding"] for r in with_zero}
+    assert by_id[999999] == [0.0] * 64
+    assert {k: v for k, v in by_id.items() if k != 999999} == dense
     # shape-compatible with the similarity operators
     emb = assemble_dense(sparse, dim=64)
     queries = emb.filter(F.col("doc_id") % 100 == 0)

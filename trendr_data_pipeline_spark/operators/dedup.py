@@ -77,7 +77,11 @@ def shingle_hashes(col: Column, n: int = 5) -> Column:
     divergence from ``substring`` semantics — still a valid shingle
     family, but not the oracle's char one).
 
-    Returns array<long>, sorted ascending (np.unique order).
+    Returns array<long>, deduplicated, in UNSIGNED ascending order
+    (np.unique on uint64): for n = 8 a packed value ≥ 2⁶³ wraps to a
+    negative int64, so the array is NOT signed-ascending — consumers
+    must treat it as an unordered distinct set (every current caller
+    does: explode → join).
     """
     assert n <= 8, "packed shingles hold at most 8 bytes"
     import numpy as np
@@ -193,8 +197,10 @@ def ngram_contamination_flags(
     LEFT SEMI join (AQE broadcasts it when it fits; at a benchmark
     suite too large to broadcast the semi join shuffles on the gram,
     never materializing pairs). Returns (id_col, is_contaminated).
-    Grams travel as strings for oracle parity; a production variant
-    hashes them to 64-bit keys first (same shape as d05's shingles).
+    Grams travel as 64-bit hashes on BOTH sides of the semi-join
+    (:func:`word_ngram_hashes`), so the ~2⁻⁶⁴-per-pair collision odds
+    are the only divergence from the string-gram DuckDB oracle (the
+    same posture as d05's hashed shingles).
     """
     grams_of = lambda df: df.select(  # noqa: E731
         F.col(id_col), F.explode(word_ngram_hashes(F.col(text_col), n)).alias("gram")

@@ -100,8 +100,11 @@ def train_and_score_quality(
     salt: str = "qsplit",
 ) -> DataFrame:
     """Fit the classifier on a deterministic hash split and score
-    EVERY document. Returns (doc_id, source, label, is_train, prob,
-    prediction) — prob rounded to 4dp (L-BFGS converges to the unique
+    every LABELED document (docs with no tokens have NULL quality, no
+    label to derive, and are excluded — callers joining on the output
+    must treat missing ids as unscored, not low-quality). Returns
+    (doc_id, source, label, is_train, prob, prediction) — prob
+    rounded to 4dp (L-BFGS converges to the unique
     optimum of the convex objective, but the last ulps depend on
     aggregation order; 4dp is stable in practice and the pytest gate
     asserts ranking quality, not bit-equality)."""
@@ -136,6 +139,12 @@ def train_and_score_quality(
     )
 
     train = asm.transform(labeled.filter(F.col("is_train")))
+    if not train.head(1):
+        raise ValueError(
+            "train_and_score_quality: the hash split left zero training"
+            " rows (corpus too small for train_frac"
+            f" {train_frac}) — lower train_frac or provide more docs"
+        )
     smodel = scaler.fit(train)
     model = lr.fit(smodel.transform(train))
 

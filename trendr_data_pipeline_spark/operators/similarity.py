@@ -275,16 +275,29 @@ def embedding_near_dup_join(
     # one orientation (q_id < c_id) BEFORE the exact-cosine verify —
     # symmetric sketches emit every colliding pair twice, and the
     # verify is the dominant per-candidate cost.
-    q_side = sketched(incoming, "q")
-    if broadcast_incoming:
-        q_side = F.broadcast(q_side)
+    if self_join and not broadcast_incoming:
+        # symmetric: sketch the corpus ONCE (the Arrow matmul is the
+        # dominant per-row cost) and self-join the persisted frame —
+        # same persisted-signature posture as d03
+        c_side = sketched(spread(corpus), "c").persist()
+        q_side = c_side.select(
+            F.col("c_id").alias("q_id"),
+            F.col("c_v").alias("q_v"),
+            "tbl",
+            "bucket",
+        )
+    else:
+        c_side = sketched(spread(corpus), "c")
+        q_side = sketched(incoming, "q")
+        if broadcast_incoming:
+            q_side = F.broadcast(q_side)
     orient = (
         (F.col("q_id") < F.col("c_id"))
         if self_join
         else (F.col("q_id") != F.col("c_id"))
     )
     cands = (
-        sketched(spread(corpus), "c")
+        c_side
         .join(q_side, ["tbl", "bucket"])
         .filter(orient)
         .select(F.col("q_id").alias("id_a"), F.col("c_id").alias("id_b"), "q_v", "c_v")

@@ -48,7 +48,12 @@ def hashed_tf_sparse(
 ) -> DataFrame:
     """Sparse signed-hash TF matrix: one row per (doc, bucket) with
     the integer signed term-frequency sum ``w`` (exact — no floats
-    anywhere, so the gate compares integers)."""
+    anywhere, so the gate compares integers). Buckets whose signed
+    weights cancel to 0 are dropped (sparse semantics, mirrored by
+    the oracle's HAVING); a doc ALL of whose buckets cancel — or with
+    no tokens — therefore has no rows here. Pass such corpora through
+    :func:`assemble_dense` with ``all_ids`` to keep their zero
+    vectors."""
     from ..functions.text import tokens
 
     toks = tokens(F.lower(F.col(text_col)))
@@ -64,14 +69,34 @@ def assemble_dense(
     sparse: DataFrame,
     dim: int = 64,
     id_col: str = "doc_id",
+    all_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Dense ``array<double>`` per doc from the sparse rows (zeros
     filled) — the shape the similarity operators consume, so hashed
-    text vectors drop straight into cosine/LSH/IVF/PQ."""
+    text vectors drop straight into cosine/LSH/IVF/PQ.
+
+    Docs with NO sparse rows (token-less, or every bucket cancelled
+    to 0 under the signed hash — probability ~1/dim² per colliding
+    opposite-sign pair) are absent from ``sparse``; pass ``all_ids``
+    (a frame containing ``id_col``) to emit their all-zero vectors
+    instead of silently dropping them from downstream similarity."""
     pairs = F.collect_list(
         F.struct(F.col("bucket"), F.col("w").cast("double").alias("w"))
     )
     agged = sparse.groupBy(id_col).agg(pairs.alias("_p"))
+    if all_ids is not None:
+        agged = (
+            all_ids.select(id_col)
+            .distinct()
+            .join(agged, id_col, "left")
+            .withColumn(
+                "_p",
+                F.coalesce(
+                    F.col("_p"),
+                    F.array().cast("array<struct<bucket:bigint,w:double>>"),
+                ),
+            )
+        )
     zero = F.array_repeat(F.lit(0.0), dim)
 
     # scatter by folding the sparse pairs into a zero vector; acc and

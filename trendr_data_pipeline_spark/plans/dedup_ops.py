@@ -147,7 +147,10 @@ def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     incoming = docs.filter(F.col("doc_id") % 100 == 0)
-    n_docs = docs.count()  # parquet metadata count — no scan
+    # one count job over the footer-pruned scan (cheap, NOT free:
+    # plain DataFrame.count() does run a job; at scale derive the cap
+    # from the freq frame the join already aggregates)
+    n_docs = docs.count()
     return jaccard_topk_join(
         incoming, docs, threshold=0.25, k=10,
         tokset_fn=shingle_hashes,

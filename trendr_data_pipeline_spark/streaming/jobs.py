@@ -348,6 +348,13 @@ def recover_merge_target(target_dir: str) -> None:
     - target missing, ``.old`` present → crashed between backup-out
       and swap-in: restore ``.old`` as the target;
     - leftover ``._epoch*`` temp dirs are incomplete writes → dropped.
+
+    WRITER-ONLY: this mutates the layout (renames dirs, deletes
+    ``._epoch*`` temp dirs), so it must run only when no merge_sink
+    batch is in flight — concurrent with an active writer it would
+    delete the in-flight temp dir or resurrect ``.old`` mid-swap.
+    Readers need no recovery call: a complete copy always exists, so
+    a reader that races the swap just retries the open.
     """
     import glob
     import os
@@ -381,8 +388,11 @@ def merge_sink(
     The parquet swap is CRASH-SAFE via two-phase rename (target →
     ``.old``, tmp → target, drop ``.old``): a full readable copy
     exists at every intermediate state, and
-    :func:`recover_merge_target` (run at the start of every batch, or
-    by any reader) restores the canonical layout after a crash. The
+    :func:`recover_merge_target` (run at the start of every batch by
+    THE WRITER — it mutates the layout, so it must never run
+    concurrently with an active writer; readers should simply retry
+    on a missing dir, a full copy always exists) restores the
+    canonical layout after a crash. The
     r3 form (rmtree target, then rename tmp) lost the table if the
     process died between the two calls.
 
