@@ -278,7 +278,10 @@ def embedding_near_dup_join(
     if self_join and not broadcast_incoming:
         # symmetric: sketch the corpus ONCE (the Arrow matmul is the
         # dominant per-row cost) and self-join the persisted frame —
-        # same persisted-signature posture as d03
+        # same persisted-signature posture (and the same lifetime
+        # obligation) as d03: the frame lives until the session's
+        # next clearCache; callers running many queries per session
+        # should clearCache between them (bench.py does)
         c_side = sketched(spread(corpus), "c").persist()
         q_side = c_side.select(
             F.col("c_id").alias("q_id"),
