@@ -11,10 +11,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import tokens
 from ..io import read_table
-from ._numeric import davg, dsum, sql_davg, sql_dsum
+from ._numeric import DEC, davg, dsum, sql_davg, sql_dsum
 from .registry import register
 
 #: DuckDB expression for the same token list Spark's ``tokens()`` builds
@@ -1070,3 +1071,90 @@ def x20_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return hashed_tf_sparse(docs, dim=64)
+
+
+@register(
+    "x22_zipf_stats",
+    f"""
+    WITH freq AS (
+        SELECT tok, COUNT(*) AS cnt
+        FROM (SELECT unnest({_SQL_TOKS}) AS tok FROM documents)
+        GROUP BY tok
+    ), top AS (
+        SELECT tok, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rank
+        FROM freq
+        ORDER BY cnt DESC, tok ASC
+        LIMIT 50
+    ), q AS (
+        SELECT rank, tok, cnt,
+               round(ln(CAST(rank AS DOUBLE)), 6) AS lx,
+               round(ln(CAST(cnt AS DOUBLE)), 6) AS ly
+        FROM top
+    ), s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(lx AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(ly AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(lx * ly AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(lx * lx AS DECIMAL(28,6))) AS DOUBLE) AS sx2
+        FROM q
+    )
+    SELECT q.rank, q.tok, q.cnt, q.ly AS ln_cnt_q,
+           round((s.n * s.sxy - s.sx * s.sy)
+                 / (s.n * s.sx2 - s.sx * s.sx), 6) AS zipf_slope
+    FROM q CROSS JOIN s
+    """,
+    doc="""Zipf rank-frequency audit (⊕: the corpus-distribution
+    sanity check tokenizer/corpus builds run — natural-language token
+    frequencies follow cnt ∝ rank^s with s ≈ −1; a corpus that
+    doesn't is malformed or synthetic): top-50 tokens by frequency
+    with the log-log least-squares slope. Scale shape: one
+    map-side-combined token groupBy, then orderBy+limit compiles to
+    TakeOrderedAndProject — NO global sort, no single-partition
+    window; the slope is a 50-row scalar broadcast. ln outputs are
+    quantized to 6dp before the decimal-exact regression sums (the
+    x08 pattern — JVM and C libm may differ in the last ulp). Named
+    past the driver's 50-query cap; checked by tools/verify_local.""",
+)
+def x22_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = (
+        freq.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(50)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+            ),
+        )
+    )
+    q = top.select(
+        "rank",
+        "tok",
+        "cnt",
+        F.round(F.log(F.col("rank").cast("double")), 6).alias("lx"),
+        F.round(F.log(F.col("cnt").cast("double")), 6).alias("ly"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("lx").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("ly").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("lx") * F.col("ly")).cast(DEC)).cast("double").alias("sxy"),
+        F.sum((F.col("lx") * F.col("lx")).cast(DEC)).cast("double").alias("sx2"),
+    )
+    return q.crossJoin(F.broadcast(s)).select(
+        "rank",
+        "tok",
+        "cnt",
+        F.col("ly").alias("ln_cnt_q"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+    )
