@@ -1,0 +1,202 @@
+"""BPE learner/encoder scale-posture tests (r5).
+
+Covers the two 100 TB caveats from the r4 verdict:
+
+1. the encode-dictionary join must not carry a forced broadcast hint
+   (billions of distinct words on web text) — AQE still broadcasts a
+   small vocab, and a forced-shuffle run produces identical results;
+2. merge-round batching must be provably equivalent to one-at-a-time
+   greedy learning (identical merge table, counts included) while
+   cutting the number of Spark rounds.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from trendr_data_pipeline_spark.operators.bpe import (
+    bpe_tokenize_stats,
+    learn_bpe_merges,
+)
+
+SMOKE_SF = "/root/testdata/sf0.001"
+
+
+def _reference_merges(texts: list[str], num_merges: int):
+    """Pure-Python one-at-a-time greedy BPE learner (Sennrich-style),
+    independent of the Spark implementation."""
+    vocab: Counter = Counter()
+    for t in texts:
+        for w in re.split(r"\s+", t.lower()):
+            if w:
+                vocab[w] += 1
+    segs = {w: list(w) for w in vocab}
+    merges = []
+    for step in range(1, num_merges + 1):
+        pc: Counter = Counter()
+        for w, syms in segs.items():
+            c = vocab[w]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (left, right), wcnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, left, right, wcnt))
+        for w, syms in segs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = out
+    return merges
+
+
+def test_batched_learner_matches_one_at_a_time_on_fixture(spark):
+    """The r4 verdict's done-criterion: identical merge table on the
+    fixture corpus for batch=1 vs batch=8 — and both match the
+    independent pure-Python reference."""
+    docs = spark.read.parquet(f"{SMOKE_SF}/documents.parquet")
+    m1, _ = learn_bpe_merges(docs, num_merges=10, batch=1)
+    m8, _ = learn_bpe_merges(docs, num_merges=10, batch=8)
+    assert m1 == m8
+    texts = [r["text"] for r in docs.select("text").collect()]
+    assert m8 == _reference_merges(texts, 10)
+
+
+@pytest.mark.parametrize("batch", [2, 4, 16])
+def test_batched_learner_matches_reference_on_adversarial_corpora(spark, batch):
+    """Corpora built to stress the batch-stop conditions: shared
+    symbols between top pairs (condition 1), created pairs that
+    out-count later candidates (condition 2: merging (t,h) creates
+    (th,e) with a near-top count), and a symbol spelled like a
+    created string ('ab' formed two ways)."""
+    corpora = [
+        # 'the' dominance: (t,h) then created (th,e) must precede (i,s)
+        ["the then there is is is the"] * 3 + ["is this the thing"],
+        # disjoint top pairs: (a,b) and (c,d) batch together safely
+        ["ab ab ab cd cd cd xy"] * 2,
+        # alias stress: 'a b' merges to 'ab' while literal pair
+        # ('ab','c') exists from earlier merges of 'a'+'b' elsewhere
+        ["abc abc a b ab ab ababab c c"],
+        # repeated-symbol pair (a,a) with overlap runs
+        ["aaaa aaa aa baab"],
+    ]
+    for texts in corpora:
+        docs = spark.createDataFrame([(t,) for t in texts], "text string")
+        got, _ = learn_bpe_merges(docs, num_merges=8, batch=batch)
+        assert got == _reference_merges(texts, 8), texts
+
+
+def test_batching_reduces_spark_rounds(spark):
+    """batch=8 must run strictly fewer driver rounds than batch=1 on
+    the fixture (the scheduling-overhead win the batching exists
+    for). Rounds are observable as collect() calls; count them via
+    the learner's localCheckpoint lineage instead: each round
+    checkpoints once, so compare job-group side effects indirectly
+    by instrumenting _safe_batch_prefix acceptance sizes."""
+    from trendr_data_pipeline_spark.operators import bpe
+
+    docs = spark.read.parquet(f"{SMOKE_SF}/documents.parquet")
+    calls: list[int] = []
+    orig = bpe._safe_batch_prefix
+
+    def spy(topk, batch, horizon_full):
+        out = orig(topk, batch, horizon_full)
+        calls.append(len(out))
+        return out
+
+    bpe._safe_batch_prefix = spy
+    try:
+        learn_bpe_merges(docs, num_merges=10, batch=8)
+        rounds_batched = len(calls)
+        calls.clear()
+        learn_bpe_merges(docs, num_merges=10, batch=1)
+        rounds_single = len(calls)
+    finally:
+        bpe._safe_batch_prefix = orig
+    assert rounds_single == 10
+    assert rounds_batched < rounds_single
+
+
+def test_safe_batch_prefix_stops_at_shared_symbol():
+    from trendr_data_pipeline_spark.operators.bpe import _safe_batch_prefix
+
+    topk = [("t", "h", 100), ("h", "e", 90), ("a", "b", 80)]
+    # (h,e) shares 'h' with (t,h): batch must STOP there, not skip to
+    # (a,b) — strict greedy might pick (h,e) next if its count holds
+    assert _safe_batch_prefix(topk, 8, horizon_full=False) == [("t", "h", 100)]
+
+
+def test_safe_batch_prefix_created_pair_bound():
+    from trendr_data_pipeline_spark.operators.bpe import _safe_batch_prefix
+
+    # merging (t,h) can create (x,th) bounded by count(x,t)=85 >= 80,
+    # so (a,b) at 80 is unsafe; at 90 > 85 it would be safe
+    topk = [("t", "h", 100), ("x", "t", 85), ("a", "b", 80)]
+    assert _safe_batch_prefix(topk, 8, horizon_full=False) == [("t", "h", 100)]
+    topk2 = [("t", "h", 100), ("a", "b", 90), ("x", "t", 85)]
+    assert _safe_batch_prefix(topk2, 8, horizon_full=False) == [
+        ("t", "h", 100),
+        ("a", "b", 90),
+    ]
+
+
+def test_safe_batch_prefix_horizon_guard():
+    from trendr_data_pipeline_spark.operators.bpe import _safe_batch_prefix
+
+    # when the table was truncated at K, a candidate tied with the
+    # floor count cannot be proven safe (unseen pairs may tie it)
+    topk = [("t", "h", 100), ("a", "b", 50), ("c", "d", 50)]
+    assert _safe_batch_prefix(topk, 8, horizon_full=True) == [("t", "h", 100)]
+    assert _safe_batch_prefix(topk, 8, horizon_full=False) == [
+        ("t", "h", 100),
+        ("a", "b", 50),
+        ("c", "d", 50),
+    ]
+
+
+def _encode_join_nodes(plan: str) -> str:
+    return "".join(
+        line
+        for line in plan.splitlines()
+        if "Join" in line or "Exchange" in line or "Broadcast" in line
+    )
+
+
+def test_encode_join_broadcasts_small_vocab_under_aqe(spark):
+    """With no forced hint, AQE must still broadcast the small
+    fixture vocabulary (the join keyed on `word`)."""
+    docs = spark.read.parquet(f"{SMOKE_SF}/documents.parquet")
+    out = bpe_tokenize_stats(docs, num_merges=4)
+    rows = {r["source"]: r for r in out.collect()}
+    assert rows
+    # after execution AQE has finalized the plan: the dictionary join
+    # must be a broadcast, not a sort-merge
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, _encode_join_nodes(plan)
+    assert "SortMergeJoin" not in plan, _encode_join_nodes(plan)
+
+
+def test_encode_join_shuffle_fallback_identical_results(spark):
+    """Force the large-dictionary regime (broadcast disabled): the
+    join degrades to a shuffle join and the stats are unchanged."""
+    docs = spark.read.parquet(f"{SMOKE_SF}/documents.parquet")
+    baseline = {tuple(r) for r in bpe_tokenize_stats(docs, num_merges=4).collect()}
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = bpe_tokenize_stats(docs, num_merges=4)
+        forced = {tuple(r) for r in out.collect()}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, _encode_join_nodes(plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert forced == baseline

@@ -29,6 +29,40 @@ pattern as operators/graph.py) so round ``k`` does not replay rounds
 
 Determinism: ties on pair count break on the pair's lexicographic
 order, so the learned table is a pure function of the corpus.
+
+Merge-round batching (the 100 TB fix for the one-job-pair-per-merge
+loop): a production tokenizer learns 30k-50k merges, and one Spark
+job pair per merge is days of scheduling overhead even though each
+round's frame is tiny. Each round therefore accepts a PREFIX of the
+sorted pair-count list (up to ``batch`` merges) and applies them in
+one Arrow pass. The prefix is provably equivalent to one-at-a-time
+greedy — both the chosen pairs AND their recorded counts — under
+three conditions checked per candidate (stop the batch at the first
+violation; never skip over a conflicting pair):
+
+1. *Symbol-disjointness*: the candidate shares no symbol with any
+   earlier accepted merge, including the earlier merge's CREATED
+   string ``l+r`` (an old symbol spelled identically would alias the
+   new one and absorb its created-pair counts). Disjoint pairs'
+   counts are untouched by applying the earlier merges, so the
+   candidate's table count equals its count at its strict-greedy
+   turn.
+2. *Created-pair bound*: applying merge ``(a, b)`` creates pairs
+   ``(x, ab)`` and ``(ab, y)`` whose counts are bounded by
+   ``count(x, a)`` and ``count(b, y)`` respectively (every created
+   occurrence consumes one such trigram). The candidate (count
+   ``c``) is only safe if no table pair ending at ``a`` or starting
+   at ``b`` of any earlier accepted merge has count ``>= c`` —
+   otherwise strict greedy might have selected the created pair
+   first. ``>=`` (not ``>``) because equal-count ties break
+   lexicographically and a created pair could win the tie.
+3. *Horizon*: counts below the collected top-K are unobserved, so a
+   candidate at or below the K-th count cannot be proven safe once
+   any merge is already accepted.
+
+Pairs REMOVED by a merge (``(x,a)``/``(b,y)`` losing occurrences)
+only ever lower non-accepted counts, which cannot promote a skipped
+pair above an accepted one, so no condition is needed for them.
 """
 
 from __future__ import annotations
@@ -45,18 +79,21 @@ def _chars_udf():
     return F.pandas_udf(f, "array<string>")
 
 
-def _merge_udf(left: str, right: str):
-    """Apply one merge (left, right) → left+right to a symbol array,
-    greedy left-to-right (overlaps consume left-first)."""
-    merged = left + right
+def _merge_udf(merges: list[tuple[str, str]]):
+    """Apply a batch of mutually symbol-disjoint merges to a symbol
+    array in ONE greedy left-to-right pass (overlaps consume
+    left-first). Disjointness (enforced by the learner's batch rule)
+    guarantees a single pass is exact: a merge output can never form
+    a new instance of another batch member's pair."""
+    pair_map = {(left, right): left + right for left, right in merges}
 
     def f(s: pd.Series) -> pd.Series:
         def apply(syms):
             out = []
             i, n = 0, len(syms)
             while i < n:
-                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
-                    out.append(merged)
+                if i + 1 < n and (syms[i], syms[i + 1]) in pair_map:
+                    out.append(pair_map[(syms[i], syms[i + 1])])
                     i += 2
                 else:
                     out.append(syms[i])
@@ -66,6 +103,38 @@ def _merge_udf(left: str, right: str):
         return s.map(apply)
 
     return F.pandas_udf(f, "array<string>")
+
+
+def _safe_batch_prefix(
+    topk: list[tuple[str, str, int]], batch: int, horizon_full: bool
+) -> list[tuple[str, str, int]]:
+    """Longest prefix of the (count desc, l, r)-sorted pair list that
+    is provably equivalent to one-at-a-time greedy selection — the
+    three conditions from the module docstring. ``horizon_full``
+    means the table may hold pairs below ``topk[-1]``'s count."""
+    accepted: list[tuple[str, str, int]] = []
+    conflict: set[str] = set()
+    floor = topk[-1][2] if topk else 0
+    for left, right, cnt in topk:
+        if len(accepted) >= batch:
+            break
+        if accepted:
+            if left in conflict or right in conflict:
+                break  # condition 1
+            if horizon_full and cnt <= floor:
+                break  # condition 3
+            accepted_keys = {(al, ar) for al, ar, _ in accepted}
+            boundary_hit = any(
+                pc >= cnt and (pr == al or pl == ar)
+                for al, ar, _ in accepted
+                for pl, pr, pc in topk
+                if (pl, pr) != (left, right) and (pl, pr) not in accepted_keys
+            )
+            if boundary_hit:
+                break  # condition 2
+        accepted.append((left, right, cnt))
+        conflict.update((left, right, left + right))
+    return accepted
 
 
 def word_frequencies(
@@ -87,19 +156,27 @@ def learn_bpe_merges(
     docs: DataFrame,
     num_merges: int = 10,
     text_col: str = "text",
+    batch: int = 8,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
-    """Learn ``num_merges`` BPE merges. Returns (merge table, final
-    vocabulary frame). Merge table rows: (step, left, right,
-    weighted pair count at selection time). The vocabulary frame is
-    (word, cnt, syms) with ``syms`` the word's symbol sequence after
-    all merges."""
+    """Learn ``num_merges`` BPE merges, up to ``batch`` per Spark
+    round (provably greedy-equivalent — see module docstring; the
+    learned table is identical for any ``batch`` >= 1). Returns
+    (merge table, final vocabulary frame). Merge table rows: (step,
+    left, right, weighted pair count at selection time). The
+    vocabulary frame is (word, cnt, syms) with ``syms`` the word's
+    symbol sequence after all merges."""
+    batch = max(1, batch)
     vocab = (
         word_frequencies(docs, text_col)
         .withColumn("syms", _chars_udf()(F.col("word")))
         .localCheckpoint()
     )
     merges: list[tuple[int, str, str, int]] = []
-    for step in range(1, num_merges + 1):
+    while len(merges) < num_merges:
+        remaining = num_merges - len(merges)
+        # top-K horizon: enough headroom that condition 3 rarely
+        # binds, while the driver fetch stays O(batch) rows
+        k = max(4 * batch, 32)
         n = F.size("syms")
         pairs = vocab.filter(n >= 2).select(
             F.col("cnt"),
@@ -111,18 +188,23 @@ def learn_bpe_merges(
                 )
             ).alias("p"),
         )
-        best = (
+        top = (
             pairs.groupBy("p")
             .agg(F.sum("cnt").alias("wcnt"))
             .orderBy(F.col("wcnt").desc(), F.col("p.l").asc(), F.col("p.r").asc())
-            .limit(1)
+            .limit(k)
             .collect()
         )
-        if not best:
+        if not top:
             break
-        left, right, wcnt = best[0]["p"]["l"], best[0]["p"]["r"], best[0]["wcnt"]
-        merges.append((step, left, right, int(wcnt)))
-        nxt = vocab.withColumn("syms", _merge_udf(left, right)(F.col("syms"))).localCheckpoint()
+        topk = [(r["p"]["l"], r["p"]["r"], int(r["wcnt"])) for r in top]
+        accepted = _safe_batch_prefix(
+            topk, min(batch, remaining), horizon_full=len(topk) == k
+        )
+        for left, right, wcnt in accepted:
+            merges.append((len(merges) + 1, left, right, wcnt))
+        applied = [(left, right) for left, right, _ in accepted]
+        nxt = vocab.withColumn("syms", _merge_udf(applied)(F.col("syms"))).localCheckpoint()
         vocab.unpersist()
         vocab = nxt
     return merges, vocab
@@ -196,9 +278,14 @@ def bpe_tokenize_stats(
     Scale shape: the encode loop runs over the DISTINCT-WORD
     dictionary only (the same corpus→vocab collapse the learner
     uses — at web scale the vocab is millions of rows against
-    trillions of corpus tokens), and the per-word piece counts ride a
-    broadcast join back onto the exploded word stream; the final
-    rollup map-side combines per group."""
+    trillions of corpus tokens), and the per-word piece counts join
+    back onto the exploded word stream UNHINTED: on real web text the
+    distinct-word dictionary (URLs, hashes, typos) runs to billions
+    of rows, which would OOM a forced broadcast, so AQE picks the
+    strategy — it still broadcasts when the dictionary is genuinely
+    small (plan pinned in tests/test_bpe.py) and falls back to a
+    shuffle join keyed on ``word`` otherwise; the final rollup
+    map-side combines per group."""
     merges, _ = learn_bpe_merges(docs, num_merges=num_merges, text_col=text_col)
     pairs = [(left, right) for (_, left, right, _) in merges]
 
@@ -209,7 +296,7 @@ def bpe_tokenize_stats(
     vocab = words.select("word").distinct()
     encoded = vocab.withColumn("n_pieces", _encode_udf(pairs)(F.col("word")))
     return (
-        words.join(F.broadcast(encoded), "word")
+        words.join(encoded, "word")
         .groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("n_words"),
