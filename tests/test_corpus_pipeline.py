@@ -154,10 +154,27 @@ def test_classifier_floor_and_mix_stages(spark):
     ).collect()
     assert mixed
     # every selected doc must have passed the deterministic hash keep
-    # decision for its source (rates ≤ 1, so frac < 1 is necessary)
+    # decision AGAINST ITS SOURCE'S ACTUAL RATE — recompute the rates
+    # the mix stage used (temperature_rates over the pre-mix survivor
+    # frame, same target_frac), and require frac < rate per doc. The
+    # rates must genuinely bite (some source below 1.0) or the check
+    # is vacuous.
+    from trendr_data_pipeline_spark.operators.sampling import temperature_rates
+    from trendr_data_pipeline_spark.plans.corpus_pipeline import corpus_survivors
+
+    surv = corpus_survivors(spark, SMOKE_SF)
+    rates = {
+        r["source"]: r["rate"]
+        for r in temperature_rates(surv, target_frac=0.5).collect()
+    }
+    assert any(rate < 1.0 for rate in rates.values()), rates
     fracs = {r["doc_id"]: r["frac"] for r in docs.select(
         "doc_id", hash_fraction(F.col("doc_id"), "corpus-mix").alias("frac")).collect()}
-    assert all(fracs[r["doc_id"]] < 1.0 for r in mixed)
+    assert all(fracs[r["doc_id"]] < rates[r["source"]] for r in mixed)
+    # and the mix must actually have dropped someone eligible
+    surv_rows = surv.select("doc_id", "source").collect()
+    dropped = [r for r in surv_rows if fracs[r["doc_id"]] >= rates[r["source"]]]
+    assert dropped, "no survivor was filtered by the mix — vacuous run"
     again = build_training_corpus(
         spark, SMOKE_SF, seq_len=SEQ, token_budget=BUDGET, mix_target_frac=0.5
     ).collect()

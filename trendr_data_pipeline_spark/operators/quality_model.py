@@ -124,10 +124,12 @@ def train_and_score_quality(
         .withColumn("is_train", hash_fraction(F.col("doc_id"), salt) < train_frac)
         .drop("med")
     )
-    # one materialization feeds scaler fit, every L-BFGS pass and the
-    # final scoring — without it the tokenize-heavy feature lineage
-    # recomputes per consumer (same persisted-frame posture as d03's
-    # signature frame; lives until the session evicts it)
+    # one materialization feeds scaler fit and every L-BFGS pass —
+    # without it the tokenize-heavy feature lineage recomputes per
+    # iteration. The cache is SCOPED to training: it is unpersisted
+    # after the fit, so the caller's single scoring pass recomputes
+    # the lineage once (same cost as an uncached first scan) instead
+    # of a cached frame leaking per call in a long-lived session.
     labeled = labeled.cache()
     asm = VectorAssembler(inputCols=FEATURES, outputCol="_rawf")
     scaler = StandardScaler(inputCol="_rawf", outputCol="_f", withMean=True, withStd=True)
@@ -147,6 +149,7 @@ def train_and_score_quality(
         )
     smodel = scaler.fit(train)
     model = lr.fit(smodel.transform(train))
+    labeled.unpersist()
 
     # Score with PLAIN column expressions from the extracted
     # coefficients instead of model.transform: (a) the scoring plan

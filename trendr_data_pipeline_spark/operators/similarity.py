@@ -275,13 +275,15 @@ def embedding_near_dup_join(
     # one orientation (q_id < c_id) BEFORE the exact-cosine verify —
     # symmetric sketches emit every colliding pair twice, and the
     # verify is the dominant per-candidate cost.
-    if self_join and not broadcast_incoming:
+    symmetric = self_join and not broadcast_incoming
+    if symmetric:
         # symmetric: sketch the corpus ONCE (the Arrow matmul is the
         # dominant per-row cost) and self-join the persisted frame —
-        # same persisted-signature posture (and the same lifetime
-        # obligation) as d03: the frame lives until the session's
-        # next clearCache; callers running many queries per session
-        # should clearCache between them (bench.py does)
+        # same persisted-signature posture as d03. The persist is
+        # SCOPED to this call: the candidate frame is materialized
+        # below (localCheckpoint) and the sketch frame unpersisted
+        # before returning, so long-lived sessions don't accumulate a
+        # cached frame per semantic_dedup call.
         c_side = sketched(spread(corpus), "c").persist()
         q_side = c_side.select(
             F.col("c_id").alias("q_id"),
@@ -306,6 +308,13 @@ def embedding_near_dup_join(
         .select(F.col("q_id").alias("id_a"), F.col("c_id").alias("id_b"), "q_v", "c_v")
         .distinct()
     )
+    if symmetric:
+        # materialize candidates off the persisted sketch, then drop
+        # it: near-dup thresholds sit close to 1, so the checkpointed
+        # frame is near true-pair volume — tiny next to the sketch
+        # (which is |corpus| · tables rows of vectors)
+        cands = cands.localCheckpoint(eager=True)
+        c_side.unpersist()
     # Filter on the UNROUNDED cosine (matching the SQL oracle, which
     # has no round in its predicate) and round only in the final
     # projection — filtering post-round would keep a pair whose true
@@ -636,6 +645,10 @@ def pq_topk(
             for j in range(m):
                 scores += tables[:, j, :][:, codes[:, j]]
             nb = pdf["neighbor_id"].values
+            # mask self-matches BEFORE the per-partition cut: a query
+            # colocated with its own code row must not consume one of
+            # its `candidates` slots (that was a small recall bias)
+            scores[np.equal.outer(qids, nb.astype(np.int64))] = -np.inf
             top = min(candidates, scores.shape[1])
             idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
             out = pd.DataFrame(

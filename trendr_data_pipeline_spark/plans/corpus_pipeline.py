@@ -48,34 +48,20 @@ from ..operators.packing import chunk_spans, global_running_offsets
 from .text_ops import budget_scored, t05_corpus_clean
 
 
-def build_training_corpus(
+def corpus_survivors(
     spark: SparkSession,
     sf_dir: str,
-    seq_len: int = 512,
-    token_budget: int = 15000,
     near_dup_threshold: float = 0.8,
     ppl_cap: float | None = None,
     quality_prob_floor: float | None = None,
-    mix_target_frac: float | None = None,
 ) -> DataFrame:
-    """Run the full pipeline; returns one row per SELECTED document:
-    (doc_id, source, text, n_tok, quality, component, tok_offset,
-    first_seq, last_seq, n_seqs), ordered by its position in the
-    packed token stream. ``text`` is PII-redacted.
-
-    ``ppl_cap`` optionally inserts the CCNet-style perplexity filter
-    between canonicalization and selection: documents whose
-    unigram-LM perplexity (x08's scoring, computed against the
-    ORIGINAL corpus distribution so the model does not drift with the
-    filtering) exceeds the cap are dropped before the budget greedy
-    runs.
-
-    ``quality_prob_floor`` optionally inserts the trained-classifier
-    filter (x16, the fastText-model practice): documents the model
-    scores below the floor are dropped. ``mix_target_frac``
-    optionally applies α=1/2 temperature source mixing (x10) after
-    all quality filtering — the mixture decides the SOURCE
-    composition of what the budget greedy then selects from."""
+    """Stages 1-3c of the pipeline: per-doc clean ladder, PII
+    redaction, transitive near-dup canonicalization, and the optional
+    perplexity / trained-classifier filters. Returns the survivor
+    frame (documents schema + ``component``) the mixing and budget
+    stages select from — exposed so tests and callers can audit the
+    pre-mix population (e.g. recompute the temperature rates the mix
+    stage filtered with)."""
     docs = read_table(spark, sf_dir, "documents")
 
     # 1. per-doc ladder (dup/contamination/language/repetition/quality)
@@ -110,16 +96,61 @@ def build_training_corpus(
 
     # 3c. optional trained-classifier floor (x16 practice): scores
     # come from the model fit on the FULL corpus (same no-drift
-    # posture as the perplexity stage)
+    # posture as the perplexity stage). The model only scores LABELED
+    # docs (token-less docs have NULL quality and no label), so the
+    # stage removes explicit BELOW-FLOOR docs via anti-join instead of
+    # inner-joining on the scored set — an unscored doc is "unscored",
+    # not "low-quality", and must pass through (today the t05 ladder
+    # has already dropped token-less docs, but this stage must not
+    # silently start dropping them if earlier stages change).
     if quality_prob_floor is not None:
         from ..operators.quality_model import train_and_score_quality
 
-        ok = (
+        below = (
             train_and_score_quality(docs)
-            .filter(F.col("prob") >= quality_prob_floor)
+            .filter(F.col("prob") < quality_prob_floor)
             .select("doc_id")
         )
-        survivors = survivors.join(ok, "doc_id")
+        survivors = survivors.join(below, "doc_id", "left_anti")
+
+    return survivors
+
+
+def build_training_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    seq_len: int = 512,
+    token_budget: int = 15000,
+    near_dup_threshold: float = 0.8,
+    ppl_cap: float | None = None,
+    quality_prob_floor: float | None = None,
+    mix_target_frac: float | None = None,
+) -> DataFrame:
+    """Run the full pipeline; returns one row per SELECTED document:
+    (doc_id, source, text, n_tok, quality, component, tok_offset,
+    first_seq, last_seq, n_seqs), ordered by its position in the
+    packed token stream. ``text`` is PII-redacted.
+
+    ``ppl_cap`` optionally inserts the CCNet-style perplexity filter
+    between canonicalization and selection: documents whose
+    unigram-LM perplexity (x08's scoring, computed against the
+    ORIGINAL corpus distribution so the model does not drift with the
+    filtering) exceeds the cap are dropped before the budget greedy
+    runs.
+
+    ``quality_prob_floor`` optionally inserts the trained-classifier
+    filter (x16, the fastText-model practice): documents the model
+    scores below the floor are dropped. ``mix_target_frac``
+    optionally applies α=1/2 temperature source mixing (x10) after
+    all quality filtering — the mixture decides the SOURCE
+    composition of what the budget greedy then selects from."""
+    survivors = corpus_survivors(
+        spark,
+        sf_dir,
+        near_dup_threshold=near_dup_threshold,
+        ppl_cap=ppl_cap,
+        quality_prob_floor=quality_prob_floor,
+    )
 
     # 3d. optional temperature source mixing (x10): rebalance the
     # source composition before the budget greedy; rates computed on

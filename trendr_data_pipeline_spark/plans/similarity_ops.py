@@ -237,21 +237,38 @@ def x09_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-50 candidates the output equals m01's brute force — so the
     brute-force SQL is a valid oracle for the WHOLE encode →
     ADC-scan → candidate-shuffle → rescore machinery, at any SF the
-    gate runs (verified at sf0.01 AND sf0.1). The production setting
-    is benched as x12.""",
+    gate runs (verified at sf0.01 AND sf0.1). ksub/train_sample are
+    DERIVED from the corpus count at query-build time (one count()
+    job) so the precondition holds at any SF instead of encoding
+    fixture sizes; past the sanity ceiling the gate fails loudly with
+    instructions rather than silently losing exactness. The
+    production setting is benched as x12.""",
 )
 def x11_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import pq_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    # degenerate-exact precondition: the training sample must cover
+    # the corpus and every subspace's distinct subvectors must fit the
+    # codebook. Ceiling keeps the driver-side numpy training bounded.
+    ceiling = 1 << 18
+    if n > ceiling:
+        raise ValueError(
+            f"x11_pq_topk: corpus has {n} vectors > {ceiling}; the"
+            " degenerate-exact PQ gate trains driver-side on the FULL"
+            " corpus and is only intended for gate-scale fixtures —"
+            " bench the production setting (x12) at this scale instead"
+        )
+    ksub = max(16, n)
     return pq_topk(
         emb.filter(F.col("vec_id") % 100 == 0),
         emb,
         k=10,
         m=8,
-        ksub=2048,
+        ksub=ksub,
         candidates=50,
-        train_sample=65536,
+        train_sample=n,
     )
 
 
