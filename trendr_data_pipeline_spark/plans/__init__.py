@@ -22,3 +22,4 @@ def load_all() -> None:
     from . import scalar_ops  # noqa: F401
     from . import pipeline_ops  # noqa: F401
     from . import multimodal_ops  # noqa: F401
+    from . import corpus_pipeline  # noqa: F401

@@ -45,7 +45,7 @@ from ..io import read_table
 from ..operators.dedup import jaccard_similarity_pairs
 from ..operators.graph import canonicalize_components, connected_components
 from ..operators.packing import chunk_spans, global_running_offsets
-from .text_ops import budget_scored, t05_corpus_clean
+from .text_ops import budget_scored, clean_ladder
 
 
 def corpus_survivors(
@@ -54,6 +54,7 @@ def corpus_survivors(
     near_dup_threshold: float = 0.8,
     ppl_cap: float | None = None,
     quality_prob_floor: float | None = None,
+    doc_filter=None,
 ) -> DataFrame:
     """Stages 1-3c of the pipeline: per-doc clean ladder, PII
     redaction, transitive near-dup canonicalization, and the optional
@@ -61,14 +62,24 @@ def corpus_survivors(
     frame (documents schema + ``component``) the mixing and budget
     stages select from — exposed so tests and callers can audit the
     pre-mix population (e.g. recompute the temperature rates the mix
-    stage filtered with)."""
-    docs = read_table(spark, sf_dir, "documents")
+    stage filtered with).
 
-    # 1. per-doc ladder (dup/contamination/language/repetition/quality)
+    ``doc_filter`` (optional Column predicate) restricts the corpus
+    BEFORE every stage — the c23 gate uses it to run the composition
+    on the standard 1-in-10 slice (the d02/c03 convention), keeping
+    the brute-force oracle tractable. Ladder decisions (dup flags,
+    contamination, quality) are computed on the sliced population,
+    consistently on both engines."""
+    docs = read_table(spark, sf_dir, "documents")
+    if doc_filter is not None:
+        docs = docs.filter(doc_filter)
+
+    # 1. per-doc ladder (dup/contamination/language/repetition/
+    # quality). The ladder's dup/contamination flags are relative to
+    # the population it sees, so it runs on the (possibly sliced)
+    # frame — the slice-only oracle computes the same flags.
     kept_ids = (
-        t05_corpus_clean(spark, sf_dir)
-        .filter(F.col("decision") == "keep")
-        .select("doc_id")
+        clean_ladder(docs).filter(F.col("decision") == "keep").select("doc_id")
     )
     kept = docs.join(kept_ids, "doc_id")
 
@@ -85,10 +96,10 @@ def corpus_survivors(
 
     # 3b. optional perplexity tail-drop (CCNet practice; x08 scoring)
     if ppl_cap is not None:
-        from .text_ops import x08_unigram_perplexity
+        from .text_ops import c08_unigram_perplexity
 
         ok = (
-            x08_unigram_perplexity(spark, sf_dir)
+            c08_unigram_perplexity(spark, sf_dir)
             .filter(F.col("ppl") <= ppl_cap)
             .select("doc_id")
         )
@@ -125,6 +136,7 @@ def build_training_corpus(
     ppl_cap: float | None = None,
     quality_prob_floor: float | None = None,
     mix_target_frac: float | None = None,
+    doc_filter=None,
 ) -> DataFrame:
     """Run the full pipeline; returns one row per SELECTED document:
     (doc_id, source, text, n_tok, quality, component, tok_offset,
@@ -150,6 +162,7 @@ def build_training_corpus(
         near_dup_threshold=near_dup_threshold,
         ppl_cap=ppl_cap,
         quality_prob_floor=quality_prob_floor,
+        doc_filter=doc_filter,
     )
 
     # 3d. optional temperature source mixing (x10): rebalance the
@@ -222,3 +235,113 @@ def write_training_shards(
         ),
     )
     write_partitioned(sharded, out_dir, ["shard"])
+
+
+# ---------------------------------------------------------------------------
+# c23 — the composed pipeline as a driver-gated query (r4 verdict item
+# 8): clean ladder → near-dup canonicalization → quality-budget greedy
+# → chunk spans, end to end, on the standard 1-in-10 slice (the
+# d02/c03 convention — keeps the brute-force oracle tractable and the
+# bench cost bounded; every stage is separately gated at full grain by
+# t05 / d02 / c03 / c06 / c04). The oracle composes the SAME fragments
+# those gates use: the registered t05 ladder SQL (single source of
+# truth, sliced by string substitution on its one table scan), the
+# brute-force Jaccard pair join, the recursive-CTE closure, the
+# global-window budget order and the span arithmetic. ``text`` is
+# projected out (PII redaction is identity on the fixture and gated by
+# its own pytest oracle vs Python `re`; replaying it in SQL would gate
+# the regex engine, not the pipeline).
+# ---------------------------------------------------------------------------
+
+from .dedup_ops import _SQL_TOKSET  # noqa: E402
+from .registry import _REGISTRY  # noqa: E402
+from .text_ops import _SQL_QUALITY, _SQL_STOP, _SQL_TOKS  # noqa: E402
+
+#: budget for the gated setting: ~40% of the sf0.01 slice's survivor
+#: tokens (and ~4% at sf0.1) — the greedy cut is non-vacuous at every
+#: fixture scale
+_C23_BUDGET = 800
+
+_SQL_T05_SLICED = _REGISTRY["t05_corpus_clean"].oracle.replace(
+    "FROM documents", "FROM documents WHERE doc_id % 10 = 0"
+)
+
+_SQL_PIPELINE = f"""
+    WITH RECURSIVE kept AS (
+        SELECT d.doc_id, d.source, d.text
+        FROM documents d
+        JOIN ({_SQL_T05_SLICED}) lad ON d.doc_id = lad.doc_id
+        WHERE lad.decision = 'keep'
+    ), ts AS (
+        SELECT doc_id, {_SQL_TOKSET} AS tokset FROM kept
+    ), pairs AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM ts a JOIN ts b ON a.doc_id < b.doc_id
+        WHERE ROUND(len(list_intersect(a.tokset, b.tokset)) * 1.0
+                    / len(list_distinct(list_concat(a.tokset, b.tokset))), 6) >= 0.8
+    ), sym AS (
+        SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+    ), reach(u, v) AS (
+        SELECT u, v FROM sym
+        UNION
+        SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        WHERE s.v <> r.u
+    ), comp AS (
+        SELECT u AS node, LEAST(u, MIN(v)) AS component
+        FROM reach GROUP BY u
+    ), surv AS (
+        SELECT k.doc_id, k.source, k.text,
+               COALESCE(c.component, k.doc_id) AS component
+        FROM kept k LEFT JOIN comp c ON k.doc_id = c.node
+        WHERE COALESCE(c.component, k.doc_id) = k.doc_id
+    ), feats AS (
+        SELECT doc_id, source, component,
+               CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tok,
+               list_aggregate(list_transform({_SQL_TOKS}, x -> len(x)), 'sum')
+                 AS tok_chars,
+               len(list_filter({_SQL_TOKS},
+                   x -> list_contains({_SQL_STOP}, x))) AS stop_hits
+        FROM surv
+    ), s AS (
+        SELECT doc_id, source, component, n_tok,
+               CASE WHEN n_tok > 0 THEN ROUND({_SQL_QUALITY}, 6) END AS quality
+        FROM feats
+    ), o AS (
+        SELECT doc_id, source, component, n_tok, quality,
+               CAST(COALESCE(SUM(n_tok) OVER (
+                   ORDER BY -quality ASC NULLS LAST, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS tok_offset
+        FROM s
+    )
+    SELECT doc_id, source, n_tok, quality, component, tok_offset,
+           tok_offset // 512 AS first_seq,
+           (tok_offset + n_tok - 1) // 512 AS last_seq,
+           (tok_offset + n_tok - 1) // 512 - tok_offset // 512 + 1 AS n_seqs
+    FROM o
+    WHERE tok_offset + n_tok <= {_C23_BUDGET}
+"""
+
+from .registry import register  # noqa: E402
+
+
+@register(
+    "c23_corpus_pipeline",
+    _SQL_PIPELINE,
+    doc="""END-TO-END training-corpus pipeline gate (new r5): t05
+    clean ladder → exact-Jaccard near-dup pairs → connected-component
+    canonicalization → greedy quality-budget selection → 512-token
+    chunk spans, on the 1-in-10 corpus slice with an 800-token budget.
+    Hash-checks the COMPOSITION of the t05/d02/c03/c06/c04 machinery
+    (each separately gated at full grain), not just its stages: the
+    oracle re-derives every survivor decision, stream offset and span
+    from the same SQL fragments those gates use.""",
+)
+def c23_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_training_corpus(
+        spark,
+        sf_dir,
+        seq_len=512,
+        token_budget=_C23_BUDGET,
+        doc_filter=F.col("doc_id") % 10 == 0,
+    ).drop("text")

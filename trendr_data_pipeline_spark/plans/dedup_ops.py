@@ -276,8 +276,9 @@ def d04_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # x03 — near-dup clustering: pairs → connected components → canonical
-# survivor (⊕D9). Named past the driver's 50-query correctness cap
-# (bench + verify_local + pytest cover it); the oracle is a DuckDB
+# survivor (⊕D9). Rotated INTO the driver's 50-query correctness cap
+# in r5 (the r4 verdict asked the driver to sign the strongest
+# x-series oracles); the oracle is a DuckDB
 # RECURSIVE transitive closure over the same brute-force pair set —
 # tractable at sf0.01, while the Spark side runs the O(log² n)
 # alternating-star iteration that survives 100 TB graphs.
@@ -325,7 +326,7 @@ _SQL_COMPONENTS = f"""
 
 
 @register(
-    "x03_dedup_components",
+    "c03_dedup_components",
     _SQL_COMPONENTS,
     doc="""Near-dup clustering end to end: exact Jaccard pairs (≥0.8,
     prefix-filtered inverted index) over a 1-in-10 corpus slice →
@@ -333,7 +334,7 @@ _SQL_COMPONENTS = f"""
     canonical survivor per cluster. The oracle recomputes components
     via a recursive-CTE transitive closure.""",
 )
-def x03_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c03_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster canonicalization (SURVEY §2.11 ⊕D9): labels
     every document in the slice with its near-dup component, the
     keep/drop decision (component minimum survives), and a
@@ -358,7 +359,7 @@ def x03_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "x13_duplicated_spans",
+    "c13_duplicated_spans",
     """
     WITH t AS (
         SELECT doc_id,
@@ -399,10 +400,10 @@ def x03_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed positional grams (one Arrow pass); the oracle rebuilds
     the same windows as strings — the gate checks every count and
     fraction, with hash collisions (~2⁻⁶⁴/pair) the only divergence
-    risk, same posture as the d05/t05 gram gates. Named past the
-    driver's 50-query cap; checked by tools/verify_local.""",
+    risk, same posture as the d05/t05 gram gates. Rotated into the
+    driver cap in r5; also checked by tools/verify_local.""",
 )
-def x13_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c13_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import duplicated_span_coverage
 
     docs = read_table(spark, sf_dir, "documents")
@@ -439,7 +440,7 @@ _SQL_SEMANTIC = f"""
 
 
 @register(
-    "x21_semantic_dedup",
+    "c21_semantic_dedup",
     _SQL_SEMANTIC,
     doc="""Semantic dedup end to end (⊕D10, the SemDeDup practice),
     upgraded r5 from pytest-only to hash-gated: the d06 planted
@@ -449,10 +450,10 @@ _SQL_SEMANTIC = f"""
     connected components → min-id canonical survivor, for EVERY node.
     The oracle recomputes the pair graph brute-force and closes it
     with a recursive CTE (x03's pattern on the embedding modality).
-    Named past the driver's 50-query cap; checked by
+    Rotated into the driver cap in r5; also checked by
     tools/verify_local.""",
 )
-def x21_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c21_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import semantic_dedup
 
     emb = read_table(spark, sf_dir, "embeddings")

@@ -222,7 +222,7 @@ def p02_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "p03_type_allowlist",
+    "zp03_type_allowlist",
     """
     WITH place AS (
         SELECT p_partkey,
@@ -236,7 +236,7 @@ def p02_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM place
     """,
 )
-def p03_type_allowlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zp03_type_allowlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 type allowlist (arrays_overlap) + U3 set-intersection
     semantics on type arrays derived from part keys."""
     from ..operators.ingestion import type_allowlist

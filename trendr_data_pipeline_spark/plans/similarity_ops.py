@@ -207,17 +207,17 @@ _ORACLE_QUANTIZE = """
 
 
 @register(
-    "x09_embedding_quantize",
+    "c09_embedding_quantize",
     _ORACLE_QUANTIZE,
     doc="""Scalar int8 quantization of the embedding column (⊕: the
     standard 4× storage/serving compression for vector corpora —
     FAISS ScalarQuantizer QT_8bit practice). One Arrow-batched numpy
     projection, zero shuffles; the gate hash-checks the md5 of EVERY
     per-vector code vector plus exact integer error sums against a
-    DuckDB replay of the same IEEE-754 expression. Named past the
-    driver's 50-query cap; checked by tools/verify_local.""",
+    DuckDB replay of the same IEEE-754 expression. Rotated into the
+    driver cap in r5; also checked by tools/verify_local.""",
 )
-def x09_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c09_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import quantize_embeddings
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -225,7 +225,7 @@ def x09_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "x11_pq_topk",
+    "c11_pq_topk",
     _ORACLE_TOPK,
     doc="""Product-quantization ANN (Jégou et al. 2011, the FAISS PQ
     practice), hash-gated via the degenerate-exact case — the same
@@ -244,7 +244,7 @@ def x09_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     instructions rather than silently losing exactness. The
     production setting is benched as x12.""",
 )
-def x11_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c11_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import pq_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -255,7 +255,7 @@ def x11_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceiling = 1 << 18
     if n > ceiling:
         raise ValueError(
-            f"x11_pq_topk: corpus has {n} vectors > {ceiling}; the"
+            f"c11_pq_topk: corpus has {n} vectors > {ceiling}; the"
             " degenerate-exact PQ gate trains driver-side on the FULL"
             " corpus and is only intended for gate-scale fixtures —"
             " bench the production setting (x12) at this scale instead"
@@ -296,7 +296,7 @@ def x12_pq_fast_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "x14_label_centroids",
+    "c14_label_centroids",
     """
     WITH el AS (
         SELECT label,
@@ -336,10 +336,10 @@ def x12_pq_fast_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode — ONE shuffle on (label, pos) with map-side partial
     aggregation collapsing to |labels|·dim rows per partition; the
     |labels|-row centroid frame broadcasts back for the
-    cosine-to-centroid pass. Named past the driver's 50-query cap;
+    cosine-to-centroid pass. Rotated into the driver cap in r5;
     checked by tools/verify_local.""",
 )
-def x14_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c14_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import label_centroid_stats
 
     emb = read_table(spark, sf_dir, "embeddings")

@@ -502,12 +502,19 @@ def t05_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     per document. At 100 TB the fingerprint window and the
     benchmark-gram semi join (broadcast when the suite fits) are the
     only shuffles."""
+    return clean_ladder(read_table(spark, sf_dir, "documents"))
+
+
+def clean_ladder(docs: DataFrame) -> DataFrame:
+    """Frame-parametric form of the t05 ladder (the composed corpus
+    pipeline runs it on a sliced population for the c23 gate; the
+    dup/contamination flags are relative to whatever frame is
+    passed)."""
     from pyspark.sql.window import Window
 
     from ..operators.dedup import bow_fingerprint, ngram_contamination_flags
     from ..operators.quality import bigram_char_coverage, top_run, word_bigrams
 
-    docs = read_table(spark, sf_dir, "documents")
     contam = ngram_contamination_flags(
         docs, docs.filter(F.col("doc_id") % 50 == 0), n=8
     )
@@ -570,8 +577,8 @@ def t05_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # x04 — sequence packing (⊕T9): global token offsets + fixed-length
-# chunk spans via the two-phase prefix sum. Named past the driver's
-# 50-query cap (verify_local + pytest cover it); the oracle is the
+# chunk spans via the two-phase prefix sum. Rotated into the driver's
+# 50-query cap in r5; the oracle is the
 # GLOBAL-WINDOW form the Spark side deliberately avoids — the hash
 # gate certifies two-phase == global-window.
 # ---------------------------------------------------------------------------
@@ -598,7 +605,7 @@ _SQL_PACKING = f"""
 
 
 @register(
-    "x04_sequence_packing",
+    "c04_sequence_packing",
     _SQL_PACKING,
     doc="""GPT-style concat-and-chunk packing layout: each document's
     global token offset and the span of 512-token training sequences
@@ -606,7 +613,7 @@ _SQL_PACKING = f"""
     bucketed prefix sum (operators/packing); the oracle is the
     single-partition global window it replaces.""",
 )
-def x04_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c04_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-packing layout (SURVEY §2.11 ⊕T9): global running
     token offsets under the (source, doc_id) total order WITHOUT a
     global window — per-bucket cumsum, tiny bucket-base running
@@ -626,8 +633,8 @@ def x04_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # x06 — quality-budget corpus selection (⊕T10): greedy highest-quality
 # documents under a global token budget, via the same two-phase
-# prefix-sum machinery as x04 ordered by quality instead of doc id.
-# Past the driver's 50-query cap; oracle = the global-window form.
+# prefix-sum machinery as c04 ordered by quality instead of doc id.
+# Rotated into the driver cap in r5; oracle = the global-window form.
 # ---------------------------------------------------------------------------
 
 #: token budget for the gated/benched setting: ~half the corpus at
@@ -661,7 +668,7 @@ _SQL_BUDGET = f"""
 
 
 @register(
-    "x06_budget_selection",
+    "c06_budget_selection",
     _SQL_BUDGET,
     doc="""Greedy quality-budget selection: documents taken in
     descending quality order (doc_id tie-break) until the corpus
@@ -670,7 +677,7 @@ _SQL_BUDGET = f"""
     (bucket = floor(-quality), monotone in the sort key); oracle is
     the single-partition global window it replaces.""",
 )
-def x06_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c06_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus selection under a token budget (SURVEY §2.11 ⊕T10) —
     the step after scoring: keep the best documents until the
     training-token budget is hit. Ordering is (quality DESC, doc_id);
@@ -694,8 +701,8 @@ def x06_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# x07 — TF-IDF top terms per document (⊕T11). Past the driver's
-# 50-query cap; verify_local + the pytest contract gate hash-check it.
+# c07 — TF-IDF top terms per document (⊕T11). Rotated into the
+# driver cap in r5; verify_local + the pytest contract gate also check it.
 # Both engines rank on the ROUNDED tfidf (libm ln may differ in the
 # last ulp between JVM and C; ranking on the rounded value with a
 # token tie-break keeps the two orderings identical).
@@ -735,13 +742,13 @@ _SQL_TFIDF = f"""
 
 
 @register(
-    "x07_tfidf_topk",
+    "c07_tfidf_topk",
     _SQL_TFIDF,
     doc="""Top-5 TF-IDF terms per document: (doc, token) term counts,
     corpus document frequencies, idf = ln(N/df), ranked on the
     rounded score with a deterministic token tie-break.""",
 )
-def x07_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c07_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword extraction (SURVEY §2.11 ⊕T11): two keyed
     aggregations (doc-token term counts; token document frequencies —
     both benefit from map-side combine), a broadcast of the 1-row
@@ -772,8 +779,8 @@ def x07_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # x08 — unigram-LM perplexity scoring (⊕T12, the CCNet practice:
 # score documents by language-model perplexity and filter the tails).
-# Past the driver's 50-query cap; verify_local + the pytest contract
-# gate hash-check it. Determinism: ln(p) is rounded to 9 decimals
+# Rotated into the driver cap in r5; verify_local + the pytest contract
+# gate also check it. Determinism: ln(p) is rounded to 9 decimals
 # PER TOKEN before entering any sum — after that every addend is an
 # identical double on both engines (int × fixed-decimal double), so
 # the DECIMAL(28,6) accumulation sees bit-identical inputs and the
@@ -807,7 +814,7 @@ _SQL_PPL = f"""
 
 
 @register(
-    "x08_unigram_perplexity",
+    "c08_unigram_perplexity",
     _SQL_PPL,
     doc="""Per-document unigram-LM perplexity against the corpus's own
     token distribution: p(tok) = count(tok)/total, avg negative log
@@ -815,7 +822,7 @@ _SQL_PPL = f"""
     carry no probability mass and are absent (doc grain = tokenful
     docs).""",
 )
-def x08_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c08_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity quality filter (SURVEY §2.11 ⊕T12): the corpus IS
     the language model — token counts (one keyed agg with map-side
     combine), a broadcast scalar total, and one more keyed agg for
@@ -840,7 +847,7 @@ def x08_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "x10_temperature_mix",
+    "c10_temperature_mix",
     """
     WITH counts AS (
         SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
@@ -870,10 +877,10 @@ def x08_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized via exact-decimal accumulation, applied with the
     deterministic md5 hash fraction. sqrt (not pow) so both engines'
     weights are bit-identical (IEEE sqrt is exactly rounded; libm pow
-    is not). Named past the driver's 50-query cap; checked by
+    is not). Rotated into the driver cap in r5; also checked by
     tools/verify_local.""",
 )
-def x10_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c10_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import temperature_mix
 
     docs = read_table(spark, sf_dir, "documents")
@@ -902,7 +909,7 @@ def x15_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "x17_quality_embedding_corr",
+    "c17_quality_embedding_corr",
     f"""
     WITH t AS (
         SELECT doc_id, source,
@@ -950,10 +957,10 @@ def x15_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale — SMJ is correct there; AQE broadcasts at fixture size),
     then one per-source aggregate with every Pearson term quantized
     to exact DECIMAL before summing, so the correlation is
-    partitioning-proof. Named past the driver's 50-query cap; checked
+    partitioning-proof. Rotated into the driver cap in r5; also checked
     by tools/verify_local.""",
 )
-def x17_quality_embedding_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c17_quality_embedding_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import dot, l2norm
     from ._numeric import DEC
 
@@ -1039,7 +1046,7 @@ def x19_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "x20_hashed_vectors",
+    "c20_hashed_vectors",
     f"""
     WITH t AS (
         SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
@@ -1063,10 +1070,9 @@ def x19_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, bucket) shuffle, all JVM expressions. The dense-assembly
     companion (`operators/vectorize.assemble_dense`) feeds these
     vectors straight into the cosine/LSH/IVF/PQ operators
-    (pytest-verified round trip). Named past the driver's 50-query
-    cap; checked by tools/verify_local.""",
+    (pytest-verified round trip). Rotated into the driver cap in r5.""",
 )
-def x20_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c20_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.vectorize import hashed_tf_sparse
 
     docs = read_table(spark, sf_dir, "documents")
@@ -1074,7 +1080,7 @@ def x20_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "x22_zipf_stats",
+    "c22_zipf_stats",
     f"""
     WITH freq AS (
         SELECT tok, COUNT(*) AS cnt
@@ -1114,9 +1120,9 @@ def x20_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     window; the slope is a 50-row scalar broadcast. ln outputs are
     quantized to 6dp before the decimal-exact regression sums (the
     x08 pattern — JVM and C libm may differ in the last ulp). Named
-    past the driver's 50-query cap; checked by tools/verify_local.""",
+    rotated into the driver cap in r5.""",
 )
-def x22_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c22_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     freq = (
         docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
