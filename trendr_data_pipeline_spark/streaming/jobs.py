@@ -26,12 +26,18 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 # ---------------------------------------------------------------------------
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """The driver's events table as a file stream. The fixture has
     carried ``ts`` as both TIMESTAMP(NANOS) and naive micros across
     driver regenerations; probe the footer with a batch read (schema
     only, no scan) and pin the matching streaming schema so the stream
-    applies the same conversion as the batch path in ``io.read_table``."""
+    applies the same conversion as the batch path in ``io.read_table``.
+
+    ``max_files_per_trigger`` bounds each micro-batch to N source
+    files — the checkpoint-recovery tests use it to force a
+    multi-batch replay they can interrupt mid-stream."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ts_type = next(
         (f.dataType.simpleString() for f in spark.read.parquet(sf_dir).schema.fields
@@ -42,13 +48,18 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = (
             "event_id long, ts long, user_id long, event_type string, value double, props string"
         )
-        raw = spark.readStream.schema(schema).parquet(sf_dir)
-        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    schema = (
-        "event_id long, ts timestamp, user_id long, event_type string,"
-        " value double, props string"
-    )
-    return spark.readStream.schema(schema).parquet(sf_dir)
+    else:
+        schema = (
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(sf_dir)
+    if ts_type == "bigint":
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
 
 
 # ---------------------------------------------------------------------------
