@@ -1,0 +1,117 @@
+"""Persisted ANN index artifacts (r5): build once, query warm, get
+bit-identical results to the train-and-query path."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SMOKE_SF
+from trendr_data_pipeline_spark.io import read_table
+from trendr_data_pipeline_spark.operators.index_store import (
+    ivf_topk_index,
+    pq_topk_index,
+    write_ivf_index,
+    write_pq_index,
+)
+from trendr_data_pipeline_spark.operators.similarity import ivf_topk, pq_topk
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_ivf_index_roundtrip_identical(spark, tmp_path):
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    idx = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, idx, nlist=16, seed=42, train_sample=4096)
+    warm = _rows(ivf_topk_index(queries, idx, k=10, nprobe=4))
+    direct = _rows(ivf_topk(queries, emb, k=10, nlist=16, nprobe=4))
+    assert warm == direct
+    # full-probe degenerate-exact setting must also match
+    warm16 = _rows(ivf_topk_index(queries, idx, k=10, nprobe=16))
+    direct16 = _rows(ivf_topk(queries, emb, k=10, nlist=16, nprobe=16))
+    assert warm16 == direct16
+
+
+def test_ivf_index_layout_is_cell_partitioned(spark, tmp_path):
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    idx = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, idx, nlist=8)
+    cells = [d for d in os.listdir(os.path.join(idx, "data")) if d.startswith("cell=")]
+    assert len(cells) >= 2, "inverted-file layout missing"
+    # a probe-pruned scan must push the cell filter into partition pruning
+    import contextlib
+    import io
+
+    sub = spark.read.parquet(os.path.join(idx, "data")).filter(F.col("cell").isin(0, 1))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sub.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+
+
+def test_pq_index_roundtrip_identical(spark, tmp_path):
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    idx = str(tmp_path / "pq_idx")
+    # production setting (x12 shape)
+    write_pq_index(emb, idx, m=8, ksub=16, seed=42, train_sample=4096)
+    warm = _rows(pq_topk_index(queries, emb, idx, k=10, candidates=50))
+    direct = _rows(pq_topk(queries, emb, k=10, m=8, ksub=16, candidates=50))
+    assert warm == direct
+
+
+def test_pq_index_warm_query_skips_training(spark, tmp_path):
+    """The point of persistence: the warm path must not retrain the
+    codebooks or re-encode the corpus (at fixture scale wall-clock
+    can't show this — numpy training on 500 vectors is instant — so
+    assert STRUCTURALLY: the training/encode entry points must not
+    run during an index query; SCALING.md carries the sf0.1 warm/cold
+    timings)."""
+    from trendr_data_pipeline_spark.operators import index_store, similarity
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    idx = str(tmp_path / "pq_idx")
+    write_pq_index(emb, idx, m=8, ksub=16)
+
+    def boom(*a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("warm query must not retrain/re-encode")
+
+    saved = (similarity._pq_train_on, similarity._pq_encode,
+             index_store._pq_train_on, index_store._pq_encode)
+    similarity._pq_train_on = similarity._pq_encode = boom
+    index_store._pq_train_on = index_store._pq_encode = boom
+    try:
+        assert pq_topk_index(queries, emb, idx, k=10).count() > 0
+    finally:
+        (similarity._pq_train_on, similarity._pq_encode,
+         index_store._pq_train_on, index_store._pq_encode) = saved
+
+
+def test_index_kind_mismatch_fails_loudly(spark, tmp_path):
+    import pytest
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    idx = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, idx, nlist=8)
+    with pytest.raises(ValueError, match="not a pq"):
+        pq_topk_index(emb.limit(1), emb, idx)
+
+
+def test_index_rebuild_is_atomic(spark, tmp_path):
+    """Rebuilding over an existing index swaps atomically: after the
+    second build no .old/._tmp residue remains and queries read the
+    new artifact."""
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    idx = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, idx, nlist=8, seed=1)
+    write_ivf_index(emb, idx, nlist=16, seed=42)
+    assert not os.path.exists(idx + ".old")
+    assert not os.path.exists(idx + "._tmp")
+    meta = spark.read.parquet(os.path.join(idx, "meta")).collect()[0]
+    assert meta["nlist"] == 16 and meta["seed"] == 42

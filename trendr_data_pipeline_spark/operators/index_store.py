@@ -1,0 +1,205 @@
+"""Persisted ANN indexes (r4 verdict item 7): write the trained
+IVF centroids / PQ codebooks plus the encoded corpus as parquet
+artifacts, so repeated query batches skip retrain + re-encode — the
+shape a real 100 TB serving path needs (FAISS separates `train`/
+`add` from `search` for exactly this reason; here the artifact is a
+plain parquet layout any Spark session can read).
+
+Layout under ``<index_dir>/``:
+
+- ``meta/``      one-row parquet: kind, params, dim, seed, version;
+- ``model/``     the trained arrays — IVF: (cell, vec) centroid rows;
+                 PQ: (subspace, code, vec) codeword rows — always
+                 ``m·ksub`` / ``nlist`` rows, driver-collectable by
+                 construction;
+- ``data/``      the encoded corpus — IVF: (neighbor_id, cv, cell)
+                 so a warm query is ONE scan with cell pruning and no
+                 join back to the corpus; PQ: (neighbor_id, codes),
+                 the compressed form ADC scans (the raw corpus is
+                 still needed for the exact rescore, as in
+                 :func:`~.similarity.pq_topk`).
+
+Writes go through a temp-dir + atomic-rename swap (same two-phase
+posture as ``streaming/jobs.merge_sink``): readers never observe a
+half-written index, and a rebuild atomically replaces the old one.
+
+Determinism: training is the same hash-ordered-sample numpy as the
+query-time paths, so ``build → query`` equals ``train-and-query``
+bit-for-bit (pinned in tests/test_index_store.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .similarity import (
+    _ivf_search,
+    _nearest_cells,
+    _pq_adc_rescore,
+    _pq_encode,
+    _pq_train_on,
+    _spherical_kmeans,
+)
+
+_VERSION = 1
+
+
+def _atomic_write(out_dir: str, write_parts) -> None:
+    """Write the index parts into ``out_dir`` via a temp dir + rename
+    (atomic on POSIX within a filesystem; on object stores this
+    becomes the store's commit protocol)."""
+    import shutil
+
+    tmp = out_dir + "._tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    write_parts(tmp)
+    old = out_dir + ".old"
+    if os.path.exists(out_dir):
+        os.rename(out_dir, old)
+    os.rename(tmp, out_dir)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    out_dir: str,
+    nlist: int = 16,
+    seed: int = 42,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train the spherical-k-means coarse quantizer and persist
+    centroids + cell-assigned corpus."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    sample = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(train_sample)
+        .collect()
+    )
+    X = np.array([r["v"] for r in sample], dtype=np.float64)
+    centroids = _spherical_kmeans(X, nlist=nlist, seed=seed)
+    dim = centroids.shape[1]
+    assign_udf = _nearest_cells(centroids, nprobe=1)
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        assign_udf(F.col(vec_col)).getItem(0).alias("cell"),
+    )
+
+    def parts(tmp: str) -> None:
+        spark.createDataFrame(
+            [(int(c), [float(x) for x in centroids[c]]) for c in range(nlist)],
+            "cell int, vec array<double>",
+        ).coalesce(1).write.parquet(os.path.join(tmp, "model"))
+        # partitionBy(cell): a warm query with nprobe cells reads only
+        # those partitions — the on-disk layout IS the inverted file
+        assigned.write.partitionBy("cell").parquet(os.path.join(tmp, "data"))
+        spark.createDataFrame(
+            [("ivf", _VERSION, int(nlist), 0, int(dim), int(seed))],
+            "kind string, version int, nlist int, m int, dim int, seed int",
+        ).coalesce(1).write.parquet(os.path.join(tmp, "meta"))
+
+    _atomic_write(out_dir, parts)
+
+
+def ivf_topk_index(
+    queries: DataFrame,
+    index_dir: str,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index: read centroids (tiny), prune the
+    partitioned data scan to the probed cells, exact-rescore. No
+    training, no encode — the warm-path cost is the candidate scan."""
+    import numpy as np
+
+    spark = queries.sparkSession
+    meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+    if meta["kind"] != "ivf" or meta["version"] != _VERSION:
+        raise ValueError(f"not an ivf v{_VERSION} index: {index_dir}")
+    rows = spark.read.parquet(os.path.join(index_dir, "model")).collect()
+    centroids = np.zeros((meta["nlist"], meta["dim"]), dtype=np.float64)
+    for r in rows:
+        centroids[r["cell"]] = r["vec"]
+    assigned = spark.read.parquet(os.path.join(index_dir, "data"))
+    return _ivf_search(queries, assigned, centroids, k, nprobe, id_col, vec_col)
+
+
+def write_pq_index(
+    corpus: DataFrame,
+    out_dir: str,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train per-subspace codebooks and persist them + the encoded
+    (id, codes) corpus — the 4-32× compressed form ADC scans."""
+    spark = corpus.sparkSession
+    books = _pq_train_on(corpus, m, ksub, seed, train_sample, id_col, vec_col)
+    dim = books.shape[0] * books.shape[2]
+    encode = _pq_encode(books)
+    coded = corpus.select(
+        F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("codes")
+    )
+
+    def parts(tmp: str) -> None:
+        spark.createDataFrame(
+            [
+                (j, c, [float(x) for x in books[j, c]])
+                for j in range(books.shape[0])
+                for c in range(books.shape[1])
+            ],
+            "subspace int, code int, vec array<double>",
+        ).coalesce(1).write.parquet(os.path.join(tmp, "model"))
+        coded.write.parquet(os.path.join(tmp, "data"))
+        spark.createDataFrame(
+            [("pq", _VERSION, int(books.shape[1]), int(m), int(dim), int(seed))],
+            "kind string, version int, nlist int, m int, dim int, seed int",
+        ).coalesce(1).write.parquet(os.path.join(tmp, "meta"))
+
+    _atomic_write(out_dir, parts)
+
+
+def pq_topk_index(
+    queries: DataFrame,
+    corpus: DataFrame,
+    index_dir: str,
+    k: int = 10,
+    candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted PQ index: codebooks from ``model/`` (m·ksub
+    rows), ADC over the persisted codes, exact rescore against the
+    raw ``corpus`` vectors (the index stores only the compressed
+    codes; the rescore join is the same broadcast-candidate shape as
+    :func:`~.similarity.pq_topk`)."""
+    import numpy as np
+
+    spark = queries.sparkSession
+    meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+    if meta["kind"] != "pq" or meta["version"] != _VERSION:
+        raise ValueError(f"not a pq v{_VERSION} index: {index_dir}")
+    m, ksub = meta["m"], meta["nlist"]
+    dsub = meta["dim"] // m
+    rows = spark.read.parquet(os.path.join(index_dir, "model")).collect()
+    books = np.zeros((m, ksub, dsub), dtype=np.float64)
+    for r in rows:
+        books[r["subspace"], r["code"]] = r["vec"]
+    coded = spark.read.parquet(os.path.join(index_dir, "data"))
+    return _pq_adc_rescore(queries, corpus, books, coded, k, candidates, id_col, vec_col)

@@ -184,13 +184,28 @@ def ivf_topk(
     centroids = _spherical_kmeans(X, nlist=nlist, seed=seed)
 
     assign_udf = _nearest_cells(centroids, nprobe=1)
-    probe_udf = _nearest_cells(centroids, nprobe=nprobe)
-
     assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         assign_udf(F.col(vec_col)).getItem(0).alias("cell"),
     )
+    return _ivf_search(queries, assigned, centroids, k, nprobe, id_col, vec_col)
+
+
+def _ivf_search(
+    queries: DataFrame,
+    assigned: DataFrame,
+    centroids,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Probe + exact-rescore half of IVF, shared by the
+    train-and-query path (:func:`ivf_topk`) and the persisted-index
+    path (:func:`ivf_topk_index`). ``assigned`` is the
+    (neighbor_id, cv, cell) frame."""
+    probe_udf = _nearest_cells(centroids, nprobe=nprobe)
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -609,6 +624,18 @@ def pq_topk(
     The gate (x11) runs the degenerate-exact configuration (see
     :func:`_pq_train`); the production setting (x12) is benched with
     a pytest-pinned recall floor vs the m01 brute force."""
+    books = _pq_train_on(corpus, m, ksub, seed, train_sample, id_col, vec_col)
+    encode = _pq_encode(books)
+    coded = corpus.select(
+        F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("codes")
+    )
+    return _pq_adc_rescore(queries, corpus, books, coded, k, candidates, id_col, vec_col)
+
+
+def _pq_train_on(
+    corpus: DataFrame, m, ksub, seed, train_sample, id_col, vec_col
+):
+    """Driver-side PQ codebook training on the hash-ordered sample."""
     import numpy as np
 
     sample = (
@@ -619,13 +646,25 @@ def pq_topk(
     )
     X = np.array([r["v"] for r in sample], dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    books = _pq_train(X, m=m, ksub=ksub, seed=seed)
+    return _pq_train(X, m=m, ksub=ksub, seed=seed)
 
-    encode = _pq_encode(books)
-    coded = corpus.select(
-        F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("codes")
-    )
 
+def _pq_adc_rescore(
+    queries: DataFrame,
+    corpus: DataFrame,
+    books,
+    coded: DataFrame,
+    k: int,
+    candidates: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """ADC scan + candidate shuffle + exact rescore half of PQ,
+    shared by the train-and-query path (:func:`pq_topk`) and the
+    persisted-index path (:func:`pq_topk_index`)."""
+    import numpy as np
+
+    m = books.shape[0]
     qrows = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)).collect()
     qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     Q = np.array([r[vec_col] for r in qrows], dtype=np.float64)
