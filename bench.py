@@ -14,6 +14,13 @@ reports the per-query MEDIAN: single-run timings on sub-2 s queries
 carry ±1 s of scheduler/GC noise, which past rounds misread as
 regressions on untouched plans. The JSON records ``reps`` so the
 judge can see which mode produced the numbers.
+
+The streaming-replay queries (x05/x18/p02/p08) measure the replay
+HARNESS — fixture staging plus synchronous memory-sink micro-batches
+— not the operator, and vary ~2× run to run (r4 verdict item 10).
+They are tagged in ``harness_queries`` and the JSON carries a second
+total, ``operator_total``, that excludes them so round-over-round
+totals compare like with like.
 """
 
 from __future__ import annotations
@@ -74,7 +81,15 @@ def main() -> None:
                 spark.catalog.clearCache()
         timings[name] = statistics.median(runs) if runs else -1.0
 
+    harness = sorted(
+        n
+        for n in timings
+        if n.startswith(("x05_", "x18_", "p02_", "p08_"))
+    )
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    operator_total = round(
+        sum(t for n, t in timings.items() if t >= 0 and n not in harness), 3
+    )
     print(
         json.dumps(
             {
@@ -84,6 +99,8 @@ def main() -> None:
                 "queries": timings,
                 "reps": REPS,
                 "sf": parse_sf(SF_DIR),
+                "harness_queries": harness,
+                "operator_total": operator_total,
             }
         )
     )
