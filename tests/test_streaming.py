@@ -536,3 +536,179 @@ def test_daily_counters_checkpoint_restart(spark, split_events_dir, tmp_path):
         for r in want.collect()
     }
     assert got == wnt
+
+
+# ---------------------------------------------------------------------------
+# r5: bucket-partitioned merge sink — the file-pruned upsert shape
+# (per-batch cost O(affected buckets), not O(table))
+# ---------------------------------------------------------------------------
+
+
+def _wave_dir(tmp_path):
+    d = tmp_path / "waves"
+    d.mkdir()
+    return str(d)
+
+
+def _write_wave(spark, d, i, rows):
+    spark.createDataFrame(rows, "k string, ts timestamp, v double").coalesce(
+        1
+    ).write.parquet(f"{d}/wave{i}")
+    # file streams discover files, not dirs — flatten
+    import glob as g
+    import shutil as sh
+
+    for f in g.glob(f"{d}/wave{i}/*.parquet"):
+        sh.move(f, f"{d}/wave{i}.parquet")
+    sh.rmtree(f"{d}/wave{i}")
+
+
+def _kv_stream(spark, d):
+    return spark.readStream.schema("k string, ts timestamp, v double").parquet(d)
+
+
+def test_partitioned_merge_sink_upserts_and_prunes(spark, tmp_path):
+    """Correctness: latest row per key wins across batches.
+    Pruning: a batch touching ONE key must leave every other bucket
+    directory byte-identical (only the touched bucket's files
+    change)."""
+    import datetime as dt
+
+    from trendr_data_pipeline_spark.streaming.jobs import (
+        partitioned_merge_sink,
+        read_merge_target,
+    )
+
+    d = _wave_dir(tmp_path)
+    target = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ck")
+    t0 = dt.datetime(2025, 1, 1)
+
+    def snap():
+        out = {}
+        for b in os.listdir(target):
+            if not b.startswith("bucket="):
+                continue
+            p = os.path.join(target, b)
+            out[b] = sorted(
+                (f, os.path.getmtime(os.path.join(p, f)), os.path.getsize(os.path.join(p, f)))
+                for f in os.listdir(p)
+            )
+        return out
+
+    _write_wave(spark, d, 1, [(f"k{i}", t0, float(i)) for i in range(40)])
+    q = partitioned_merge_sink(
+        _kv_stream(spark, d), target, key="k", version_col="ts", checkpoint_dir=ckpt,
+        buckets=8,
+    )
+    try:
+        q.processAllAvailable()
+        before = snap()
+        assert len(before) >= 4, "expected multiple bucket dirs"
+        # wave 2: update one key, newer version
+        _write_wave(spark, d, 2, [("k7", t0 + dt.timedelta(days=1), 777.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    after = snap()
+    from pyspark.sql import functions as F2
+
+    touched = [b for b in before if before[b] != after[b]]
+    assert len(touched) == 1, (touched, "one key must touch exactly one bucket")
+    got = {(r["k"], r["v"]) for r in read_merge_target(spark, target).collect()}
+    want = {(f"k{i}", float(i)) for i in range(40) if i != 7} | {("k7", 777.0)}
+    assert got == want
+    # the touched bucket is k7's hash bucket
+    bk = spark.range(1).select(
+        F2.pmod(F2.xxhash64(F2.lit("k7")), F2.lit(8)).alias("b")
+    ).collect()[0]["b"]
+    assert touched == [f"bucket={bk}"]
+
+
+def test_partitioned_merge_sink_matches_full_table_sink(spark, split_events_dir, tmp_path):
+    """Equivalence on the events fixture: the bucket-partitioned sink
+    and the full-rewrite merge_sink converge to the same table."""
+    from trendr_data_pipeline_spark.streaming.jobs import (
+        events_stream,
+        merge_sink,
+        partitioned_merge_sink,
+        read_merge_target,
+    )
+
+    def keyed(stream):
+        return stream.withColumn(
+            "k", F.concat_ws("|", F.col("user_id"), F.col("event_type"))
+        )
+
+    t1, c1 = str(tmp_path / "full"), str(tmp_path / "ck1")
+    t2, c2 = str(tmp_path / "part"), str(tmp_path / "ck2")
+    q1 = merge_sink(keyed(events_stream(spark, split_events_dir)), t1, key="k",
+                    version_col="ts", checkpoint_dir=c1)
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    q2 = partitioned_merge_sink(keyed(events_stream(spark, split_events_dir)), t2,
+                                key="k", version_col="ts", checkpoint_dir=c2, buckets=16)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    full = {tuple(r) for r in spark.read.parquet(t1).select("k", "ts", "value").collect()}
+    part = {tuple(r) for r in read_merge_target(spark, t2).select("k", "ts", "value").collect()}
+    assert part == full
+
+
+def test_partitioned_merge_sink_checkpoint_restart(spark, split_events_dir, tmp_path):
+    """Stop mid-replay, wreck one bucket into a mid-swap crash state
+    plus a torn epoch temp, restart: the writer heals the layout and
+    converges to the exact batch upsert."""
+    import glob as g
+
+    from trendr_data_pipeline_spark.streaming.jobs import (
+        events_stream,
+        partitioned_merge_sink,
+        read_merge_target,
+    )
+
+    target = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ck")
+
+    def start():
+        stream = events_stream(spark, split_events_dir, max_files_per_trigger=1)
+        keyed = stream.withColumn(
+            "k", F.concat_ws("|", F.col("user_id"), F.col("event_type"))
+        )
+        return partitioned_merge_sink(keyed, target, key="k", version_col="ts",
+                                      checkpoint_dir=ckpt, buckets=8)
+
+    q = start()
+    try:
+        _run_until_batches(q, 2)
+    finally:
+        if q.isActive:
+            q.stop()
+
+    buckets = sorted(b for b in os.listdir(target) if b.startswith("bucket="))
+    assert buckets
+    victim = os.path.join(target, buckets[0])
+    os.rename(victim, victim + ".old")
+    os.makedirs(target + "._epoch42/bucket=0", exist_ok=True)
+
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    assert not os.path.exists(victim + ".old")
+    assert not g.glob(target + "._epoch*")
+    ev = read_table(spark, SMOKE_SF, "events")
+    want = (
+        ev.withColumn("k", F.concat_ws("|", F.col("user_id"), F.col("event_type")))
+        .groupBy("k")
+        .agg(F.max("ts").alias("ts"))
+    )
+    got = {(r["k"], r["ts"]) for r in read_merge_target(spark, target).select("k", "ts").collect()}
+    assert got == {(r["k"], r["ts"]) for r in want.collect()}
