@@ -257,10 +257,14 @@ from .dedup_ops import _SQL_TOKSET  # noqa: E402
 from .registry import _REGISTRY  # noqa: E402
 from .text_ops import _SQL_QUALITY, _SQL_STOP, _SQL_TOKS  # noqa: E402
 
-#: budget for the gated setting: ~40% of the sf0.01 slice's survivor
-#: tokens (and ~4% at sf0.1) — the greedy cut is non-vacuous at every
-#: fixture scale
-_C23_BUDGET = 800
+#: mix target + budget for the gated setting, chosen so BOTH stages
+#: bite at every fixture SF: α=1/2 mixing at 0.8 drops survivors
+#: (13 → 9 docs at sf0.01, 91 → 70 at sf0.1) and the 250-token budget
+#: then cuts the mixed stream (~80% of sf0.01's mixed tokens, ~13% at
+#: sf0.1) — a vacuous stage would make the gate one stage weaker than
+#: it claims
+_C23_MIX_FRAC = 0.8
+_C23_BUDGET = 250
 
 _SQL_T05_SLICED = _REGISTRY["t05_corpus_clean"].oracle.replace(
     "FROM documents", "FROM documents WHERE doc_id % 10 = 0"
@@ -294,6 +298,26 @@ _SQL_PIPELINE = f"""
                COALESCE(c.component, k.doc_id) AS component
         FROM kept k LEFT JOIN comp c ON k.doc_id = c.node
         WHERE COALESCE(c.component, k.doc_id) = k.doc_id
+    ), mcounts AS (
+        SELECT source, COUNT(*) AS n_docs FROM surv GROUP BY source
+    ), mc2 AS (
+        SELECT source, n_docs,
+               CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(28,6)) AS w_dec
+        FROM mcounts
+    ), mtot AS (
+        SELECT SUM(w_dec) AS denom_dec, SUM(n_docs) AS total_docs FROM mc2
+    ), mrates AS (
+        SELECT source,
+               least(1.0e0,
+                     (CAST(w_dec AS DOUBLE) / CAST(denom_dec AS DOUBLE))
+                     * (CAST(total_docs AS DOUBLE) * {_C23_MIX_FRAC}e0)
+                     / CAST(n_docs AS DOUBLE)) AS rate
+        FROM mc2 CROSS JOIN mtot
+    ), mixed AS (
+        SELECT s.doc_id, s.source, s.text, s.component
+        FROM surv s JOIN mrates r USING (source)
+        WHERE (('0x' || substr(md5('corpus-mix' || CAST(s.doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0e0) < r.rate
     ), feats AS (
         SELECT doc_id, source, component,
                CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tok,
@@ -301,7 +325,7 @@ _SQL_PIPELINE = f"""
                  AS tok_chars,
                len(list_filter({_SQL_TOKS},
                    x -> list_contains({_SQL_STOP}, x))) AS stop_hits
-        FROM surv
+        FROM mixed
     ), s AS (
         SELECT doc_id, source, component, n_tok,
                CASE WHEN n_tok > 0 THEN ROUND({_SQL_QUALITY}, 6) END AS quality
@@ -330,12 +354,15 @@ from .registry import register  # noqa: E402
     _SQL_PIPELINE,
     doc="""END-TO-END training-corpus pipeline gate (new r5): t05
     clean ladder → exact-Jaccard near-dup pairs → connected-component
-    canonicalization → greedy quality-budget selection → 512-token
-    chunk spans, on the 1-in-10 corpus slice with an 800-token budget.
-    Hash-checks the COMPOSITION of the t05/d02/c03/c06/c04 machinery
-    (each separately gated at full grain), not just its stages: the
-    oracle re-derives every survivor decision, stream offset and span
-    from the same SQL fragments those gates use.""",
+    canonicalization → α=1/2 temperature source mixing (c10's rate
+    chain over the SURVIVOR counts, md5 keep decision, target 0.8) →
+    greedy quality-budget selection → 512-token chunk spans, on the
+    1-in-10 corpus slice with a 250-token budget (both stages bite at
+    every fixture SF). Hash-checks the
+    COMPOSITION of the t05/d02/c03/c10/c06/c04 machinery (each
+    separately gated at full grain), not just its stages: the oracle
+    re-derives every survivor decision, mix keep, stream offset and
+    span from the same SQL fragments those gates use.""",
 )
 def c23_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_training_corpus(
@@ -343,5 +370,6 @@ def c23_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         seq_len=512,
         token_budget=_C23_BUDGET,
+        mix_target_frac=_C23_MIX_FRAC,
         doc_filter=F.col("doc_id") % 10 == 0,
     ).drop("text")
