@@ -124,13 +124,15 @@ def train_and_score_quality(
         .withColumn("is_train", hash_fraction(F.col("doc_id"), salt) < train_frac)
         .drop("med")
     )
-    # one materialization feeds scaler fit and every L-BFGS pass —
-    # without it the tokenize-heavy feature lineage recomputes per
-    # iteration. The cache is SCOPED to training: it is unpersisted
-    # after the fit, so the caller's single scoring pass recomputes
-    # the lineage once (same cost as an uncached first scan) instead
-    # of a cached frame leaking per call in a long-lived session.
-    labeled = labeled.cache()
+    # one materialization feeds scaler fit, every L-BFGS pass AND the
+    # caller's scoring pass — without it the tokenize-heavy feature
+    # lineage recomputes per consumer. localCheckpoint (not .cache):
+    # the checkpoint's storage is ContextCleaner-managed, reclaimed
+    # when the returned frame is garbage-collected, so nothing leaks
+    # per call in a long-lived session (pinned by
+    # tests/test_dedup_similarity.py::test_quality_model_scopes_its_cache),
+    # while the scoring pass still reads the materialized frame.
+    labeled = labeled.localCheckpoint(eager=True)
     asm = VectorAssembler(inputCols=FEATURES, outputCol="_rawf")
     scaler = StandardScaler(inputCol="_rawf", outputCol="_f", withMean=True, withStd=True)
     # maxIter bounds the number of L-BFGS jobs (each iteration is one
@@ -149,7 +151,6 @@ def train_and_score_quality(
         )
     smodel = scaler.fit(train)
     model = lr.fit(smodel.transform(train))
-    labeled.unpersist()
 
     # Score with PLAIN column expressions from the extracted
     # coefficients instead of model.transform: (a) the scoring plan
