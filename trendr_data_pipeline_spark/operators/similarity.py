@@ -323,22 +323,26 @@ def embedding_near_dup_join(
         .select(F.col("q_id").alias("id_a"), F.col("c_id").alias("id_b"), "q_v", "c_v")
         .distinct()
     )
-    if symmetric:
-        # materialize candidates off the persisted sketch, then drop
-        # it: near-dup thresholds sit close to 1, so the checkpointed
-        # frame is near true-pair volume — tiny next to the sketch
-        # (which is |corpus| · tables rows of vectors)
-        cands = cands.localCheckpoint(eager=True)
-        c_side.unpersist()
     # Filter on the UNROUNDED cosine (matching the SQL oracle, which
     # has no round in its predicate) and round only in the final
     # projection — filtering post-round would keep a pair whose true
     # cosine sits in [threshold-5e-7, threshold) that the oracle drops.
-    return (
+    out = (
         cands.withColumn("_cos", cosine(F.col("q_v"), F.col("c_v")))
         .filter(F.col("_cos") >= threshold)
         .select("id_a", "id_b", F.round(F.col("_cos"), 6).alias("cosine_sim"))
     )
+    if symmetric:
+        # materialize the VERIFIED pairs off the persisted sketch,
+        # then drop it: checkpointing after the exact-cosine verify
+        # stores only (id_a, id_b, sim) — near true-pair volume and
+        # three narrow columns, vs the sketch's |corpus|·tables rows
+        # of vectors. Checkpoint storage is ContextCleaner-managed
+        # (reclaimed when the returned frame is dropped), so nothing
+        # outlives the caller's use of the result.
+        out = out.localCheckpoint(eager=True)
+        c_side.unpersist()
+    return out
 
 
 def lsh_bucketed_topk(
