@@ -687,3 +687,59 @@ def test_quality_model_scopes_its_cache(spark):
     assert not _unscoped_persisted_rdds(spark, before)
     assert out.count() > 0
     assert not _unscoped_persisted_rdds(spark, before)
+
+
+def test_ivfpq_degenerate_exact_equals_bruteforce(spark):
+    """x23's gate argument locally: full probe + corpus-covering
+    codebook ⇒ IVFPQ == brute force."""
+    from trendr_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivfpq_topk,
+    )
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    got = sorted(
+        tuple(r)
+        for r in ivfpq_topk(
+            emb.filter(F.col("vec_id") % 100 == 0), emb, k=10,
+            nlist=16, nprobe=16, m=8, ksub=max(16, n), train_sample=n,
+        ).collect()
+    )
+    want = sorted(tuple(r) for r in cosine_topk_bruteforce(queries, emb, k=10).collect())
+    assert got == want
+
+
+def test_ivfpq_production_recall_and_determinism(spark):
+    """x24: recall floor vs brute force at the production setting on
+    the isotropic fixture (worst case for BOTH prunings — the
+    combined recall is bounded by the weaker of IVF's 0.62 and PQ's
+    0.62 at the same settings), plus run-to-run determinism."""
+    from trendr_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivfpq_topk,
+    )
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    got = ivfpq_topk(queries, emb, k=10, nlist=16, nprobe=4, m=8, ksub=16).collect()
+    again = ivfpq_topk(queries, emb, k=10, nlist=16, nprobe=4, m=8, ksub=16).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(queries, emb, k=10).collect()
+    }
+    hits = sum(1 for r in got if (r["query_id"], r["neighbor_id"]) in truth)
+    recall = hits / max(1, len(truth))
+    assert recall >= 0.3, recall
+    # every returned score is EXACT (rescored on raw vectors): each
+    # (q, n) pair's cosine matches the brute-force value when present
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in cosine_topk_bruteforce(queries, emb, k=50).collect()
+    }
+    for r in got:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf:
+            assert abs(bf[key] - r["cosine_sim"]) < 1e-9

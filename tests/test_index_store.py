@@ -115,3 +115,41 @@ def test_index_rebuild_is_atomic(spark, tmp_path):
     assert not os.path.exists(idx + "._tmp")
     meta = spark.read.parquet(os.path.join(idx, "meta")).collect()[0]
     assert meta["nlist"] == 16 and meta["seed"] == 42
+
+
+def test_ivfpq_index_roundtrip_identical(spark, tmp_path):
+    from trendr_data_pipeline_spark.operators.index_store import (
+        ivfpq_topk_index,
+        write_ivfpq_index,
+    )
+    from trendr_data_pipeline_spark.operators.similarity import ivfpq_topk
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    idx = str(tmp_path / "ivfpq_idx")
+    write_ivfpq_index(emb, idx, nlist=16, m=8, ksub=16, seed=42, train_sample=4096)
+    warm = _rows(ivfpq_topk_index(queries, emb, idx, k=10, nprobe=4))
+    direct = _rows(ivfpq_topk(queries, emb, k=10, nlist=16, nprobe=4, m=8, ksub=16))
+    assert warm == direct
+
+
+def test_ivfpq_index_scan_is_partition_pruned(spark, tmp_path):
+    """The probed-cell union must reach the parquet scan as a
+    PartitionFilter — reading nprobe/nlist of the code frame is the
+    inverted file's point."""
+    import contextlib
+    import io as _io
+
+    from trendr_data_pipeline_spark.operators.index_store import write_ivfpq_index
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    idx = str(tmp_path / "ivfpq_idx")
+    write_ivfpq_index(emb, idx, nlist=8)
+    sub = spark.read.parquet(os.path.join(idx, "data")).filter(
+        F.col("cell").isin(0, 3)
+    )
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sub.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cell" in plan, plan

@@ -203,3 +203,120 @@ def pq_topk_index(
         books[r["subspace"], r["code"]] = r["vec"]
     coded = spark.read.parquet(os.path.join(index_dir, "data"))
     return _pq_adc_rescore(queries, corpus, books, coded, k, candidates, id_col, vec_col)
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    out_dir: str,
+    nlist: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train coarse centroids + PQ codebooks on the same hash sample
+    and persist the corpus as (neighbor_id, codes) rows partitioned
+    by cell — the 32×-compressed, partition-prunable serving layout
+    (FAISS IVFPQ's inverted file as a parquet directory tree)."""
+    import numpy as np
+
+    from .similarity import _nearest_cells, _pq_train
+
+    spark = corpus.sparkSession
+    sample = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(train_sample)
+        .collect()
+    )
+    X = np.array([r["v"] for r in sample], dtype=np.float64)
+    centroids = _spherical_kmeans(X, nlist=nlist, seed=seed)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    books = _pq_train(Xn, m=m, ksub=ksub, seed=seed)
+    dim = centroids.shape[1]
+
+    assign_udf = _nearest_cells(centroids, nprobe=1)
+    encode = _pq_encode(books)
+    coded = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        assign_udf(F.col(vec_col)).getItem(0).alias("cell"),
+        encode(F.col(vec_col)).alias("codes"),
+    )
+
+    def parts(tmp: str) -> None:
+        spark.createDataFrame(
+            [(-1, int(c), [float(x) for x in centroids[c]]) for c in range(nlist)]
+            + [
+                (j, c, [float(x) for x in books[j, c]])
+                for j in range(m)
+                for c in range(books.shape[1])
+            ],
+            # subspace = -1 rows are the coarse centroids; >= 0 rows
+            # the per-subspace codewords — one model file, two roles
+            "subspace int, code int, vec array<double>",
+        ).coalesce(1).write.parquet(os.path.join(tmp, "model"))
+        coded.write.partitionBy("cell").parquet(os.path.join(tmp, "data"))
+        spark.createDataFrame(
+            [("ivfpq", _VERSION, int(nlist), int(m), int(dim), int(seed), int(books.shape[1]))],
+            "kind string, version int, nlist int, m int, dim int, seed int, ksub int",
+        ).coalesce(1).write.parquet(os.path.join(tmp, "meta"))
+
+    _atomic_write(out_dir, parts)
+
+
+def ivfpq_topk_index(
+    queries: DataFrame,
+    corpus: DataFrame,
+    index_dir: str,
+    k: int = 10,
+    nprobe: int = 4,
+    candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVFPQ index: centroids + codebooks from
+    ``model/`` (tiny), then the ADC scan reads ONLY the probed cells'
+    partitions — the union of every query's probe set prunes the
+    parquet scan itself (PartitionFilters), on top of the per-query
+    -inf mask inside the scan. Exact rescore against the raw
+    ``corpus`` as usual."""
+    import numpy as np
+
+    from .similarity import _pq_adc_rescore
+
+    spark = queries.sparkSession
+    meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+    if meta["kind"] != "ivfpq" or meta["version"] != _VERSION:
+        raise ValueError(f"not an ivfpq v{_VERSION} index: {index_dir}")
+    nlist, m, ksub, dim = meta["nlist"], meta["m"], meta["ksub"], meta["dim"]
+    rows = spark.read.parquet(os.path.join(index_dir, "model")).collect()
+    centroids = np.zeros((nlist, dim), dtype=np.float64)
+    books = np.zeros((m, ksub, dim // m), dtype=np.float64)
+    for r in rows:
+        if r["subspace"] < 0:
+            centroids[r["code"]] = r["vec"]
+        else:
+            books[r["subspace"], r["code"]] = r["vec"]
+
+    # union of all queries' probe sets → partition-pruned data scan
+    qv = np.array(
+        [r[vec_col] for r in queries.select(vec_col).collect()], dtype=np.float64
+    )
+    qn = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
+    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    probed = sorted(
+        {
+            int(c)
+            for row in np.argsort(-(qn @ cn.T), axis=1, kind="stable")[:, :nprobe]
+            for c in row
+        }
+    )
+    coded = spark.read.parquet(os.path.join(index_dir, "data")).filter(
+        F.col("cell").isin(probed)
+    )
+    return _pq_adc_rescore(
+        queries, corpus, books, coded, k, candidates, id_col, vec_col,
+        probe_centroids=centroids, nprobe=nprobe,
+    )

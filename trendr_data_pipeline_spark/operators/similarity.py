@@ -662,10 +662,19 @@ def _pq_adc_rescore(
     candidates: int,
     id_col: str,
     vec_col: str,
+    probe_centroids=None,
+    nprobe: int = 0,
 ) -> DataFrame:
     """ADC scan + candidate shuffle + exact rescore half of PQ,
-    shared by the train-and-query path (:func:`pq_topk`) and the
-    persisted-index path (:func:`pq_topk_index`)."""
+    shared by the train-and-query path (:func:`pq_topk`), the
+    persisted-index path (:func:`pq_topk_index`) and the IVFPQ paths.
+
+    With ``probe_centroids``/``nprobe`` set (the IVFPQ form),
+    ``coded`` must carry a ``cell`` column and each query only scores
+    neighbors whose cell is among its ``nprobe`` nearest centroids —
+    the inverted-file restriction that makes the ADC scan read
+    nprobe/nlist of the corpus instead of all of it (on the persisted
+    index the restriction is ALSO a partition-pruned scan)."""
     import numpy as np
 
     m = books.shape[0]
@@ -678,6 +687,13 @@ def _pq_adc_rescore(
     tables = np.stack(
         [Q[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)], axis=1
     )
+    probes = None
+    if probe_centroids is not None:
+        C = probe_centroids / np.maximum(
+            np.linalg.norm(probe_centroids, axis=1, keepdims=True), 1e-12
+        )
+        order = np.argsort(-(Q @ C.T), axis=1, kind="stable")[:, :nprobe]
+        probes = order  # (n_q, nprobe) — same stable-tie rule as _nearest_cells
 
     def adc_partition(batches):
         for pdf in batches:
@@ -688,6 +704,11 @@ def _pq_adc_rescore(
             for j in range(m):
                 scores += tables[:, j, :][:, codes[:, j]]
             nb = pdf["neighbor_id"].values
+            if probes is not None:
+                cells = pdf["cell"].values.astype(np.int64)  # (B,)
+                # allowed[q, b] ⇔ cells[b] ∈ probes[q]
+                allowed = (probes[:, :, None] == cells[None, None, :]).any(axis=1)
+                scores[~allowed] = -np.inf
             # mask self-matches BEFORE the per-partition cut: a query
             # colocated with its own code row must not consume one of
             # its `candidates` slots (that was a small recall bias)
@@ -701,7 +722,13 @@ def _pq_adc_rescore(
                     "adc": np.take_along_axis(scores, idx, axis=1).ravel(),
                 }
             )
-            yield out[out["query_id"] != out["neighbor_id"]]
+            # drop masked rows (-inf: unprobed cell or self) — a
+            # partition with fewer than `candidates` allowed rows
+            # would otherwise leak disallowed neighbors downstream
+            yield out[
+                (out["query_id"] != out["neighbor_id"])
+                & np.isfinite(out["adc"].values)
+            ]
 
     local = coded.mapInPandas(
         adc_partition, "query_id bigint, neighbor_id bigint, adc double"
@@ -730,6 +757,79 @@ def _pq_adc_rescore(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rk")
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    candidates: int = 50,
+    seed: int = 42,
+    train_sample: int = 4096,
+) -> DataFrame:
+    """IVF+PQ combined ANN (the FAISS ``IVFPQ`` production shape,
+    Jégou et al. 2011 §V: inverted file for candidate pruning, product
+    codes for compressed scoring; this is the no-residual variant —
+    codes are computed on the raw normalized vectors, which keeps the
+    ADC tables query-global instead of per-cell). Composition of the
+    existing gated machinery:
+
+    - coarse quantizer: driver-side spherical k-means on the hash
+      sample (:func:`_spherical_kmeans`, the m03/x02 leg);
+    - codes: one Arrow projection (:func:`_pq_encode`, the c11/x12
+      leg) PLUS the cell id in the same pass;
+    - search: the shared ADC scan restricted to each query's
+      ``nprobe`` nearest cells (scores of unprobed cells masked to
+      -inf before the per-partition cut), then the usual bounded
+      candidate shuffle + broadcast exact rescore.
+
+    Scale shape: the corpus is stored once as (id, cell, m int8
+    codes) — 32× smaller than the vectors — and a query batch reads
+    nprobe/nlist of it; on the persisted index
+    (:func:`~.index_store.ivfpq_topk_index`) that restriction is a
+    partition-pruned scan, not a mask. Degenerate-exact gate: at
+    ``nprobe == nlist`` with a corpus-covering codebook the output
+    equals m01's brute force (same argument as c11/m03), which is
+    what x23 gates; the production setting carries a pytest recall
+    floor."""
+    import numpy as np
+
+    sample = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(train_sample)
+        .collect()
+    )
+    X = np.array([r["v"] for r in sample], dtype=np.float64)
+    centroids = _spherical_kmeans(X, nlist=nlist, seed=seed)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    books = _pq_train(Xn, m=m, ksub=ksub, seed=seed)
+
+    assign_udf = _nearest_cells(centroids, nprobe=1)
+    encode = _pq_encode(books)
+    coded = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        assign_udf(F.col(vec_col)).getItem(0).alias("cell"),
+        encode(F.col(vec_col)).alias("codes"),
+    )
+    return _pq_adc_rescore(
+        queries,
+        corpus,
+        books,
+        coded,
+        k,
+        candidates,
+        id_col,
+        vec_col,
+        probe_centroids=centroids,
+        nprobe=nprobe,
     )
 
 

@@ -69,7 +69,11 @@ def corpus_survivors(
     on the standard 1-in-10 slice (the d02/c03 convention), keeping
     the brute-force oracle tractable. Ladder decisions (dup flags,
     contamination, quality) are computed on the sliced population,
-    consistently on both engines."""
+    consistently on both engines. Exception by design: ``ppl_cap``
+    scores against the FULL-corpus unigram LM even under a slice
+    (the LM is a model of the language, not of the sample — the same
+    no-drift posture the unsliced pipeline uses), while the
+    classifier floor trains on whatever population ``docs`` holds."""
     docs = read_table(spark, sf_dir, "documents")
     if doc_filter is not None:
         docs = docs.filter(doc_filter)

@@ -344,3 +344,69 @@ def c14_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return label_centroid_stats(emb)
+
+
+@register(
+    "x23_ivfpq_topk",
+    _ORACLE_TOPK,
+    doc="""IVF+PQ combined ANN (⊕, r5: the FAISS IVFPQ production
+    shape — inverted-file candidate pruning + product-code compressed
+    scoring), hash-gated via the double-degenerate case: nprobe ==
+    nlist (every cell probed, the m03 argument) AND a corpus-covering
+    codebook (exact reconstruction, the c11 argument), so the
+    composed machinery — coarse assign, encode, probe-masked ADC
+    scan, candidate shuffle, exact rescore — must equal m01's brute
+    force. ksub/train_sample derived from the corpus count at
+    query-build time (same posture as c11). The production setting is
+    benched as x24 with a pytest recall floor. Named past the
+    driver's 50-query cap; checked by tools/verify_local.""",
+)
+def x23_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivfpq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    ceiling = 1 << 18
+    if n > ceiling:
+        raise ValueError(
+            f"x23_ivfpq_topk: corpus has {n} vectors > {ceiling}; the"
+            " degenerate-exact gate trains driver-side on the full corpus"
+            " — bench the production setting (x24) at this scale instead"
+        )
+    return ivfpq_topk(
+        emb.filter(F.col("vec_id") % 100 == 0),
+        emb,
+        k=10,
+        nlist=16,
+        nprobe=16,
+        m=8,
+        ksub=max(16, n),
+        candidates=50,
+        train_sample=n,
+    )
+
+
+@register(
+    "x24_ivfpq_fast_topk",
+    None,
+    doc="""IVFPQ at the production setting: 16 cells, 4-cell probe,
+    8×16 codebooks (32× compression), top-50 exact rescore — the
+    candidate scan reads nprobe/nlist of the code frame AND scores it
+    by table lookup, the double saving a 100 TB serving path runs on.
+    Bench-only (x-prefix parks it past the driver's 50-query cap);
+    the hash gate for the same machinery is x23's double-degenerate
+    form; recall vs the m01 brute force and determinism are pinned in
+    tests/test_dedup_similarity.py. Measured recall at sf0.1 is 0.37
+    on the ISOTROPIC fixture — the worst case for BOTH prunings, and
+    almost exactly the product of the standalone settings' recalls
+    (IVF 0.62 × PQ 0.62 ≈ 0.38): the two candidate filters are
+    independent on clusterless vectors. Clustered real embeddings
+    recall far higher; returned scores are exact regardless (raw
+    vectors rescored).""",
+)
+def x24_ivfpq_fast_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivfpq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivfpq_topk(queries, emb, k=10, nlist=16, nprobe=4, m=8, ksub=16)
