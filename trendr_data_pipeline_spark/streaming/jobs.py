@@ -608,3 +608,135 @@ def cadence_gated_append(
             fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SS13 (r5) — streaming near-dup ingestion screen
+# ---------------------------------------------------------------------------
+
+
+def near_dup_screen_stream(
+    stream: DataFrame,
+    corpus: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    buckets: int = 16,
+):
+    """Incremental corpus maintenance: each micro-batch of incoming
+    embeddings is screened for near-duplicates against the BASE
+    corpus plus every previously ACCEPTED row, and only novel rows
+    are upserted into the target (the reference's per-scan mention
+    dedup generalized to embedding space; the streaming twin of the
+    d06/c21 batch screens).
+
+    Composition of gated machinery, per batch:
+
+    1. :func:`~..operators.similarity.embedding_near_dup_join` with
+       the small batch BROADCAST against the big reference side
+       (base corpus ∪ current target) — the asymmetric d06 shape, so
+       the reference side never shuffles;
+    2. rows with any match ≥ ``threshold`` are dropped (anti-join on
+       the pair frame's id_a);
+    3. survivors upsert through the bucket-partitioned merge layout
+       (same per-bucket crash-safe swap as
+       :func:`partitioned_merge_sink` — O(affected buckets) per
+       batch).
+
+    Within-batch duplicates: the self-pairs of the batch are screened
+    too (batch ∪ reference on the corpus side), keeping the LOWER id
+    of a colliding pair — deterministic under replay, so checkpoint
+    recovery converges (pinned in tests/test_streaming.py).
+
+    Returns the started StreamingQuery."""
+    import os
+    import shutil
+
+    from ..operators.similarity import embedding_near_dup_join
+
+    bucket_of = F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets))
+
+    def do_screen(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        if not batch.head(1):
+            return
+        os.makedirs(target_dir, exist_ok=True)
+        import glob
+
+        for leftover in glob.glob(glob.escape(target_dir) + "._epoch*"):
+            shutil.rmtree(leftover)
+        for entry in os.listdir(target_dir):
+            if entry.startswith("bucket="):
+                bdir = os.path.join(
+                    target_dir,
+                    entry[: -len(".old")] if entry.endswith(".old") else entry,
+                )
+                recover_merge_target(bdir)
+        have_target = any(
+            e.startswith("bucket=") for e in os.listdir(target_dir)
+        )
+        accepted = (
+            spark.read.schema(batch.schema).parquet(target_dir + "/bucket=*")
+            if have_target
+            else batch.limit(0)
+        )
+        # reference side = base corpus ∪ accepted ∪ the batch itself
+        # (self-screen keeps the lower id of a within-batch pair)
+        reference = corpus.select(id_col, vec_col).unionByName(
+            accepted.select(id_col, vec_col)
+        )
+        pairs_ref = embedding_near_dup_join(
+            batch, reference, threshold, id_col, vec_col, dim=dim
+        ).select(F.col("id_a").alias(id_col))
+        pairs_self = (
+            embedding_near_dup_join(
+                batch, batch, threshold, id_col, vec_col, dim=dim
+            )
+            .filter(F.col("id_a") > F.col("id_b"))
+            .select(F.col("id_a").alias(id_col))
+        )
+        dupes = pairs_ref.unionByName(pairs_self).distinct()
+        survivors = batch.join(dupes, id_col, "left_anti")
+        affected = sorted(
+            r["b"]
+            for r in survivors.select(bucket_of.alias("b")).distinct().collect()
+        )
+        if not affected:
+            return
+        existing_dirs = [
+            os.path.join(target_dir, f"bucket={bk}")
+            for bk in affected
+            if os.path.exists(os.path.join(target_dir, f"bucket={bk}"))
+        ]
+        from ..operators.ingestion import upsert_latest
+
+        if existing_dirs:
+            existing = spark.read.schema(batch.schema).parquet(*existing_dirs)
+            merged = upsert_latest(existing, survivors, key=id_col, version_col=id_col)
+        else:
+            merged = survivors
+        merged = merged.withColumn("bucket", bucket_of)
+        tmp = target_dir + f"._epoch{epoch_id}"
+        merged.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
+        for bk in affected:
+            src = os.path.join(tmp, f"bucket={bk}")
+            dst = os.path.join(target_dir, f"bucket={bk}")
+            if not os.path.exists(src):
+                continue
+            old = dst + ".old"
+            if os.path.exists(dst):
+                os.rename(dst, old)
+            os.rename(src, dst)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+        shutil.rmtree(tmp)
+
+    return (
+        stream.writeStream.foreachBatch(do_screen)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
