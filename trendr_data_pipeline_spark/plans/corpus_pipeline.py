@@ -168,6 +168,12 @@ def build_training_corpus(
         quality_prob_floor=quality_prob_floor,
         doc_filter=doc_filter,
     )
+    # the survivor frame is consumed 2-4× downstream (the mix stage's
+    # count + join legs, the prefix sum's per-bucket cumsum + bucket
+    # totals) — materialize it ONCE so the ladder/pair/CC lineage
+    # doesn't re-execute per consumer (checkpoint storage is
+    # ContextCleaner-managed, reclaimed with the returned frame)
+    survivors = survivors.localCheckpoint(eager=True)
 
     # 3d. optional temperature source mixing (x10): rebalance the
     # source composition before the budget greedy; rates computed on
