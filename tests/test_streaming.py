@@ -693,8 +693,16 @@ def test_partitioned_merge_sink_checkpoint_restart(spark, split_events_dir, tmp_
     buckets = sorted(b for b in os.listdir(target) if b.startswith("bucket="))
     assert buckets
     victim = os.path.join(target, buckets[0])
-    os.rename(victim, victim + ".old")
+    backup = os.path.join(target, "._old_" + buckets[0])
+    os.rename(victim, backup)
     os.makedirs(target + "._epoch42/bucket=0", exist_ok=True)
+
+    # READER SAFETY through the crash window: the dot-prefixed backup
+    # is invisible to Spark's listing, so a reader mid-crash sees a
+    # consistent (pre-swap) table with no duplicate keys — the r5
+    # review found the old `bucket=N.old` naming leaked both copies
+    mid = spark.read.parquet(target)
+    assert mid.count() == mid.select("k").distinct().count()
 
     q2 = start()
     try:
@@ -702,7 +710,7 @@ def test_partitioned_merge_sink_checkpoint_restart(spark, split_events_dir, tmp_
     finally:
         q2.stop()
 
-    assert not os.path.exists(victim + ".old")
+    assert not os.path.exists(backup)
     assert not g.glob(target + "._epoch*")
     ev = read_table(spark, SMOKE_SF, "events")
     want = (

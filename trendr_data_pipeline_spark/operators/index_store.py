@@ -50,15 +50,24 @@ _VERSION = 1
 def _atomic_write(out_dir: str, write_parts) -> None:
     """Write the index parts into ``out_dir`` via a temp dir + rename
     (atomic on POSIX within a filesystem; on object stores this
-    becomes the store's commit protocol)."""
+    becomes the store's commit protocol). Heals stale crash residue
+    first: a ``.old`` left by a build that died between swap-in and
+    cleanup would otherwise make EVERY later rebuild's backup rename
+    fail (ENOTEMPTY) until someone deleted it by hand — the same
+    recovery contract as ``streaming/jobs.merge_sink``."""
     import shutil
 
+    old = out_dir + ".old"
+    if os.path.exists(old):
+        if os.path.exists(out_dir):
+            shutil.rmtree(old)  # prior swap finished; cleanup didn't
+        else:
+            os.rename(old, out_dir)  # prior build died mid-swap
     tmp = out_dir + "._tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     os.makedirs(tmp)
     write_parts(tmp)
-    old = out_dir + ".old"
     if os.path.exists(out_dir):
         os.rename(out_dir, old)
     os.rename(tmp, out_dir)
@@ -300,10 +309,11 @@ def ivfpq_topk_index(
         else:
             books[r["subspace"], r["code"]] = r["vec"]
 
-    # union of all queries' probe sets → partition-pruned data scan
-    qv = np.array(
-        [r[vec_col] for r in queries.select(vec_col).collect()], dtype=np.float64
-    )
+    # union of all queries' probe sets → partition-pruned data scan.
+    # Collect the query rows ONCE and hand them down — _pq_adc_rescore
+    # would otherwise ship the same vectors driver-side a second time
+    qrows = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)).collect()
+    qv = np.array([r[vec_col] for r in qrows], dtype=np.float64)
     qn = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
     cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
     probed = sorted(
@@ -318,5 +328,5 @@ def ivfpq_topk_index(
     )
     return _pq_adc_rescore(
         queries, corpus, books, coded, k, candidates, id_col, vec_col,
-        probe_centroids=centroids, nprobe=nprobe,
+        probe_centroids=centroids, nprobe=nprobe, qrows=qrows,
     )

@@ -664,6 +664,7 @@ def _pq_adc_rescore(
     vec_col: str,
     probe_centroids=None,
     nprobe: int = 0,
+    qrows=None,
 ) -> DataFrame:
     """ADC scan + candidate shuffle + exact rescore half of PQ,
     shared by the train-and-query path (:func:`pq_topk`), the
@@ -674,11 +675,18 @@ def _pq_adc_rescore(
     neighbors whose cell is among its ``nprobe`` nearest centroids —
     the inverted-file restriction that makes the ADC scan read
     nprobe/nlist of the corpus instead of all of it (on the persisted
-    index the restriction is ALSO a partition-pruned scan)."""
+    index the restriction is ALSO a partition-pruned scan).
+    ``qrows`` optionally carries the already-collected (query_id,
+    vec) rows so a caller that needed them for its own probe-union
+    pruning (:func:`~.index_store.ivfpq_topk_index`) doesn't ship the
+    query set driver-side twice."""
     import numpy as np
 
     m = books.shape[0]
-    qrows = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)).collect()
+    if qrows is None:
+        qrows = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col)
+        ).collect()
     qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     Q = np.array([r[vec_col] for r in qrows], dtype=np.float64)
     Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)

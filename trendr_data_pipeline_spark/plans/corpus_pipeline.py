@@ -98,16 +98,21 @@ def corpus_survivors(
         canonical.select(F.col("node").alias("doc_id"), "component"), "doc_id"
     )
 
-    # 3b. optional perplexity tail-drop (CCNet practice; x08 scoring)
+    # 3b. optional perplexity tail-drop (CCNet practice; x08 scoring).
+    # Anti-join on the explicit ABOVE-cap set, not inner-join on the
+    # scored set: c08's grain is tokenful docs only, and an unscored
+    # doc is "unscored", not "high-perplexity" — the same contract as
+    # stage 3c below (r5 review: the two stages must fail the same
+    # way if an earlier stage ever lets token-less docs through).
     if ppl_cap is not None:
         from .text_ops import c08_unigram_perplexity
 
-        ok = (
+        above = (
             c08_unigram_perplexity(spark, sf_dir)
-            .filter(F.col("ppl") <= ppl_cap)
+            .filter(F.col("ppl") > ppl_cap)
             .select("doc_id")
         )
-        survivors = survivors.join(ok, "doc_id")
+        survivors = survivors.join(above, "doc_id", "left_anti")
 
     # 3c. optional trained-classifier floor (x16 practice): scores
     # come from the model fit on the FULL corpus (same no-drift

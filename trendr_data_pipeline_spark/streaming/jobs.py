@@ -442,6 +442,69 @@ def merge_sink(
     )
 
 
+def _heal_bucket_layout(target_dir: str) -> None:
+    """Writer-only recovery for the bucket-partitioned merge layout
+    (shared by :func:`partitioned_merge_sink` and
+    :func:`near_dup_screen_stream` — ONE copy of the crash protocol).
+
+    Invariant kept by :func:`_swap_bucket_dirs`: for every bucket, a
+    COMPLETE copy always exists as ``bucket=N`` or ``._old_bucket=N``.
+    The backup name is dot-prefixed ON PURPOSE: Spark's file listing
+    skips names starting with ``.``/``_``, so a reader racing a crash
+    window never partition-discovers the stale backup next to the new
+    dir (the r5 review found the earlier ``bucket=N.old`` naming
+    leaked DUPLICATE rows to readers mid-crash). Reader semantics per
+    crash state: after swap-in, new data only; between the two
+    renames, that bucket is briefly ABSENT — for a keyed upsert
+    table, temporary absence is the safe failure (duplicates corrupt
+    downstream aggregates; a missing bucket just reads as pre-insert
+    and heals on the next batch). Torn ``._epoch*`` temp trees
+    (siblings of the table path) are incomplete writes and dropped."""
+    import glob
+    import os
+    import shutil
+
+    for leftover in glob.glob(glob.escape(target_dir) + "._epoch*"):
+        shutil.rmtree(leftover)
+    if not os.path.isdir(target_dir):
+        return
+    for entry in os.listdir(target_dir):
+        if not entry.startswith("._old_bucket="):
+            continue
+        visible = os.path.join(target_dir, entry[len("._old_"):])
+        backup = os.path.join(target_dir, entry)
+        if os.path.exists(visible):
+            shutil.rmtree(backup)  # swap finished; cleanup didn't
+        else:
+            os.rename(backup, visible)  # died between backup-out and swap-in
+
+
+def _swap_bucket_dirs(target_dir: str, tmp: str, affected) -> None:
+    """Two-phase-swap each affected ``bucket=N`` dir from the epoch
+    temp tree into the target, then drop the temp. Per bucket: rename
+    current → hidden backup, rename new in, drop backup — a complete
+    copy exists at every intermediate state and the backup is never
+    reader-visible (see :func:`_heal_bucket_layout`)."""
+    import os
+    import shutil
+
+    for bk in affected:
+        src = os.path.join(tmp, f"bucket={bk}")
+        dst = os.path.join(target_dir, f"bucket={bk}")
+        if not os.path.exists(src):
+            # a bucket can lose all rows only if the upsert dropped
+            # everything — not possible for append-or-update, but
+            # guard the rename anyway
+            continue
+        old = os.path.join(target_dir, f"._old_bucket={bk}")
+        if os.path.exists(dst):
+            os.rename(dst, old)
+        os.rename(src, dst)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    shutil.rmtree(tmp)
+
+
 def partitioned_merge_sink(
     stream: DataFrame,
     target_dir: str,
@@ -494,28 +557,10 @@ def partitioned_merge_sink(
         if not affected:
             return
         os.makedirs(target_dir, exist_ok=True)
-        # writer-only recovery, same contract as merge_sink: drop any
-        # torn epoch temp (a replayed epoch reuses its id, but a crash
-        # may leave an OLDER epoch's temp too) and heal each affected
-        # bucket dir from any intermediate swap state
-        import glob
-
-        for leftover in glob.glob(glob.escape(target_dir) + "._epoch*"):
-            shutil.rmtree(leftover)
-        # heal EVERY bucket dir, not just this batch's: the crashed
-        # bucket may not be touched by the replayed batch, and a
-        # reader must never see a bucket stuck in `.old` state
-        healed = set()
-        for entry in os.listdir(target_dir):
-            if entry.startswith("bucket="):
-                bdir = os.path.join(
-                    target_dir, entry[: -len(".old")] if entry.endswith(".old") else entry
-                )
-                if bdir not in healed:
-                    healed.add(bdir)
-                    recover_merge_target(bdir)
-        for bk in affected:
-            recover_merge_target(os.path.join(target_dir, f"bucket={bk}"))
+        # writer-only recovery: heal EVERY bucket (the crashed bucket
+        # may not be in the replayed batch's affected set) and drop
+        # torn epoch temps — the shared protocol, one implementation
+        _heal_bucket_layout(target_dir)
         existing_dirs = [
             os.path.join(target_dir, f"bucket={bk}")
             for bk in affected
@@ -536,21 +581,7 @@ def partitioned_merge_sink(
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         merged.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
-        for bk in affected:
-            src = os.path.join(tmp, f"bucket={bk}")
-            dst = os.path.join(target_dir, f"bucket={bk}")
-            if not os.path.exists(src):
-                # a bucket can lose all rows only if upsert dropped
-                # everything — not possible for append-or-update, but
-                # guard the rename anyway
-                continue
-            old = dst + ".old"
-            if os.path.exists(dst):
-                os.rename(dst, old)
-            os.rename(src, dst)
-            if os.path.exists(old):
-                shutil.rmtree(old)
-        shutil.rmtree(tmp)
+        _swap_bucket_dirs(target_dir, tmp, affected)
 
     return (
         stream.writeStream.foreachBatch(do_merge)
@@ -664,17 +695,7 @@ def near_dup_screen_stream(
         if not batch.head(1):
             return
         os.makedirs(target_dir, exist_ok=True)
-        import glob
-
-        for leftover in glob.glob(glob.escape(target_dir) + "._epoch*"):
-            shutil.rmtree(leftover)
-        for entry in os.listdir(target_dir):
-            if entry.startswith("bucket="):
-                bdir = os.path.join(
-                    target_dir,
-                    entry[: -len(".old")] if entry.endswith(".old") else entry,
-                )
-                recover_merge_target(bdir)
+        _heal_bucket_layout(target_dir)
         have_target = any(
             e.startswith("bucket=") for e in os.listdir(target_dir)
         )
@@ -717,22 +738,19 @@ def near_dup_screen_stream(
             existing = spark.read.schema(batch.schema).parquet(*existing_dirs)
             merged = upsert_latest(existing, survivors, key=id_col, version_col=id_col)
         else:
-            merged = survivors
+            # cold start still needs the per-key dedup: an
+            # at-least-once source can deliver the same vec_id twice
+            # in one batch (self-pairs are excluded by the q != c
+            # orientation, so BOTH copies survive the screen)
+            merged = upsert_latest(
+                survivors.limit(0), survivors, key=id_col, version_col=id_col
+            )
         merged = merged.withColumn("bucket", bucket_of)
         tmp = target_dir + f"._epoch{epoch_id}"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
         merged.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
-        for bk in affected:
-            src = os.path.join(tmp, f"bucket={bk}")
-            dst = os.path.join(target_dir, f"bucket={bk}")
-            if not os.path.exists(src):
-                continue
-            old = dst + ".old"
-            if os.path.exists(dst):
-                os.rename(dst, old)
-            os.rename(src, dst)
-            if os.path.exists(old):
-                shutil.rmtree(old)
-        shutil.rmtree(tmp)
+        _swap_bucket_dirs(target_dir, tmp, affected)
 
     return (
         stream.writeStream.foreachBatch(do_screen)
