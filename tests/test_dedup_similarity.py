@@ -743,3 +743,47 @@ def test_ivfpq_production_recall_and_determinism(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in bf:
             assert abs(bf[key] - r["cosine_sim"]) < 1e-9
+
+
+def test_remove_duplicated_spans_keep_one_rule(spark):
+    """x25: planted boilerplate is deleted from every doc EXCEPT the
+    minimum-id owner; unique content is untouched; counts reconcile."""
+    from trendr_data_pipeline_spark.operators.dedup import (
+        duplicated_span_coverage,
+        remove_duplicated_spans,
+    )
+
+    boiler = "subscribe to our newsletter for the latest updates every single day"
+    rows = [
+        (1, f"alpha beta gamma delta {boiler} epsilon zeta"),
+        (2, f"{boiler} one two three four five six seven eight"),
+        (3, "totally unique content with no repeated spans at all here today"),
+        (4, f"nine ten eleven twelve {boiler}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(docs, n=8).collect()}
+
+    # owner (doc 1) keeps the boilerplate text
+    assert boiler in out[1]["cleaned_text"]
+    # non-owners lose every boilerplate token
+    for d in (2, 4):
+        for w in boiler.split():
+            assert w not in out[d]["cleaned_text"].split(), (d, w)
+    # unique doc untouched
+    assert out[3]["cleaned_text"] == rows[2][1]
+    assert out[3]["n_removed"] == 0
+    # counts reconcile: n_tok - n_removed == len(cleaned tokens)
+    for d, r in out.items():
+        n_clean = len([t for t in r["cleaned_text"].split(" ") if t])
+        assert r["n_tok"] - r["n_removed"] == n_clean, d
+    # non-boilerplate tokens of non-owners survive in order
+    assert out[2]["cleaned_text"] == "one two three four five six seven eight"
+    assert out[4]["cleaned_text"] == "nine ten eleven twelve"
+
+    # after removal, re-measuring coverage on the cleaned corpus finds
+    # no duplicated 8-gram windows (each span now exists once)
+    cleaned = spark.createDataFrame(
+        [(d, r["cleaned_text"]) for d, r in out.items()], "doc_id long, text string"
+    )
+    cov = duplicated_span_coverage(cleaned, n=8).collect()
+    assert all(r["n_dup_windows"] == 0 for r in cov)

@@ -926,3 +926,91 @@ def duplicated_span_coverage(
             .alias("dup_frac"),
         )
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated-span REMOVAL — the rewrite step of
+    the Lee et al. 2022 ExactSubstr practice that
+    :func:`duplicated_span_coverage` only measures: repeated spans
+    (boilerplate, licenses, templates) are deleted from every
+    document EXCEPT one canonical owner copy, so the corpus keeps
+    each span's content exactly once.
+
+    Deterministic keep-one rule, identical on both engines: a token
+    position (d, p) is removed iff some duplicated window (word
+    ``n``-gram in ≥ ``min_docs`` distinct docs) covers p in d AND d
+    is not the gram's OWNER (the minimum doc id containing that
+    gram). Positions covered only by owner windows survive — the
+    min-id copy of every span is retained, the transitive analog of
+    d01's min-id-canonical rule at span grain.
+
+    Returns (id_col, n_tok, n_removed, cleaned_text) with
+    ``cleaned_text`` the surviving tokens joined by single spaces
+    (the rewrite is defined on the lowercased whitespace token
+    stream — the same normalization every text operator here uses —
+    so original casing/whitespace are not preserved).
+
+    Scale shape — identical to the coverage pass plus one rewrite:
+    positional 64-bit gram hashes (one Arrow pass), the dup/owner
+    frame from one map-side-combined groupBy on the hash, removal
+    positions from a gram-keyed join (never doc×doc), and the
+    rebuild is a per-doc sort_array over the SURVIVING (pos, token)
+    pairs — grouped by doc id, so the shuffle is one keyed exchange
+    and no document's tokens ever leave one reducer. Hash collisions
+    (~2⁻⁶⁴/pair) are the only divergence risk vs the string-gram
+    oracle, the d05/c13 posture.
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(word_ngram_hashes(F.col(text_col), n, positional=True)).alias(
+            "pos0", "gram"
+        ),
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), F.col("gram"))
+    dup = (
+        grams.select("gram", id_col)
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"), F.min(id_col).alias("owner"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram", "owner")
+    )
+    removal = (
+        grams.join(dup, "gram")
+        .filter(F.col(id_col) != F.col("owner"))
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("tokpos"),
+        )
+        .distinct()
+    )
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: F.length(x) > 0)
+    pt = docs.select(F.col(id_col), F.posexplode(toks).alias("pos0", "tok")).select(
+        F.col(id_col), (F.col("pos0") + 1).alias("tokpos"), F.col("tok")
+    )
+    kept = pt.join(removal, [id_col, "tokpos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tokpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    base = docs.select(F.col(id_col), F.size(toks).cast("bigint").alias("n_tok"))
+    return (
+        base.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tok",
+            (F.col("n_tok") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
+    )

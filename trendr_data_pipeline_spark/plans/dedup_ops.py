@@ -20,6 +20,11 @@ from ..operators.dedup import (
 )
 from .registry import register
 
+#: ordered (non-distinct) token list — the positional-gram twin
+_SQL_TOKS_DEDUP = (
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)"
+)
+
 _SQL_TOKSET = (
     "list_sort(list_distinct(list_filter("
     "regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)))"
@@ -468,3 +473,55 @@ def c21_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     return semantic_dedup(corpus.unionByName(perturbed), threshold=0.99)
+
+
+@register(
+    "x25_span_removal",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_SQL_TOKS_DEDUP} AS toks FROM documents
+    ), g AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(toks[i:i+7], ' ') AS gram
+        FROM t CROSS JOIN UNNEST(range(1, greatest(len(toks) - 6, 1))) AS r(i)
+        WHERE len(toks) >= 8
+    ), dup AS (
+        SELECT gram, MIN(doc_id) AS owner
+        FROM (SELECT DISTINCT gram, doc_id FROM g)
+        GROUP BY gram HAVING COUNT(*) >= 2
+    ), removal AS (
+        SELECT DISTINCT g.doc_id, g.pos + j AS tokpos
+        FROM g JOIN dup USING (gram)
+        CROSS JOIN UNNEST(range(8)) AS rr(j)
+        WHERE g.doc_id <> dup.owner
+    ), pt AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS tokpos, toks[i] AS tok
+        FROM t CROSS JOIN UNNEST(range(1, len(toks) + 1)) AS r(i)
+    ), kept AS (
+        SELECT pt.doc_id, pt.tokpos, pt.tok
+        FROM pt ANTI JOIN removal USING (doc_id, tokpos)
+    ), rebuilt AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY tokpos) AS cleaned_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tok,
+           CAST(len(t.toks) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.cleaned_text, '') AS cleaned_text
+    FROM t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    doc="""Duplicated-span REMOVAL (⊕, r5: the rewrite step of Lee et
+    al. 2022's ExactSubstr practice — c13 measures repeated-span
+    coverage, this DELETES the spans, keeping exactly one canonical
+    copy per gram in its minimum-id owner document). The gate
+    hash-checks the FULL rewritten text of every document plus the
+    removal counts; the oracle rebuilds the same keep-one rule with
+    string grams (hash collisions ~2⁻⁶⁴/pair the only divergence,
+    the c13/d05 posture). Named past the driver's 50-query cap;
+    checked by tools/verify_local.""",
+)
+def x25_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import remove_duplicated_spans
+
+    return remove_duplicated_spans(read_table(spark, sf_dir, "documents"))
