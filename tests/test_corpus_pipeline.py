@@ -179,3 +179,24 @@ def test_classifier_floor_and_mix_stages(spark):
         spark, SMOKE_SF, seq_len=SEQ, token_budget=BUDGET, mix_target_frac=0.5
     ).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in mixed]
+
+
+def test_span_dedup_stage(spark):
+    """With span_dedup the selected corpus carries each repeated
+    8-gram exactly once: re-measuring duplicated-span coverage over
+    the selected texts finds zero duplicated windows, and the budget
+    accounting uses the CLEANED token counts."""
+    from trendr_data_pipeline_spark.operators.dedup import duplicated_span_coverage
+
+    rows = build_training_corpus(
+        spark, SMOKE_SF, seq_len=SEQ, token_budget=BUDGET, span_dedup=True
+    ).collect()
+    assert rows
+    sel = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+    )
+    cov = duplicated_span_coverage(sel, n=8).collect()
+    assert all(r["n_dup_windows"] == 0 for r in cov)
+    # n_tok matches the cleaned text per row
+    for r in rows:
+        assert r["n_tok"] == len([t for t in r["text"].split(" ") if t])

@@ -146,6 +146,7 @@ def build_training_corpus(
     quality_prob_floor: float | None = None,
     mix_target_frac: float | None = None,
     doc_filter=None,
+    span_dedup: bool = False,
 ) -> DataFrame:
     """Run the full pipeline; returns one row per SELECTED document:
     (doc_id, source, text, n_tok, quality, component, tok_offset,
@@ -179,6 +180,20 @@ def build_training_corpus(
     # doesn't re-execute per consumer (checkpoint storage is
     # ContextCleaner-managed, reclaimed with the returned frame)
     survivors = survivors.localCheckpoint(eager=True)
+
+    # 3e. optional span-level dedup (x25, the ExactSubstr rewrite):
+    # doc-level canonicalization keeps distinct documents that still
+    # SHARE long spans (boilerplate, licenses); this rewrites the
+    # survivors so each repeated 8-gram's content exists exactly once
+    # (min-id owner keeps it). Token counts downstream see the
+    # CLEANED text — the budget buys deduplicated tokens.
+    if span_dedup:
+        from ..operators.dedup import remove_duplicated_spans
+
+        cleaned = remove_duplicated_spans(survivors).select(
+            "doc_id", F.col("cleaned_text").alias("text")
+        )
+        survivors = survivors.drop("text").join(cleaned, "doc_id")
 
     # 3d. optional temperature source mixing (x10): rebalance the
     # source composition before the budget greedy; rates computed on
