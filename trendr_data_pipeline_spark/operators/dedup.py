@@ -907,7 +907,7 @@ def duplicated_span_coverage(
         .groupBy(id_col)
         .agg(F.count_distinct(F.col("tokpos")).alias("covered_tok"))
     )
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: F.length(x) > 0)
+    toks = tokens(F.lower(F.col(text_col)))
     base = docs.select(F.col(id_col), F.size(toks).alias("n_tok"))
     return (
         base.join(per_window, id_col, "left")
@@ -989,7 +989,7 @@ def remove_duplicated_spans(
         )
         .distinct()
     )
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: F.length(x) > 0)
+    toks = tokens(F.lower(F.col(text_col)))
     pt = docs.select(F.col(id_col), F.posexplode(toks).alias("pos0", "tok")).select(
         F.col(id_col), (F.col("pos0") + 1).alias("tokpos"), F.col("tok")
     )

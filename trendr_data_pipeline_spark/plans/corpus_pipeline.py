@@ -165,7 +165,18 @@ def build_training_corpus(
     scores below the floor are dropped. ``mix_target_frac``
     optionally applies α=1/2 temperature source mixing (x10) after
     all quality filtering — the mixture decides the SOURCE
-    composition of what the budget greedy then selects from."""
+    composition of what the budget greedy then selects from.
+
+    ``span_dedup=True`` inserts the x25 ExactSubstr rewrite (stage
+    3e): repeated 8-gram spans are deleted from every survivor except
+    each gram's min-id owner. CONTRACT CHANGE when enabled: the
+    output ``text`` of EVERY survivor is the rewrite's normalized
+    token stream — lowercased, single-spaced — not the original
+    casing/whitespace (the rewrite is defined on the same normalized
+    tokens every text operator here uses); and because the later mix
+    / budget stages can drop a gram's owner doc too, the final
+    selection keeps each repeated span AT MOST once, not exactly
+    once."""
     survivors = corpus_survivors(
         spark,
         sf_dir,
@@ -184,9 +195,12 @@ def build_training_corpus(
     # 3e. optional span-level dedup (x25, the ExactSubstr rewrite):
     # doc-level canonicalization keeps distinct documents that still
     # SHARE long spans (boilerplate, licenses); this rewrites the
-    # survivors so each repeated 8-gram's content exists exactly once
-    # (min-id owner keeps it). Token counts downstream see the
-    # CLEANED text — the budget buys deduplicated tokens.
+    # survivors so each repeated 8-gram's content exists AT MOST once
+    # among the docs entering selection (min-id owner keeps it; the
+    # mix/budget stages below may drop the owner as well). Token
+    # counts downstream see the CLEANED text — the budget buys
+    # deduplicated tokens. See the docstring for the text
+    # normalization contract this stage implies.
     if span_dedup:
         from ..operators.dedup import remove_duplicated_spans
 

@@ -20,10 +20,10 @@ from ..operators.dedup import (
 )
 from .registry import register
 
-#: ordered (non-distinct) token list — the positional-gram twin
-_SQL_TOKS_DEDUP = (
-    "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)"
-)
+#: ordered (non-distinct) token list — the canonical tokenizer SQL,
+#: single-homed in text_ops (cycle-free import: text_ops does not
+#: import this module)
+from .text_ops import _SQL_TOKS as _SQL_TOKS_DEDUP  # noqa: E402
 
 _SQL_TOKSET = (
     "list_sort(list_distinct(list_filter("
