@@ -200,3 +200,29 @@ def test_encode_join_shuffle_fallback_identical_results(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert forced == baseline
+
+
+def test_batched_learner_property_random_corpora(spark):
+    """Property: the batched learner equals the pure-Python
+    one-at-a-time reference on random tiny corpora (small alphabet →
+    dense shared-symbol conflicts, the regime where an unsound batch
+    rule would diverge)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abc", min_size=1, max_size=5)
+    doc = st.lists(word, min_size=1, max_size=6).map(" ".join)
+
+    @given(texts=st.lists(doc, min_size=1, max_size=5),
+           batch=st.integers(2, 6))
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def inner(texts, batch):
+        docs = spark.createDataFrame([(t,) for t in texts], "text string")
+        got, _ = learn_bpe_merges(docs, num_merges=6, batch=batch)
+        assert got == _reference_merges(texts, 6), (texts, batch)
+
+    inner()

@@ -105,3 +105,51 @@ def test_null_bucket_rows_survive(spark):
     }
     assert got == want
     assert len(got) == 4
+
+
+def test_global_offsets_property_random_frames(spark):
+    """Property: the two-phase prefix sum equals the single-partition
+    global window on random (bucket, order, weight) frames — including
+    NULL buckets, zero weights, and single-row buckets."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from trendr_data_pipeline_spark.operators.packing import global_running_offsets
+
+    row = st.tuples(
+        st.one_of(st.none(), st.integers(0, 3)),  # bucket (nullable)
+        st.integers(0, 50),                       # order key
+        st.integers(0, 9),                        # weight
+    )
+
+    @given(rows=st.lists(row, min_size=1, max_size=25))
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def inner(rows):
+        # unique (bucket, order) keys — the documented contract
+        uniq = {}
+        for b, o, w in rows:
+            uniq[(b, o)] = w
+        data = [(b, o, w, i) for i, ((b, o), w) in enumerate(sorted(
+            uniq.items(), key=lambda kv: (kv[0][0] is None, kv[0])))]
+        df = spark.createDataFrame(
+            [(b, o, w) for b, o, w, _ in data], "bucket int, ord int, w int"
+        )
+        got = {
+            (r["bucket"], r["ord"]): r["off"]
+            for r in global_running_offsets(df, "w", "bucket", "ord", out_col="off").collect()
+        }
+        # oracle: python prefix sum under (bucket NULLS LAST, ord)
+        run = 0
+        want = {}
+        for b, o, w, _ in sorted(
+            data, key=lambda t: (t[0] is None, t[0] if t[0] is not None else 0, t[1])
+        ):
+            want[(b, o)] = run
+            run += w
+        assert got == want
+
+    inner()
