@@ -226,3 +226,26 @@ def test_batched_learner_property_random_corpora(spark):
         assert got == _reference_merges(texts, 6), (texts, batch)
 
     inner()
+
+
+def test_bpe_tokenize_pieces_roundtrip(spark):
+    """The consumer-facing encode: per-document piece sequences
+    (a) concatenate back to the normalized document text, (b) agree
+    with the stats path's piece counts, and (c) every piece is a
+    learned vocab symbol (a char or a merge product)."""
+    from trendr_data_pipeline_spark.operators.bpe import bpe_tokenize
+
+    docs = spark.read.parquet(f"{SMOKE_SF}/documents.parquet")
+    out = {r["doc_id"]: r for r in bpe_tokenize(docs, num_merges=10).collect()}
+    stats_rows = bpe_tokenize_stats(docs, num_merges=10).collect()
+    total_pieces_stats = sum(r["n_pieces"] for r in stats_rows)
+    assert sum(r["n_pieces"] for r in out.values()) == total_pieces_stats
+
+    merges, _ = learn_bpe_merges(docs, num_merges=10)
+    vocab_syms = {left + right for _, left, right, _ in merges}
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    for d, r in out.items():
+        norm = "".join(w for w in re.split(r"\s+", texts[d].lower()) if w)
+        assert "".join(r["pieces"]) == norm, d
+        for p in r["pieces"]:
+            assert len(p) == 1 or p in vocab_syms, (d, p)

@@ -311,3 +311,88 @@ def bpe_tokenize_stats(
             (F.col("n_pieces").cast("double") / F.col("n_chars")).alias("pieces_per_char"),
         )
     )
+
+
+def _encode_pieces_udf(merges: list[tuple[str, str]]):
+    """Factory: pandas UDF applying the learned merge table to a word
+    and returning the PIECE SEQUENCE (same rank-based loop as
+    :func:`_encode_udf`, different return — the consumer-facing
+    tokenizer output)."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def f(s: pd.Series) -> pd.Series:
+        def encode(word: str) -> list[str]:
+            syms = list(word)
+            while len(syms) >= 2:
+                best_i, best_rank = -1, None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_i, best_rank = i, r
+                if best_rank is None:
+                    break
+                syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+            return syms
+
+        return s.map(encode)
+
+    return F.pandas_udf(f, "array<string>")
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    num_merges: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "pieces",
+) -> DataFrame:
+    """Tokenize the corpus with a learned merge table, emitting the
+    actual piece sequence per document (the consumer-facing encode —
+    :func:`bpe_tokenize_stats` reports the same loop's aggregate
+    compression). Returns (id_col, out_col: array<string>, n_pieces).
+
+    Scale shape: identical to the stats path — the encode loop runs
+    over the DISTINCT-WORD dictionary only and the per-word piece
+    arrays ride an UNHINTED join back onto the position-tagged word
+    stream (AQE broadcasts small vocabs); per-document reassembly is
+    one keyed sort_array + flatten, so each document's pieces never
+    leave one reducer. Word order is preserved via the posexplode
+    position; within a word, pieces concatenate back to the word
+    (pinned in tests/test_bpe.py)."""
+    merges, _ = learn_bpe_merges(docs, num_merges=num_merges, text_col=text_col)
+    pairs = [(left, right) for (_, left, right, _) in merges]
+
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("wpos", "word"),
+    )
+    vocab = words.select("word").distinct()
+    encoded = vocab.withColumn("wp", _encode_pieces_udf(pairs)(F.col("word")))
+    assembled = (
+        words.join(encoded, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("wpos", "wp"))),
+                    lambda s: s["wp"],
+                )
+            ).alias(out_col)
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(assembled, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col(out_col), F.array().cast("array<string>")).alias(out_col),
+            F.size(F.coalesce(F.col(out_col), F.array().cast("array<string>"))).cast(
+                "long"
+            ).alias("n_pieces"),
+        )
+    )
