@@ -88,6 +88,13 @@ def test_batched_learner_matches_reference_on_adversarial_corpora(spark, batch):
         ["abc abc a b ab ab ababab c c"],
         # repeated-symbol pair (a,a) with overlap runs
         ["aaaa aaa aa baab"],
+        # r6 ADVICE counterexamples: a RUN pair's own chained created
+        # pair (aa,a) must be bounded by the run pair itself — the
+        # accepted-pair exclusion bug let batch>=2 hoist a
+        # symbol-disjoint tie past the created pair
+        ["aaa aaa bc bc"],
+        ["hhh hhh hhh", "iits iits"],
+        ["hhh", "hhh", "hhh", "hhh", "hhh", "iits", "iits"],
     ]
     for texts in corpora:
         docs = spark.createDataFrame([(t,) for t in texts], "text string")
@@ -216,7 +223,7 @@ def test_batched_learner_property_random_corpora(spark):
     @given(texts=st.lists(doc, min_size=1, max_size=5),
            batch=st.integers(2, 6))
     @settings(
-        max_examples=12,
+        max_examples=16,
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
@@ -224,6 +231,75 @@ def test_batched_learner_property_random_corpora(spark):
         docs = spark.createDataFrame([(t,) for t in texts], "text string")
         got, _ = learn_bpe_merges(docs, num_merges=6, batch=batch)
         assert got == _reference_merges(texts, 6), (texts, batch)
+
+    inner()
+
+
+def _python_batched_merges(texts: list[str], num_merges: int, batch: int):
+    """Pure-Python twin of learn_bpe_merges' round loop (same pair
+    counting, same top-K horizon, the REAL _safe_batch_prefix, the
+    same disjoint-batch single-pass apply) — lets hypothesis fuzz the
+    batch rule with hundreds of examples at zero Spark cost. The
+    Spark learner is pinned against this loop structure by the
+    adversarial/fixture tests above."""
+    from trendr_data_pipeline_spark.operators.bpe import _safe_batch_prefix
+
+    vocab: Counter = Counter()
+    for t in texts:
+        for w in re.split(r"\s+", t.lower()):
+            if w:
+                vocab[w] += 1
+    segs = {w: list(w) for w in vocab}
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < num_merges:
+        remaining = num_merges - len(merges)
+        k = max(4 * batch, 32)
+        pc: Counter = Counter()
+        for w, syms in segs.items():
+            c = vocab[w]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        ordered = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        topk = [(left, right, cnt) for (left, right), cnt in ordered]
+        accepted = _safe_batch_prefix(
+            topk, min(batch, remaining), horizon_full=len(topk) == k
+        )
+        for left, right, wcnt in accepted:
+            merges.append((len(merges) + 1, left, right, wcnt))
+        pair_map = {(left, right): left + right for left, right, _ in accepted}
+        for w, syms in segs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) in pair_map:
+                    out.append(pair_map[(syms[i], syms[i + 1])])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = out
+    return merges
+
+
+def test_batch_rule_fuzz_vs_greedy_pure_python():
+    """High-volume fuzz of the batch-prefix rule (the ADVICE r5 bug
+    regime: run pairs whose chained created pair must be bounded by
+    the run pair itself). 400 random corpora over a 2-char alphabet
+    with long words — run-pair dense — x every batch size; the
+    batched table must equal strict greedy exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="ab", min_size=1, max_size=8)
+    doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
+
+    @given(texts=st.lists(doc, min_size=1, max_size=6),
+           batch=st.integers(2, 16))
+    @settings(max_examples=400, deadline=None)
+    def inner(texts, batch):
+        got = _python_batched_merges(texts, 8, batch)
+        assert got == _reference_merges(texts, 8), (texts, batch)
 
     inner()
 

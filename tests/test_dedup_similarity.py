@@ -689,6 +689,42 @@ def test_quality_model_scopes_its_cache(spark):
     assert not _unscoped_persisted_rdds(spark, before)
 
 
+def test_ann_query_batch_guard(spark):
+    """r5 verdict item 4: the PQ/IVFPQ query-side collect must refuse
+    unbounded query frames with a clear chunking instruction instead
+    of OOMing the driver — and disjoint chunks must concatenate to
+    the whole-batch result exactly (the contract the error cites)."""
+    import pytest
+
+    from trendr_data_pipeline_spark.operators.similarity import (
+        MAX_QUERY_ROWS,
+        _collect_query_rows,
+        pq_topk,
+    )
+
+    big = spark.range(MAX_QUERY_ROWS + 5).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="MAX_QUERY_ROWS"):
+        _collect_query_rows(big, "vec_id", "embedding")
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    whole = sorted(
+        tuple(r) for r in pq_topk(queries, emb, k=5, m=8, ksub=16).collect()
+    )
+    chunks = [
+        r
+        for half in (
+            queries.filter(F.col("vec_id") % 100 == 0),
+            queries.filter(F.col("vec_id") % 100 != 0),
+        )
+        for r in pq_topk(half, emb, k=5, m=8, ksub=16).collect()
+    ]
+    assert sorted(tuple(r) for r in chunks) == whole
+
+
 def test_ivfpq_degenerate_exact_equals_bruteforce(spark):
     """x23's gate argument locally: full probe + corpus-covering
     codebook ⇒ IVFPQ == brute force."""
@@ -713,9 +749,12 @@ def test_ivfpq_degenerate_exact_equals_bruteforce(spark):
 
 def test_ivfpq_production_recall_and_determinism(spark):
     """x24: recall floor vs brute force at the production setting on
-    the isotropic fixture (worst case for BOTH prunings — the
-    combined recall is bounded by the weaker of IVF's 0.62 and PQ's
-    0.62 at the same settings), plus run-to-run determinism."""
+    the isotropic fixture. r6 residual encoding: the residual ADC
+    ranking recovers every neighbor the 4-of-16 probe set admits, so
+    combined recall equals the IVF probe ceiling (0.62 measured on
+    this fixture, vs 0.37 for the r5 no-residual form at the same
+    32× compression). Pinned at the verdict's ≥ 0.6 done-criterion;
+    plus run-to-run determinism."""
     from trendr_data_pipeline_spark.operators.similarity import (
         cosine_topk_bruteforce,
         ivfpq_topk,
@@ -723,8 +762,9 @@ def test_ivfpq_production_recall_and_determinism(spark):
 
     emb = read_table(spark, SMOKE_SF, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    got = ivfpq_topk(queries, emb, k=10, nlist=16, nprobe=4, m=8, ksub=16).collect()
-    again = ivfpq_topk(queries, emb, k=10, nlist=16, nprobe=4, m=8, ksub=16).collect()
+    kw = dict(k=10, nlist=16, nprobe=4, m=8, ksub=16, candidates=100)
+    got = ivfpq_topk(queries, emb, **kw).collect()
+    again = ivfpq_topk(queries, emb, **kw).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
     truth = {
         (r["query_id"], r["neighbor_id"])
@@ -732,7 +772,16 @@ def test_ivfpq_production_recall_and_determinism(spark):
     }
     hits = sum(1 for r in got if (r["query_id"], r["neighbor_id"]) in truth)
     recall = hits / max(1, len(truth))
-    assert recall >= 0.3, recall
+    assert recall >= 0.6, recall
+    # the probe set is the only loss: IVF at the same nlist/nprobe
+    # admits exactly these neighbors, and residual ADC keeps them all
+    from trendr_data_pipeline_spark.operators.similarity import ivf_topk
+
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(queries, emb, k=10, nlist=16, nprobe=4).collect()
+    }
+    assert recall >= len(truth & ivf) / max(1, len(truth)) - 1e-9
     # every returned score is EXACT (rescored on raw vectors): each
     # (q, n) pair's cosine matches the brute-force value when present
     bf = {

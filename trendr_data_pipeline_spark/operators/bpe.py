@@ -123,12 +123,19 @@ def _safe_batch_prefix(
                 break  # condition 1
             if horizon_full and cnt <= floor:
                 break  # condition 3
-            accepted_keys = {(al, ar) for al, ar, _ in accepted}
+            # the scan includes pairs already ACCEPTED this batch: for
+            # distinct-symbol accepted merges that inclusion is vacuous
+            # (condition-1 disjointness bars any accepted pair from
+            # being another's boundary pair), but a RUN merge (a,a)
+            # must bound its own chained created pair (aa,a) — its own
+            # count is exactly the bound count(aa,a) <= count(a,a), so
+            # excluding it let batch>=2 reorder ties against strict
+            # greedy (fuzz-found: vocab {hhh:5, iits:2})
             boundary_hit = any(
                 pc >= cnt and (pr == al or pl == ar)
                 for al, ar, _ in accepted
                 for pl, pr, pc in topk
-                if (pl, pr) != (left, right) and (pl, pr) not in accepted_keys
+                if (pl, pr) != (left, right)
             )
             if boundary_hit:
                 break  # condition 2

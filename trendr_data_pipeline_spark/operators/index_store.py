@@ -44,7 +44,10 @@ from .similarity import (
     _spherical_kmeans,
 )
 
-_VERSION = 1
+# v2 (r6): ivfpq codes are RESIDUAL codes (x_n − C[cell]) and the pq
+# meta carries an explicit ksub column — v1 artifacts would be
+# misdecoded, so the version gate rejects them
+_VERSION = 2
 
 
 def _atomic_write(out_dir: str, write_parts) -> None:
@@ -176,9 +179,12 @@ def write_pq_index(
             "subspace int, code int, vec array<double>",
         ).coalesce(1).write.parquet(os.path.join(tmp, "model"))
         coded.write.parquet(os.path.join(tmp, "data"))
+        # explicit ksub column (nlist = 0: a pq index has no coarse
+        # quantizer) — the same meta name must not mean different
+        # things per index kind (r5 ADVICE; ivfpq already does this)
         spark.createDataFrame(
-            [("pq", _VERSION, int(books.shape[1]), int(m), int(dim), int(seed))],
-            "kind string, version int, nlist int, m int, dim int, seed int",
+            [("pq", _VERSION, 0, int(m), int(dim), int(seed), int(books.shape[1]))],
+            "kind string, version int, nlist int, m int, dim int, seed int, ksub int",
         ).coalesce(1).write.parquet(os.path.join(tmp, "meta"))
 
     _atomic_write(out_dir, parts)
@@ -204,7 +210,7 @@ def pq_topk_index(
     meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
     if meta["kind"] != "pq" or meta["version"] != _VERSION:
         raise ValueError(f"not a pq v{_VERSION} index: {index_dir}")
-    m, ksub = meta["m"], meta["nlist"]
+    m, ksub = meta["m"], meta["ksub"]
     dsub = meta["dim"] // m
     rows = spark.read.parquet(os.path.join(index_dir, "model")).collect()
     books = np.zeros((m, ksub, dsub), dtype=np.float64)
@@ -225,33 +231,27 @@ def write_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
-    """Train coarse centroids + PQ codebooks on the same hash sample
-    and persist the corpus as (neighbor_id, codes) rows partitioned
-    by cell — the 32×-compressed, partition-prunable serving layout
-    (FAISS IVFPQ's inverted file as a parquet directory tree)."""
-    import numpy as np
-
-    from .similarity import _nearest_cells, _pq_train
+    """Train coarse centroids + RESIDUAL PQ codebooks on the same
+    hash sample and persist the corpus as (neighbor_id, codes) rows
+    partitioned by cell — the 32×-compressed, partition-prunable
+    serving layout (FAISS IVFPQ's inverted file as a parquet
+    directory tree). Codes are residual codes (v2): the codebooks are
+    trained on ``x_n − C[cell]`` and decode relative to the cell
+    centroid."""
+    from .similarity import _assign_and_encode_residual, _ivfpq_train_on
 
     spark = corpus.sparkSession
-    sample = (
-        corpus.select(F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
-        .limit(train_sample)
-        .collect()
+    centroids, books = _ivfpq_train_on(
+        corpus, nlist, m, ksub, seed, train_sample, id_col, vec_col
     )
-    X = np.array([r["v"] for r in sample], dtype=np.float64)
-    centroids = _spherical_kmeans(X, nlist=nlist, seed=seed)
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    books = _pq_train(Xn, m=m, ksub=ksub, seed=seed)
     dim = centroids.shape[1]
 
-    assign_udf = _nearest_cells(centroids, nprobe=1)
-    encode = _pq_encode(books)
+    assign_encode = _assign_and_encode_residual(centroids, books)
     coded = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        assign_udf(F.col(vec_col)).getItem(0).alias("cell"),
-        encode(F.col(vec_col)).alias("codes"),
+        assign_encode(F.col(vec_col)).alias("ce"),
+    ).select(
+        "neighbor_id", F.col("ce.cell").alias("cell"), F.col("ce.codes").alias("codes")
     )
 
     def parts(tmp: str) -> None:
@@ -311,8 +311,11 @@ def ivfpq_topk_index(
 
     # union of all queries' probe sets → partition-pruned data scan.
     # Collect the query rows ONCE and hand them down — _pq_adc_rescore
-    # would otherwise ship the same vectors driver-side a second time
-    qrows = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)).collect()
+    # would otherwise ship the same vectors driver-side a second time.
+    # Bounded via the shared guard (refuses > MAX_QUERY_ROWS batches)
+    from .similarity import _collect_query_rows
+
+    qrows = _collect_query_rows(queries, id_col, vec_col)
     qv = np.array([r[vec_col] for r in qrows], dtype=np.float64)
     qn = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
     cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
@@ -328,5 +331,5 @@ def ivfpq_topk_index(
     )
     return _pq_adc_rescore(
         queries, corpus, books, coded, k, candidates, id_col, vec_col,
-        probe_centroids=centroids, nprobe=nprobe, qrows=qrows,
+        probe_centroids=centroids, nprobe=nprobe, qrows=qrows, residual=True,
     )

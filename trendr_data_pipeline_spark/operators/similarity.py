@@ -585,6 +585,39 @@ def _pq_encode(books):
     return F.pandas_udf(f, "array<int>")
 
 
+def _assign_and_encode_residual(centroids, books):
+    """Factory: pandas UDF mapping an embedding to (cell, codes) in
+    ONE Arrow pass — the RESIDUAL IVFPQ encode (Jégou et al. 2011
+    §V-A, the standard FAISS ``IndexIVFPQ`` form): normalize, assign
+    to the nearest centroid by cosine (same stable tie rule as
+    :func:`_nearest_cells`), then PQ-encode the residual
+    ``x_n − C[cell]`` (NOT re-normalized — the codebooks are trained
+    on raw residuals). Residuals are small where cells are tight, so
+    the same (m, ksub) budget spends its resolution on the
+    within-cell detail the no-residual variant wasted on re-encoding
+    the centroid direction."""
+    import numpy as np
+
+    C = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    m, ksub, dsub = books.shape
+
+    def f(s: pd.Series) -> pd.DataFrame:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in s])
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        cells = np.argmax(X @ C.T, axis=1)  # first-max == lower cell on ties
+        R = X - C[cells]
+        out = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            S = R[:, j * dsub : (j + 1) * dsub]
+            d2 = (S**2).sum(axis=1, keepdims=True) - 2.0 * (S @ books[j].T) + (
+                books[j] ** 2
+            ).sum(axis=1)[None, :]
+            out[:, j] = np.argmin(d2, axis=1)
+        return pd.DataFrame({"cell": cells.astype(np.int64), "codes": list(out)})
+
+    return F.pandas_udf(f, "cell bigint, codes array<int>")
+
+
 def pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -653,6 +686,34 @@ def _pq_train_on(
     return _pq_train(X, m=m, ksub=ksub, seed=seed)
 
 
+# Query batches above this bound must be chunked by the caller — the
+# driver builds an (n_q × m × ksub) ADC table per batch, so the
+# memory is O(n_q); 65536 queries × 8×16 doubles ≈ 64 MB, safely
+# inside any driver heap, while 10^8 queries would OOM it. The bound
+# is a guard on the SERVING posture (small query batch, huge corpus),
+# not a scalability ceiling: disjoint query chunks are independent
+# jobs and their results concatenate exactly.
+MAX_QUERY_ROWS = 65536
+
+
+def _collect_query_rows(queries: DataFrame, id_col: str, vec_col: str):
+    """Collect the query batch driver-side with an explicit bound
+    (``take(N+1)`` — never materializes an unbounded frame)."""
+    rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col)
+    ).take(MAX_QUERY_ROWS + 1)
+    if len(rows) > MAX_QUERY_ROWS:
+        raise ValueError(
+            f"query batch exceeds MAX_QUERY_ROWS={MAX_QUERY_ROWS}; "
+            "ANN serving collects the query side to build ADC/probe "
+            "tables — split the query frame into chunks (results of "
+            "disjoint chunks concatenate exactly) or use the "
+            "brute-force cosine_topk_bruteforce path for "
+            "corpus-vs-corpus jobs"
+        )
+    return rows
+
+
 def _pq_adc_rescore(
     queries: DataFrame,
     corpus: DataFrame,
@@ -665,6 +726,7 @@ def _pq_adc_rescore(
     probe_centroids=None,
     nprobe: int = 0,
     qrows=None,
+    residual: bool = False,
 ) -> DataFrame:
     """ADC scan + candidate shuffle + exact rescore half of PQ,
     shared by the train-and-query path (:func:`pq_topk`), the
@@ -679,14 +741,20 @@ def _pq_adc_rescore(
     ``qrows`` optionally carries the already-collected (query_id,
     vec) rows so a caller that needed them for its own probe-union
     pruning (:func:`~.index_store.ivfpq_topk_index`) doesn't ship the
-    query set driver-side twice."""
+    query set driver-side twice.
+
+    Query-side driver residency is BOUNDED (r5 verdict item 4): the
+    ADC tables live on the driver and broadcast with the scan, which
+    is the FAISS serving posture — bounded query batches against a
+    huge corpus. The corpus side never collects; the query side is
+    guarded by :func:`_collect_query_rows` and refuses batches above
+    ``MAX_QUERY_ROWS`` with instructions to chunk, instead of
+    silently OOMing the driver on a 10^8-row query frame."""
     import numpy as np
 
     m = books.shape[0]
     if qrows is None:
-        qrows = queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col)
-        ).collect()
+        qrows = _collect_query_rows(queries, id_col, vec_col)
     qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     Q = np.array([r[vec_col] for r in qrows], dtype=np.float64)
     Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
@@ -696,12 +764,19 @@ def _pq_adc_rescore(
         [Q[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)], axis=1
     )
     probes = None
+    cell_base = None
     if probe_centroids is not None:
         C = probe_centroids / np.maximum(
             np.linalg.norm(probe_centroids, axis=1, keepdims=True), 1e-12
         )
-        order = np.argsort(-(Q @ C.T), axis=1, kind="stable")[:, :nprobe]
+        qc = Q @ C.T  # (n_q, nlist): q · C_cell
+        order = np.argsort(-qc, axis=1, kind="stable")[:, :nprobe]
         probes = order  # (n_q, nprobe) — same stable-tie rule as _nearest_cells
+        if residual:
+            # residual form: x_n ≈ C_cell + decode(codes), so
+            # q·x_n ≈ q·C_cell + Σ_j T[q, j, code_j] — the first term
+            # is this per-(query, cell) base matrix
+            cell_base = qc
 
     def adc_partition(batches):
         for pdf in batches:
@@ -714,6 +789,8 @@ def _pq_adc_rescore(
             nb = pdf["neighbor_id"].values
             if probes is not None:
                 cells = pdf["cell"].values.astype(np.int64)  # (B,)
+                if cell_base is not None:
+                    scores += cell_base[:, cells]
                 # allowed[q, b] ⇔ cells[b] ∈ probes[q]
                 allowed = (probes[:, :, None] == cells[None, None, :]).any(axis=1)
                 scores[~allowed] = -np.inf
@@ -784,49 +861,44 @@ def ivfpq_topk(
 ) -> DataFrame:
     """IVF+PQ combined ANN (the FAISS ``IVFPQ`` production shape,
     Jégou et al. 2011 §V: inverted file for candidate pruning, product
-    codes for compressed scoring; this is the no-residual variant —
-    codes are computed on the raw normalized vectors, which keeps the
-    ADC tables query-global instead of per-cell). Composition of the
-    existing gated machinery:
+    codes for compressed scoring), in the standard RESIDUAL form —
+    codes encode ``x_n − C[cell]`` so the (m, ksub) budget resolves
+    within-cell detail instead of re-encoding the centroid direction
+    (r5: the no-residual variant's production recall was 0.37; the
+    residual form recovers the recall FAISS users expect at the same
+    compression). Composition of the existing gated machinery:
 
     - coarse quantizer: driver-side spherical k-means on the hash
       sample (:func:`_spherical_kmeans`, the m03/x02 leg);
-    - codes: one Arrow projection (:func:`_pq_encode`, the c11/x12
-      leg) PLUS the cell id in the same pass;
+    - codebooks: :func:`_pq_train` on the SAMPLE RESIDUALS
+      (assignment by the same stable cosine-argmax as serving);
+    - codes: cell id + residual codes in ONE Arrow projection
+      (:func:`_assign_and_encode_residual`);
     - search: the shared ADC scan restricted to each query's
-      ``nprobe`` nearest cells (scores of unprobed cells masked to
-      -inf before the per-partition cut), then the usual bounded
-      candidate shuffle + broadcast exact rescore.
+      ``nprobe`` nearest cells, scoring
+      ``q·C_cell + Σ_j T[q, j, code_j]`` (the per-cell base term is
+      an (n_q × nlist) driver matrix, one extra fancy-index add per
+      batch), then the usual bounded candidate shuffle + broadcast
+      exact rescore.
 
     Scale shape: the corpus is stored once as (id, cell, m int8
     codes) — 32× smaller than the vectors — and a query batch reads
     nprobe/nlist of it; on the persisted index
     (:func:`~.index_store.ivfpq_topk_index`) that restriction is a
     partition-pruned scan, not a mask. Degenerate-exact gate: at
-    ``nprobe == nlist`` with a corpus-covering codebook the output
-    equals m01's brute force (same argument as c11/m03), which is
-    what x23 gates; the production setting carries a pytest recall
-    floor."""
-    import numpy as np
-
-    sample = (
-        corpus.select(F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
-        .limit(train_sample)
-        .collect()
+    ``nprobe == nlist`` with a corpus-covering sample and
+    ``ksub`` ≥ distinct residual subvectors, reconstruction
+    ``C_cell + decode(codes)`` is exact, so the output equals m01's
+    brute force (same argument as c11/m03) — what x23 gates; the
+    production setting carries a pytest recall floor."""
+    centroids, books = _ivfpq_train_on(
+        corpus, nlist, m, ksub, seed, train_sample, id_col, vec_col
     )
-    X = np.array([r["v"] for r in sample], dtype=np.float64)
-    centroids = _spherical_kmeans(X, nlist=nlist, seed=seed)
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    books = _pq_train(Xn, m=m, ksub=ksub, seed=seed)
-
-    assign_udf = _nearest_cells(centroids, nprobe=1)
-    encode = _pq_encode(books)
+    assign_encode = _assign_and_encode_residual(centroids, books)
     coded = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        assign_udf(F.col(vec_col)).getItem(0).alias("cell"),
-        encode(F.col(vec_col)).alias("codes"),
-    )
+        assign_encode(F.col(vec_col)).alias("ce"),
+    ).select("neighbor_id", F.col("ce.cell").alias("cell"), F.col("ce.codes").alias("codes"))
     return _pq_adc_rescore(
         queries,
         corpus,
@@ -838,7 +910,32 @@ def ivfpq_topk(
         vec_col,
         probe_centroids=centroids,
         nprobe=nprobe,
+        residual=True,
     )
+
+
+def _ivfpq_train_on(
+    corpus: DataFrame, nlist, m, ksub, seed, train_sample, id_col, vec_col
+):
+    """Driver-side IVFPQ training on the hash-ordered sample: coarse
+    centroids by spherical k-means, then PQ codebooks on the sample
+    RESIDUALS (assigned by the same stable cosine-argmax the encode
+    and serving paths use — train/encode assignment parity is what
+    makes the degenerate-exact gate argument hold)."""
+    import numpy as np
+
+    sample = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(train_sample)
+        .collect()
+    )
+    X = np.array([r["v"] for r in sample], dtype=np.float64)
+    centroids = _spherical_kmeans(X, nlist=nlist, seed=seed)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    assign = np.argmax(Xn @ centroids.T, axis=1)
+    books = _pq_train(Xn - centroids[assign], m=m, ksub=ksub, seed=seed)
+    return centroids, books
 
 
 def label_centroid_stats(

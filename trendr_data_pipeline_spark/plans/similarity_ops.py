@@ -390,23 +390,23 @@ def x23_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x24_ivfpq_fast_topk",
     None,
     doc="""IVFPQ at the production setting: 16 cells, 4-cell probe,
-    8×16 codebooks (32× compression), top-50 exact rescore — the
-    candidate scan reads nprobe/nlist of the code frame AND scores it
-    by table lookup, the double saving a 100 TB serving path runs on.
-    Bench-only (x-prefix parks it past the driver's 50-query cap);
-    the hash gate for the same machinery is x23's double-degenerate
-    form; recall vs the m01 brute force and determinism are pinned in
-    tests/test_dedup_similarity.py. Measured recall at sf0.1 is 0.37
-    on the ISOTROPIC fixture — the worst case for BOTH prunings, and
-    almost exactly the product of the standalone settings' recalls
-    (IVF 0.62 × PQ 0.62 ≈ 0.38): the two candidate filters are
-    independent on clusterless vectors. Clustered real embeddings
-    recall far higher; returned scores are exact regardless (raw
-    vectors rescored).""",
+    8×16 RESIDUAL codebooks (unchanged 32× storage compression),
+    top-100 exact rescore — the candidate scan reads nprobe/nlist of
+    the code frame AND scores it by table lookup, the double saving a
+    100 TB serving path runs on. Bench-only (x-prefix parks it past
+    the driver's 50-query cap); the hash gate for the same machinery
+    is c24's double-degenerate form; recall vs the m01 brute force
+    and determinism are pinned in tests/test_dedup_similarity.py.
+    r6: residual encoding (codes on x_n − C[cell], the standard FAISS
+    IndexIVFPQ form) lifted the isotropic-fixture recall from 0.37 to
+    0.62 — exactly the IVF probe ceiling at nprobe=4/nlist=16, i.e.
+    the residual ADC ranking now recovers every neighbor the probe
+    set admits; clustered real embeddings recall higher still, and
+    returned scores are exact regardless (raw vectors rescored).""",
 )
 def x24_ivfpq_fast_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivfpq_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return ivfpq_topk(queries, emb, k=10, nlist=16, nprobe=4, m=8, ksub=16)
+    return ivfpq_topk(queries, emb, k=10, nlist=16, nprobe=4, m=8, ksub=16, candidates=100)

@@ -1032,8 +1032,11 @@ def x16_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="""BPE APPLICATION (⊕, the encode half of the x15 learner):
     tokenize the corpus with the learned 10-merge table and report
     per-source compression. The encode loop runs over the
-    distinct-word dictionary only, piece counts ride a broadcast join
-    back onto the exploded word stream, and pieces_per_char is an
+    distinct-word dictionary only, piece counts ride an UNHINTED join
+    back onto the exploded word stream (AQE broadcasts small vocabs
+    and falls back to a shuffle join on billion-row dictionaries —
+    pinned by test_encode_join_broadcasts_small_vocab_under_aqe), and
+    pieces_per_char is an
     exact integer/integer division (no rounding step). Rows-only
     under the gate (depends on the iteratively-learned table); full
     parity vs a pure-Python reference encoder in pytest.""",
