@@ -15,12 +15,16 @@ carry ±1 s of scheduler/GC noise, which past rounds misread as
 regressions on untouched plans. The JSON records ``reps`` so the
 judge can see which mode produced the numbers.
 
-The streaming-replay queries (x05/x18/p02/p08) measure the replay
+The streaming-replay queries (c05/c18/p02/p08) measure the replay
 HARNESS — fixture staging plus synchronous memory-sink micro-batches
 — not the operator, and vary ~2× run to run (r4 verdict item 10).
 They are tagged in ``harness_queries`` and the JSON carries a second
 total, ``operator_total``, that excludes them so round-over-round
 totals compare like with like.
+
+The JSON also carries ``renames``: the name map this round's cap
+rotation applied (old → new), so round-over-round comparisons join on
+it instead of a hand-built table (r5 verdict item 8).
 """
 
 from __future__ import annotations
@@ -84,7 +88,7 @@ def main() -> None:
     harness = sorted(
         n
         for n in timings
-        if n.startswith(("x05_", "x18_", "p02_", "p08_"))
+        if n.startswith(("c05_", "c18_", "p02_", "p08_"))
     )
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     operator_total = round(
@@ -101,6 +105,43 @@ def main() -> None:
                 "sf": parse_sf(SF_DIR),
                 "harness_queries": harness,
                 "operator_total": operator_total,
+                # r6 cap rotation (old name in BENCH_r05 → name here);
+                # queries not listed kept their r5 names
+                "renames": {
+                    "c03_dedup_components": "x03_dedup_components",
+                    "c04_sequence_packing": "x04_sequence_packing",
+                    "c06_budget_selection": "x06_budget_selection",
+                    "c07_tfidf_topk": "x07_tfidf_topk",
+                    "c08_unigram_perplexity": "x08_unigram_perplexity",
+                    "c09_embedding_quantize": "x09_embedding_quantize",
+                    "c10_temperature_mix": "x10_temperature_mix",
+                    "c11_pq_topk": "x11_pq_topk",
+                    "c13_duplicated_spans": "x13_duplicated_spans",
+                    "c14_label_centroids": "x14_label_centroids",
+                    "c17_quality_embedding_corr": "x17_quality_embedding_corr",
+                    "c20_hashed_vectors": "x20_hashed_vectors",
+                    "c21_semantic_dedup": "x21_semantic_dedup",
+                    "c22_zipf_stats": "x22_zipf_stats",
+                    "zq03_top_customers_per_nation": "q03_top_customers_per_nation",
+                    "zq04_returned_orders_by_priority": "q04_returned_orders_by_priority",
+                    "zq05_customers_without_orders": "q05_customers_without_orders",
+                    "zq06_rollup_region_nation": "q06_rollup_region_nation",
+                    "zq07_distinct_counts": "q07_distinct_counts",
+                    "zq08_set_ops_customers": "q08_set_ops_customers",
+                    "zq09_filtered_scan": "q09_filtered_scan",
+                    "ze05_decayed_user_value": "e05_decayed_user_value",
+                    "ze06_value_percentiles": "e06_value_percentiles",
+                    "ze07_props_extraction": "e07_props_extraction",
+                    "zp03_type_allowlist": "p03_type_allowlist",
+                    "zp06_frame_sampling": "p06_frame_sampling",
+                    "zp07_audio_windows": "p07_audio_windows",
+                    "zs06_ttl_due_filter": "s06_ttl_due_filter",
+                    "zs08_maxby_best_per_group": "s08_maxby_best_per_group",
+                    "x05_streaming_interval_join": "c05_streaming_interval_join",
+                    "x18_streaming_momentum": "c18_streaming_momentum",
+                    "x23_ivfpq_topk": "c24_ivfpq_topk",
+                    "x25_span_removal": "c25_span_removal",
+                },
             }
         )
     )

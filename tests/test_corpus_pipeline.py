@@ -73,10 +73,10 @@ def test_one_canonical_per_component(spark):
 
 
 def test_ppl_cap_filters_tail(spark):
-    from trendr_data_pipeline_spark.plans.text_ops import c08_unigram_perplexity
+    from trendr_data_pipeline_spark.plans.text_ops import x08_unigram_perplexity
 
     # a cap at the corpus median must drop roughly the high-ppl half
-    ppl = {r["doc_id"]: r["ppl"] for r in c08_unigram_perplexity(spark, SMOKE_SF).collect()}
+    ppl = {r["doc_id"]: r["ppl"] for r in x08_unigram_perplexity(spark, SMOKE_SF).collect()}
     cap = sorted(ppl.values())[len(ppl) // 2]
     rows = build_training_corpus(
         spark, SMOKE_SF, seq_len=SEQ, token_budget=BUDGET, ppl_cap=cap

@@ -726,7 +726,7 @@ def test_ann_query_batch_guard(spark):
 
 
 def test_ivfpq_degenerate_exact_equals_bruteforce(spark):
-    """x23's gate argument locally: full probe + corpus-covering
+    """c24's gate argument locally: full probe + corpus-covering
     codebook ⇒ IVFPQ == brute force."""
     from trendr_data_pipeline_spark.operators.similarity import (
         cosine_topk_bruteforce,
@@ -795,7 +795,7 @@ def test_ivfpq_production_recall_and_determinism(spark):
 
 
 def test_remove_duplicated_spans_keep_one_rule(spark):
-    """x25: planted boilerplate is deleted from every doc EXCEPT the
+    """c25: planted boilerplate is deleted from every doc EXCEPT the
     minimum-id owner; unique content is untouched; counts reconcile."""
     from trendr_data_pipeline_spark.operators.dedup import (
         duplicated_span_coverage,

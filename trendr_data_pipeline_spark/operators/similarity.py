@@ -889,7 +889,7 @@ def ivfpq_topk(
     ``nprobe == nlist`` with a corpus-covering sample and
     ``ksub`` ≥ distinct residual subvectors, reconstruction
     ``C_cell + decode(codes)`` is exact, so the output equals m01's
-    brute force (same argument as c11/m03) — what x23 gates; the
+    brute force (same argument as x11/m03) — what c24 gates; the
     production setting carries a pytest recall floor."""
     centroids, books = _ivfpq_train_on(
         corpus, nlist, m, ksub, seed, train_sample, id_col, vec_col

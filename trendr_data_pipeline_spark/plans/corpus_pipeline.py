@@ -66,7 +66,7 @@ def corpus_survivors(
 
     ``doc_filter`` (optional Column predicate) restricts the corpus
     BEFORE every stage — the c23 gate uses it to run the composition
-    on the standard 1-in-10 slice (the d02/c03 convention), keeping
+    on the standard 1-in-10 slice (the d02/x03 convention), keeping
     the brute-force oracle tractable. Ladder decisions (dup flags,
     contamination, quality) are computed on the sliced population,
     consistently on both engines. Exception by design: ``ppl_cap``
@@ -105,10 +105,10 @@ def corpus_survivors(
     # stage 3c below (r5 review: the two stages must fail the same
     # way if an earlier stage ever lets token-less docs through).
     if ppl_cap is not None:
-        from .text_ops import c08_unigram_perplexity
+        from .text_ops import x08_unigram_perplexity
 
         above = (
-            c08_unigram_perplexity(spark, sf_dir)
+            x08_unigram_perplexity(spark, sf_dir)
             .filter(F.col("ppl") > ppl_cap)
             .select("doc_id")
         )
@@ -167,7 +167,7 @@ def build_training_corpus(
     all quality filtering — the mixture decides the SOURCE
     composition of what the budget greedy then selects from.
 
-    ``span_dedup=True`` inserts the x25 ExactSubstr rewrite (stage
+    ``span_dedup=True`` inserts the c25 ExactSubstr rewrite (stage
     3e): repeated 8-gram spans are deleted from every survivor except
     each gram's min-id owner. CONTRACT CHANGE when enabled: the
     output ``text`` of EVERY survivor is the rewrite's normalized
@@ -192,7 +192,7 @@ def build_training_corpus(
     # ContextCleaner-managed, reclaimed with the returned frame)
     survivors = survivors.localCheckpoint(eager=True)
 
-    # 3e. optional span-level dedup (x25, the ExactSubstr rewrite):
+    # 3e. optional span-level dedup (c25, the ExactSubstr rewrite):
     # doc-level canonicalization keeps distinct documents that still
     # SHARE long spans (boilerplate, licenses); this rewrites the
     # survivors so each repeated 8-gram's content exists AT MOST once
@@ -285,9 +285,9 @@ def write_training_shards(
 # c23 — the composed pipeline as a driver-gated query (r4 verdict item
 # 8): clean ladder → near-dup canonicalization → quality-budget greedy
 # → chunk spans, end to end, on the standard 1-in-10 slice (the
-# d02/c03 convention — keeps the brute-force oracle tractable and the
+# d02/x03 convention — keeps the brute-force oracle tractable and the
 # bench cost bounded; every stage is separately gated at full grain by
-# t05 / d02 / c03 / c06 / c04). The oracle composes the SAME fragments
+# t05 / d02 / x03 / x06 / x04). The oracle composes the SAME fragments
 # those gates use: the registered t05 ladder SQL (single source of
 # truth, sliced by string substitution on its one table scan), the
 # brute-force Jaccard pair join, the recursive-CTE closure, the
@@ -403,7 +403,7 @@ from .registry import register  # noqa: E402
     greedy quality-budget selection → 512-token chunk spans, on the
     1-in-10 corpus slice with a 250-token budget (both stages bite at
     every fixture SF). Hash-checks the
-    COMPOSITION of the t05/d02/c03/c10/c06/c04 machinery (each
+    COMPOSITION of the t05/d02/x03/x10/x06/x04 machinery (each
     separately gated at full grain), not just its stages: the oracle
     re-derives every survivor decision, mix keep, stream offset and
     span from the same SQL fragments those gates use.""",

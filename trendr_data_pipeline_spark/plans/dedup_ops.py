@@ -281,7 +281,8 @@ def d04_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # x03 — near-dup clustering: pairs → connected components → canonical
-# survivor (⊕D9). Rotated INTO the driver's 50-query correctness cap
+# survivor (⊕D9). Driver-signed in r5 (as c03, CORRECTNESS_r05);
+# rotated back out in r6's final rotation — still in the
 # in r5 (the r4 verdict asked the driver to sign the strongest
 # x-series oracles); the oracle is a DuckDB
 # RECURSIVE transitive closure over the same brute-force pair set —
@@ -331,7 +332,7 @@ _SQL_COMPONENTS = f"""
 
 
 @register(
-    "c03_dedup_components",
+    "x03_dedup_components",
     _SQL_COMPONENTS,
     doc="""Near-dup clustering end to end: exact Jaccard pairs (≥0.8,
     prefix-filtered inverted index) over a 1-in-10 corpus slice →
@@ -339,7 +340,7 @@ _SQL_COMPONENTS = f"""
     canonical survivor per cluster. The oracle recomputes components
     via a recursive-CTE transitive closure.""",
 )
-def c03_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x03_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster canonicalization (SURVEY §2.11 ⊕D9): labels
     every document in the slice with its near-dup component, the
     keep/drop decision (component minimum survives), and a
@@ -364,7 +365,7 @@ def c03_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "c13_duplicated_spans",
+    "x13_duplicated_spans",
     """
     WITH t AS (
         SELECT doc_id,
@@ -405,10 +406,11 @@ def c03_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed positional grams (one Arrow pass); the oracle rebuilds
     the same windows as strings — the gate checks every count and
     fraction, with hash collisions (~2⁻⁶⁴/pair) the only divergence
-    risk, same posture as the d05/t05 gram gates. Rotated into the
-    driver cap in r5; also checked by tools/verify_local.""",
+    risk, same posture as the d05/t05 gram gates. Driver-signed in r5
+    (as c13); rotated out in r6's final rotation — still checked by
+    tools/verify_local every round.""",
 )
-def c13_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x13_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import duplicated_span_coverage
 
     docs = read_table(spark, sf_dir, "documents")
@@ -445,7 +447,7 @@ _SQL_SEMANTIC = f"""
 
 
 @register(
-    "c21_semantic_dedup",
+    "x21_semantic_dedup",
     _SQL_SEMANTIC,
     doc="""Semantic dedup end to end (⊕D10, the SemDeDup practice),
     upgraded r5 from pytest-only to hash-gated: the d06 planted
@@ -455,10 +457,10 @@ _SQL_SEMANTIC = f"""
     connected components → min-id canonical survivor, for EVERY node.
     The oracle recomputes the pair graph brute-force and closes it
     with a recursive CTE (x03's pattern on the embedding modality).
-    Rotated into the driver cap in r5; also checked by
-    tools/verify_local.""",
+    Driver-signed in r5 (as c21); rotated out in r6's final rotation —
+    still checked by tools/verify_local every round.""",
 )
-def c21_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x21_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import semantic_dedup
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -476,7 +478,7 @@ def c21_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "x25_span_removal",
+    "c25_span_removal",
     f"""
     WITH t AS (
         SELECT doc_id, {_SQL_TOKS_DEDUP} AS toks FROM documents
@@ -518,10 +520,11 @@ def c21_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checks the FULL rewritten text of every document plus the
     removal counts; the oracle rebuilds the same keep-one rule with
     string grams (hash collisions ~2⁻⁶⁴/pair the only divergence,
-    the c13/d05 posture). Named past the driver's 50-query cap;
-    checked by tools/verify_local.""",
+    the x13/d05 posture). Rotated INTO the driver's 50-name window in
+    r6's final rotation (the last never-driver-signed oracle pair,
+    with c24); also checked by tools/verify_local.""",
 )
-def x25_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c25_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import remove_duplicated_spans
 
     return remove_duplicated_spans(read_table(spark, sf_dir, "documents"))

@@ -188,7 +188,7 @@ _TAU_DAYS = 30.0
 
 
 @register(
-    "ze05_decayed_user_value",
+    "e05_decayed_user_value",
     f"""
     SELECT user_id,
            CAST(SUM(CAST(value * exp(-(epoch_us(TIMESTAMP '{_DECAY_AS_OF}') - epoch_us(ts))
@@ -199,7 +199,7 @@ _TAU_DAYS = 30.0
     GROUP BY user_id
     """,
 )
-def ze05_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e05_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Σ value·exp(-age/τ) per user at a pinned as_of — the engine-wide
     time-decay pattern (reference DT7 scoring.py:348-387) applied to a
     100 TB-shaped aggregation (map-side partial sums in DECIMAL)."""
@@ -217,7 +217,7 @@ def ze05_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ze06_value_percentiles",
+    "e06_value_percentiles",
     """
     WITH ranked AS (
         SELECT event_type, value,
@@ -232,7 +232,7 @@ def ze05_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY event_type
     """,
 )
-def ze06_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e06_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-rank percentiles (the reference's index-into-sorted-list
     definition, A7 intelligent_classifier.py:530-535) computed WITHOUT
     collecting: row_number + count window + filter — scales to any
@@ -258,7 +258,7 @@ def ze06_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ze07_props_extraction",
+    "e07_props_extraction",
     """
     SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
            COUNT(*) AS n,
@@ -267,7 +267,7 @@ def ze06_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY CAST(json_extract(props, '$.k') AS BIGINT) % 10
     """,
 )
-def ze07_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e07_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON column access at the edge (reference AM3/from_json usage):
     get_json_object stays JVM-side; grouping on the extracted value."""
     ev = read_table(spark, sf_dir, "events")

@@ -225,7 +225,7 @@ def p05_photo_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zp06_frame_sampling",
+    "p06_frame_sampling",
     """
     SELECT doc_id AS item_id,
            octet_length(encode(text)) AS n_bytes,
@@ -234,7 +234,7 @@ def p05_photo_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     CROSS JOIN UNNEST(range(0, FLOOR(len(text) / 10.0 / 5.0)::BIGINT + 1)) AS t(i)
     """,
 )
-def zp06_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p06_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing through the driver gate: payload
     = utf-8 bytes, duration = chars/10 s, one row per 5 s sample
     offset — the JVM-side sequence explode of
@@ -251,7 +251,7 @@ def zp06_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zp07_audio_windows",
+    "p07_audio_windows",
     """
     WITH audio AS (
         SELECT doc_id AS item_id, sha256(text) AS hx,
@@ -275,7 +275,7 @@ def zp06_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     CROSS JOIN UNNEST(range(d.n_win)) AS t(w)
     """,
 )
-def zp07_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p07_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio leg end to end: documents' bytes as 16-bit-PCM payloads
     (sample rates scaled down so the tiny fixture payloads span
     multi-window timelines) → 1:N mapInPandas loudness windows with

@@ -132,7 +132,7 @@ def _replay_events(
 ) -> DataFrame:
     """Replay the events fixture through a streaming job synchronously
     (staged file source → memory sink → processAllAvailable) and return
-    the sink table. Shared by p02/p08/x05; ``build`` receives
+    the sink table. Shared by p02/p08/c05; ``build`` receives
     ``n_streams`` independent file-stream scans of the same staged
     fixture (stream-stream joins need two).
 
@@ -222,7 +222,7 @@ def p02_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zp03_type_allowlist",
+    "p03_type_allowlist",
     """
     WITH place AS (
         SELECT p_partkey,
@@ -236,7 +236,7 @@ def p02_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM place
     """,
 )
-def zp03_type_allowlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p03_type_allowlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 type allowlist (arrays_overlap) + U3 set-intersection
     semantics on type arrays derived from part keys."""
     from ..operators.ingestion import type_allowlist
@@ -330,13 +330,13 @@ def p08_streaming_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# x05 — streaming interval join under the oracle (SS11, hash-gated
-# via verify_local; named past the driver's 50-query recording cap).
+# c05 — streaming interval join under the oracle (SS11, hash-gated
+# via verify_local; rotated INTO the driver's 50-name window in r6).
 # ---------------------------------------------------------------------------
 
 
 @register(
-    "x05_streaming_interval_join",
+    "c05_streaming_interval_join",
     # identical to e08's oracle: per purchase, the same user's events
     # in the following 6 hours
     """
@@ -359,7 +359,7 @@ def p08_streaming_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e08's brute-force range-join SQL — the streaming join's state
     eviction must lose nothing on a bounded replay.""",
 )
-def x05_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c05_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import jobs
     from ._numeric import dsum
 
@@ -367,7 +367,7 @@ def x05_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         jobs.interval_join_stream,
-        "x05_pairs",
+        "c05_pairs",
         output_mode="append",
         n_streams=2,
     )
@@ -393,7 +393,7 @@ def x05_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "x18_streaming_momentum",
+    "c18_streaming_momentum",
     """
     WITH w AS (
         SELECT user_id,
@@ -407,16 +407,17 @@ def x05_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM w GROUP BY win_start, user_id
     """,
     doc="""SS6's 14-day/1-day-step sliding momentum window replayed as
-    a STREAM (complete-mode memory sink, the p02/p08/x05 harness) and
+    a STREAM (complete-mode memory sink, the p02/p08/c05 harness) and
     hash-checked against a batch oracle that enumerates the exact
     window membership: an event belongs to the 14 epoch-aligned
     windows whose start lies in (ts−14d, ts], i.e. floor_day(ts)−k for
     k ∈ [0,14) — the same alignment Spark's window('ts','14 days',
     '1 day') computes. Decimal value sums keep the hash
-    partitioning-proof. Fourth hash-gated streaming query; named past
-    the driver's 50-query cap; checked by tools/verify_local.""",
+    partitioning-proof. Fourth hash-gated streaming query; rotated
+    INTO the driver's 50-name window in r6's final rotation; also
+    checked by tools/verify_local.""",
 )
-def x18_streaming_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c18_streaming_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import jobs
 
-    return _replay_events(spark, sf_dir, jobs.sliding_value_momentum, "x18_momentum")
+    return _replay_events(spark, sf_dir, jobs.sliding_value_momentum, "c18_momentum")

@@ -110,7 +110,7 @@ def q02_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zq03_top_customers_per_nation",
+    "q03_top_customers_per_nation",
     f"""
     WITH cust_rev AS (
         SELECT c.c_custkey, c.c_name, n.n_name AS nation_name,
@@ -130,7 +130,7 @@ def q02_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rk <= 3
     """,
 )
-def zq03_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q03_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-N per group (generalizes reference W6 top-8-per-collection,
     ``ai/collection_generator.py:309-311``): aggregate then one window;
     ties broken by key for determinism (reference W4 discipline,
@@ -158,7 +158,7 @@ def zq03_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
-    "zq04_returned_orders_by_priority",
+    "q04_returned_orders_by_priority",
     """
     SELECT o.o_orderpriority, COUNT(*) AS n_orders
     FROM orders o
@@ -169,7 +169,7 @@ def zq03_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame
     GROUP BY o.o_orderpriority
     """,
 )
-def zq04_returned_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q04_returned_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS → left-semi join (generalizes reference F10 existence
     checks, ``scripts/mention_scanner/scanner.py:664-674``)."""
     orders = read_table(spark, sf_dir, "orders")
@@ -186,7 +186,7 @@ def zq04_returned_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
-    "zq05_customers_without_orders",
+    "q05_customers_without_orders",
     """
     SELECT n.n_name AS nation_name, COUNT(*) AS n_customers
     FROM customer c
@@ -199,7 +199,7 @@ def zq04_returned_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFr
     GROUP BY n.n_name
     """,
 )
-def zq05_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q05_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT EXISTS → left-anti join (reference U4 "unmatched" scans,
     ``utils/database.py:984-998``): customers with no orders in 1995."""
     cust = read_table(spark, sf_dir, "customer")
@@ -219,7 +219,7 @@ def zq05_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
-    "zq06_rollup_region_nation",
+    "q06_rollup_region_nation",
     f"""
     SELECT COALESCE(r_name, 'ALL') AS region_name,
            COALESCE(n_name, 'ALL') AS nation_name,
@@ -231,7 +231,7 @@ def zq05_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     GROUP BY ROLLUP(r_name, n_name)
     """,
 )
-def zq06_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q06_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP subtotals (generalizes reference A9/A10 city statistics,
     ``utils/database.py:425-461``). NULL grouping levels are coalesced
     to 'ALL' so the hash compare is unambiguous."""
@@ -257,7 +257,7 @@ def zq06_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zq07_distinct_counts",
+    "q07_distinct_counts",
     """
     SELECT COUNT(DISTINCT o_custkey) AS n_active_customers,
            COUNT(DISTINCT o_orderpriority) AS n_priorities,
@@ -265,7 +265,7 @@ def zq06_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     """,
 )
-def zq07_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q07_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct aggregation (reference S2 count-only scans,
     ``utils/database.py:434-444``). ``approx_count_distinct`` is the
     100 TB fast path but is engine-specific, so the oracle-checked
@@ -282,7 +282,7 @@ def zq07_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zq08_set_ops_customers",
+    "q08_set_ops_customers",
     """
     WITH buyers_95 AS (
         SELECT DISTINCT o_custkey AS custkey FROM orders
@@ -301,7 +301,7 @@ def zq07_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'except' AS op, COUNT(*) AS n FROM (SELECT custkey FROM buyers_95 EXCEPT SELECT custkey FROM buyers_96)
     """,
 )
-def zq08_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q08_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union / intersect / except over yearly buyer sets (reference U1
     candidate-stream union ``scanner.py:327-335``, U2 distinct, U4)."""
     orders = read_table(spark, sf_dir, "orders")
@@ -333,14 +333,14 @@ def zq08_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zq09_filtered_scan",
+    "q09_filtered_scan",
     """
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
     WHERE o_orderstatus = 'F' AND o_totalprice > 200000.0
     """,
 )
-def zq09_filtered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q09_filtered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projection + predicate scan: the PostgREST
     ``.select(...).eq(...).gte(...)`` shape (reference
     ``utils/database.py:60-66``). Both the filter and the 3-column

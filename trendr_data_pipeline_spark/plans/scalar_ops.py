@@ -382,7 +382,7 @@ _S06_AS_OF = "2000-01-01 00:00:00"
 
 
 @register(
-    "zs06_ttl_due_filter",
+    "s06_ttl_due_filter",
     f"""
     WITH st AS (
         SELECT o_orderkey,
@@ -395,7 +395,7 @@ _S06_AS_OF = "2000-01-01 00:00:00"
        OR date_diff('day', CAST(last_done AS DATE), DATE '2000-01-01') >= 7
     """,
 )
-def zs06_ttl_due_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s06_ttl_due_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DT8: the 7-day TTL work-selection predicate (never-done OR
     interval elapsed) — the reference's rescan/rescore gates
     (h3_scheduler.py:516-526, intelligent_classifier.py:379-387)."""
@@ -416,7 +416,7 @@ def zs06_ttl_due_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zs08_maxby_best_per_group",
+    "s08_maxby_best_per_group",
     """
     WITH j AS (
         SELECT n.n_name AS nation_name, c.c_name, c.c_acctbal, c.c_custkey
@@ -437,7 +437,7 @@ def zs06_ttl_due_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM r GROUP BY nation_name
     """,
 )
-def zs08_maxby_best_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s08_maxby_best_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5 'best-of per group' via max_by/min_by (reference photo
     best-of, utils/photo_manager.py:401-429) — tie-broken by key so
     the argmax is deterministic."""

@@ -207,17 +207,18 @@ _ORACLE_QUANTIZE = """
 
 
 @register(
-    "c09_embedding_quantize",
+    "x09_embedding_quantize",
     _ORACLE_QUANTIZE,
     doc="""Scalar int8 quantization of the embedding column (⊕: the
     standard 4× storage/serving compression for vector corpora —
     FAISS ScalarQuantizer QT_8bit practice). One Arrow-batched numpy
     projection, zero shuffles; the gate hash-checks the md5 of EVERY
     per-vector code vector plus exact integer error sums against a
-    DuckDB replay of the same IEEE-754 expression. Rotated into the
-    driver cap in r5; also checked by tools/verify_local.""",
+    DuckDB replay of the same IEEE-754 expression. Driver-signed in r5
+    (as c09); rotated out in r6's final rotation — still checked by
+    tools/verify_local every round.""",
 )
-def c09_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x09_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import quantize_embeddings
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -225,7 +226,7 @@ def c09_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "c11_pq_topk",
+    "x11_pq_topk",
     _ORACLE_TOPK,
     doc="""Product-quantization ANN (Jégou et al. 2011, the FAISS PQ
     practice), hash-gated via the degenerate-exact case — the same
@@ -244,7 +245,7 @@ def c09_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     instructions rather than silently losing exactness. The
     production setting is benched as x12.""",
 )
-def c11_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x11_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import pq_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -255,7 +256,7 @@ def c11_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceiling = 1 << 18
     if n > ceiling:
         raise ValueError(
-            f"c11_pq_topk: corpus has {n} vectors > {ceiling}; the"
+            f"x11_pq_topk: corpus has {n} vectors > {ceiling}; the"
             " degenerate-exact PQ gate trains driver-side on the FULL"
             " corpus and is only intended for gate-scale fixtures —"
             " bench the production setting (x12) at this scale instead"
@@ -296,7 +297,7 @@ def x12_pq_fast_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "c14_label_centroids",
+    "x14_label_centroids",
     """
     WITH el AS (
         SELECT label,
@@ -336,10 +337,10 @@ def x12_pq_fast_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode — ONE shuffle on (label, pos) with map-side partial
     aggregation collapsing to |labels|·dim rows per partition; the
     |labels|-row centroid frame broadcasts back for the
-    cosine-to-centroid pass. Rotated into the driver cap in r5;
-    checked by tools/verify_local.""",
+    cosine-to-centroid pass. Driver-signed in r5 (as c14); rotated out
+    in r6's final rotation — still checked by tools/verify_local.""",
 )
-def c14_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x14_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import label_centroid_stats
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -347,7 +348,7 @@ def c14_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "x23_ivfpq_topk",
+    "c24_ivfpq_topk",
     _ORACLE_TOPK,
     doc="""IVF+PQ combined ANN (⊕, r5: the FAISS IVFPQ production
     shape — inverted-file candidate pruning + product-code compressed
@@ -358,10 +359,11 @@ def c14_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, candidate shuffle, exact rescore — must equal m01's brute
     force. ksub/train_sample derived from the corpus count at
     query-build time (same posture as c11). The production setting is
-    benched as x24 with a pytest recall floor. Named past the
-    driver's 50-query cap; checked by tools/verify_local.""",
+    benched as x24 with a pytest recall floor. Rotated INTO the
+    driver's 50-name window in r6's final rotation (never previously
+    driver-signed); also checked by tools/verify_local.""",
 )
-def x23_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c24_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivfpq_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -369,7 +371,7 @@ def x23_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceiling = 1 << 18
     if n > ceiling:
         raise ValueError(
-            f"x23_ivfpq_topk: corpus has {n} vectors > {ceiling}; the"
+            f"c24_ivfpq_topk: corpus has {n} vectors > {ceiling}; the"
             " degenerate-exact gate trains driver-side on the full corpus"
             " — bench the production setting (x24) at this scale instead"
         )

@@ -577,8 +577,8 @@ def clean_ladder(docs: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # x04 — sequence packing (⊕T9): global token offsets + fixed-length
-# chunk spans via the two-phase prefix sum. Rotated into the driver's
-# 50-query cap in r5; the oracle is the
+# chunk spans via the two-phase prefix sum. Driver-signed r5 (as
+# c04); rotated out in r6's final rotation. The oracle is the
 # GLOBAL-WINDOW form the Spark side deliberately avoids — the hash
 # gate certifies two-phase == global-window.
 # ---------------------------------------------------------------------------
@@ -605,7 +605,7 @@ _SQL_PACKING = f"""
 
 
 @register(
-    "c04_sequence_packing",
+    "x04_sequence_packing",
     _SQL_PACKING,
     doc="""GPT-style concat-and-chunk packing layout: each document's
     global token offset and the span of 512-token training sequences
@@ -613,7 +613,7 @@ _SQL_PACKING = f"""
     bucketed prefix sum (operators/packing); the oracle is the
     single-partition global window it replaces.""",
 )
-def c04_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x04_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-packing layout (SURVEY §2.11 ⊕T9): global running
     token offsets under the (source, doc_id) total order WITHOUT a
     global window — per-bucket cumsum, tiny bucket-base running
@@ -633,8 +633,8 @@ def c04_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # x06 — quality-budget corpus selection (⊕T10): greedy highest-quality
 # documents under a global token budget, via the same two-phase
-# prefix-sum machinery as c04 ordered by quality instead of doc id.
-# Rotated into the driver cap in r5; oracle = the global-window form.
+# prefix-sum machinery as x04 ordered by quality instead of doc id.
+# Driver-signed r5 (as c06); rotated out r6; oracle = the global-window form.
 # ---------------------------------------------------------------------------
 
 #: token budget for the gated/benched setting: ~half the corpus at
@@ -668,7 +668,7 @@ _SQL_BUDGET = f"""
 
 
 @register(
-    "c06_budget_selection",
+    "x06_budget_selection",
     _SQL_BUDGET,
     doc="""Greedy quality-budget selection: documents taken in
     descending quality order (doc_id tie-break) until the corpus
@@ -677,7 +677,7 @@ _SQL_BUDGET = f"""
     (bucket = floor(-quality), monotone in the sort key); oracle is
     the single-partition global window it replaces.""",
 )
-def c06_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x06_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus selection under a token budget (SURVEY §2.11 ⊕T10) —
     the step after scoring: keep the best documents until the
     training-token budget is hit. Ordering is (quality DESC, doc_id);
@@ -701,8 +701,8 @@ def c06_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# c07 — TF-IDF top terms per document (⊕T11). Rotated into the
-# driver cap in r5; verify_local + the pytest contract gate also check it.
+# c07 — TF-IDF top terms per document (⊕T11). Driver-signed r5 (as
+# c07); rotated out r6; verify_local + the pytest contract gate also check it.
 # Both engines rank on the ROUNDED tfidf (libm ln may differ in the
 # last ulp between JVM and C; ranking on the rounded value with a
 # token tie-break keeps the two orderings identical).
@@ -742,13 +742,13 @@ _SQL_TFIDF = f"""
 
 
 @register(
-    "c07_tfidf_topk",
+    "x07_tfidf_topk",
     _SQL_TFIDF,
     doc="""Top-5 TF-IDF terms per document: (doc, token) term counts,
     corpus document frequencies, idf = ln(N/df), ranked on the
     rounded score with a deterministic token tie-break.""",
 )
-def c07_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x07_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword extraction (SURVEY §2.11 ⊕T11): two keyed
     aggregations (doc-token term counts; token document frequencies —
     both benefit from map-side combine), a broadcast of the 1-row
@@ -779,7 +779,7 @@ def c07_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # x08 — unigram-LM perplexity scoring (⊕T12, the CCNet practice:
 # score documents by language-model perplexity and filter the tails).
-# Rotated into the driver cap in r5; verify_local + the pytest contract
+# Driver-signed r5 (as c08); rotated out r6; verify_local + the pytest contract
 # gate also check it. Determinism: ln(p) is rounded to 9 decimals
 # PER TOKEN before entering any sum — after that every addend is an
 # identical double on both engines (int × fixed-decimal double), so
@@ -814,7 +814,7 @@ _SQL_PPL = f"""
 
 
 @register(
-    "c08_unigram_perplexity",
+    "x08_unigram_perplexity",
     _SQL_PPL,
     doc="""Per-document unigram-LM perplexity against the corpus's own
     token distribution: p(tok) = count(tok)/total, avg negative log
@@ -822,7 +822,7 @@ _SQL_PPL = f"""
     carry no probability mass and are absent (doc grain = tokenful
     docs).""",
 )
-def c08_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x08_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity quality filter (SURVEY §2.11 ⊕T12): the corpus IS
     the language model — token counts (one keyed agg with map-side
     combine), a broadcast scalar total, and one more keyed agg for
@@ -847,7 +847,7 @@ def c08_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "c10_temperature_mix",
+    "x10_temperature_mix",
     """
     WITH counts AS (
         SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
@@ -877,10 +877,10 @@ def c08_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized via exact-decimal accumulation, applied with the
     deterministic md5 hash fraction. sqrt (not pow) so both engines'
     weights are bit-identical (IEEE sqrt is exactly rounded; libm pow
-    is not). Rotated into the driver cap in r5; also checked by
+    is not). Driver-signed r5 (as c10); rotated out r6; still checked by
     tools/verify_local.""",
 )
-def c10_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x10_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import temperature_mix
 
     docs = read_table(spark, sf_dir, "documents")
@@ -909,7 +909,7 @@ def x15_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "c17_quality_embedding_corr",
+    "x17_quality_embedding_corr",
     f"""
     WITH t AS (
         SELECT doc_id, source,
@@ -957,10 +957,10 @@ def x15_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale — SMJ is correct there; AQE broadcasts at fixture size),
     then one per-source aggregate with every Pearson term quantized
     to exact DECIMAL before summing, so the correlation is
-    partitioning-proof. Rotated into the driver cap in r5; also checked
-    by tools/verify_local.""",
+    partitioning-proof. Driver-signed r5 (as c20); rotated out r6; still
+    checked by tools/verify_local.""",
 )
-def c17_quality_embedding_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x17_quality_embedding_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import dot, l2norm
     from ._numeric import DEC
 
@@ -1049,7 +1049,7 @@ def x19_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "c20_hashed_vectors",
+    "x20_hashed_vectors",
     f"""
     WITH t AS (
         SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
@@ -1073,9 +1073,9 @@ def x19_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, bucket) shuffle, all JVM expressions. The dense-assembly
     companion (`operators/vectorize.assemble_dense`) feeds these
     vectors straight into the cosine/LSH/IVF/PQ operators
-    (pytest-verified round trip). Rotated into the driver cap in r5.""",
+    (pytest-verified round trip). Driver-signed r5 (as c22); rotated out r6.""",
 )
-def c20_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x20_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.vectorize import hashed_tf_sparse
 
     docs = read_table(spark, sf_dir, "documents")
@@ -1083,7 +1083,7 @@ def c20_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "c22_zipf_stats",
+    "x22_zipf_stats",
     f"""
     WITH freq AS (
         SELECT tok, COUNT(*) AS cnt
@@ -1123,9 +1123,9 @@ def c20_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     window; the slope is a 50-row scalar broadcast. ln outputs are
     quantized to 6dp before the decimal-exact regression sums (the
     x08 pattern — JVM and C libm may differ in the last ulp). Named
-    rotated into the driver cap in r5.""",
+    driver-signed r5; rotated out r6.""",
 )
-def c22_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x22_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     freq = (
         docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
