@@ -567,6 +567,58 @@ def _kv_stream(spark, d):
     return spark.readStream.schema("k string, ts timestamp, v double").parquet(d)
 
 
+def test_partitioned_merge_sink_file_pruning_within_bucket(spark, tmp_path):
+    """r6 degeneracy fix: with many range-disjoint files in ONE
+    bucket, a one-key update must rewrite only the file whose
+    [min,max] key range contains it — every other file survives as
+    the SAME inode (hard-linked, zero data movement), which is what
+    makes a uniform-key batch O(hit files), not O(affected buckets'
+    data)."""
+    import datetime as dt
+
+    from trendr_data_pipeline_spark.streaming.jobs import (
+        partitioned_merge_sink,
+        read_merge_target,
+    )
+
+    d = _wave_dir(tmp_path)
+    target = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ck")
+    t0 = dt.datetime(2025, 1, 1)
+    # one bucket, 100 zero-padded keys, ≤10 rows per file → ~10
+    # range-disjoint key-sorted files
+    _write_wave(spark, d, 1, [(f"k{i:03d}", t0, float(i)) for i in range(100)])
+    q = partitioned_merge_sink(
+        _kv_stream(spark, d), target, key="k", version_col="ts",
+        checkpoint_dir=ckpt, buckets=1, max_records_per_file=10,
+    )
+    try:
+        q.processAllAvailable()
+        bdir = os.path.join(target, "bucket=0")
+        files_before = {
+            f: os.stat(os.path.join(bdir, f)).st_ino
+            for f in os.listdir(bdir)
+            if f.endswith(".parquet")
+        }
+        assert len(files_before) >= 8, "expected ~10 range-disjoint files"
+        _write_wave(spark, d, 2, [("k042", t0 + dt.timedelta(days=1), 4242.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    files_after = {
+        f: os.stat(os.path.join(bdir, f)).st_ino
+        for f in os.listdir(bdir)
+        if f.endswith(".parquet")
+    }
+    kept = [f for f in files_before if files_after.get(f) == files_before[f]]
+    # exactly one file's range contained k042 → rewritten; the rest
+    # hard-linked through the swap unchanged
+    assert len(kept) == len(files_before) - 1, (len(kept), len(files_before))
+    got = {(r["k"], r["v"]) for r in read_merge_target(spark, target).collect()}
+    want = {(f"k{i:03d}", float(i)) for i in range(100) if i != 42} | {("k042", 4242.0)}
+    assert got == want
+
+
 def test_partitioned_merge_sink_upserts_and_prunes(spark, tmp_path):
     """Correctness: latest row per key wins across batches.
     Pruning: a batch touching ONE key must leave every other bucket

@@ -1,0 +1,109 @@
+"""Measured evidence for the partitioned-merge-sink degeneracy fix
+(r5 verdict "What's wrong" #1): per-batch upsert wall time and rewrite
+volume under UNIFORM-KEY batches of growing distinct-key count, with
+
+- the r5 behavior reproduced by coarse files (`max_records_per_file`
+  large → one file per bucket, so every affected bucket is fully
+  rewritten), vs
+- the r6 file-pruned layout (small range-disjoint files; only files
+  whose footer [min,max] contains a batch key are rewritten, the rest
+  hard-linked).
+
+Uniform keys are the degenerate case the verdict called out: with B
+buckets, any batch of n >> B distinct keys touches ALL buckets, so the
+r5 sink rewrote the whole table per batch. With file pruning the
+rewrite volume is ~min(n · rows_per_file, table).
+
+Usage: python tools/merge_bench.py  (prints a markdown table for
+SCALING.md).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from trendr_data_pipeline_spark.session import get_spark  # noqa: E402
+from trendr_data_pipeline_spark.streaming.jobs import (  # noqa: E402
+    _pruned_bucket_upsert,
+)
+
+TABLE_ROWS = 500_000
+BUCKETS = 64
+FINE_ROWS_PER_FILE = 500  # ~16 range-disjoint files per bucket
+COARSE_ROWS_PER_FILE = 1 << 20  # one file per bucket == the r5 layout
+BATCH_SIZES = [1, 10, 100, 1_000, 10_000]
+
+
+def build_table(spark, target: str, rows_per_file: int, bucket_of) -> None:
+    t0 = dt.datetime(2025, 1, 1)
+    base = spark.range(TABLE_ROWS).select(
+        F.format_string("k%08d", F.col("id")).alias("k"),
+        F.lit(t0).alias("ts"),
+        F.col("id").cast("double").alias("v"),
+    )
+    _pruned_bucket_upsert(base, target, "k", "ts", bucket_of, 0, rows_per_file)
+
+
+def batch_of(spark, n: int, seed: int):
+    t1 = dt.datetime(2025, 6, 1)
+    # uniform WITHOUT clustering: hash-spread ids across the key space
+    return (
+        spark.range(TABLE_ROWS)
+        .orderBy(F.xxhash64(F.col("id"), F.lit(seed)))
+        .limit(n)
+        .select(
+            F.format_string("k%08d", F.col("id")).alias("k"),
+            F.lit(t1).alias("ts"),
+            (F.col("id") + 0.5).cast("double").alias("v"),
+        )
+    )
+
+
+def dir_bytes(p: str) -> int:
+    return sum(f.stat().st_size for f in Path(p).rglob("*.parquet"))
+
+
+def inode_set(p: str) -> set:
+    return {f.stat().st_ino for f in Path(p).rglob("*.parquet")}
+
+
+def main() -> None:
+    spark = get_spark("merge-bench")
+    bucket_of = F.pmod(F.xxhash64(F.col("k")), F.lit(BUCKETS))
+    print(f"table={TABLE_ROWS} rows, buckets={BUCKETS}")
+    print("| distinct batch keys | layout | batch wall s | files rewritten | rows rewritten (est) |")
+    print("|---|---|---|---|---|")
+    for label, rpf in (("r5 (1 file/bucket)", COARSE_ROWS_PER_FILE), ("r6 file-pruned", FINE_ROWS_PER_FILE)):
+        for n in BATCH_SIZES:
+            work = tempfile.mkdtemp(prefix="mergebench_")
+            target = f"{work}/tbl"
+            try:
+                build_table(spark, target, rpf, bucket_of)
+                before = inode_set(target)
+                nfiles_before = len(before)
+                b = batch_of(spark, n, seed=n).localCheckpoint()  # stage input outside the timer
+                t0 = time.time()
+                _pruned_bucket_upsert(b, target, "k", "ts", bucket_of, 1, rpf)
+                wall = time.time() - t0
+                after = inode_set(target)
+                rewritten = len(after - before)
+                rows_per_file = TABLE_ROWS / max(1, nfiles_before)
+                print(
+                    f"| {n} | {label} | {wall:.2f} | {rewritten}/{len(after)} |"
+                    f" ~{int(min(rewritten * rows_per_file, TABLE_ROWS))} |"
+                )
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
