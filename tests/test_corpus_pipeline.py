@@ -20,6 +20,25 @@ def _run(spark):
     return _run.rows
 
 
+def test_pair_backend_lsh_equals_exact(spark):
+    """r6: the stage-3 candidate generator is a parameter. Both
+    backends are exact-verified, so at threshold 0.8 (banding recall
+    1−5e-8 per pair with 32×4 bands) the ENTIRE pipeline output must
+    be identical — same survivors, same offsets, same spans."""
+    import pytest
+
+    exact = _run(spark)
+    lsh = build_training_corpus(
+        spark, SMOKE_SF, seq_len=SEQ, token_budget=BUDGET, pair_backend="lsh"
+    ).collect()
+    assert sorted(map(tuple, lsh)) == sorted(map(tuple, exact))
+    with pytest.raises(ValueError, match="pair_backend"):
+        build_training_corpus(
+            spark, SMOKE_SF, seq_len=SEQ, token_budget=BUDGET,
+            pair_backend="bogus",
+        ).collect()
+
+
 def test_budget_respected(spark):
     rows = _run(spark)
     assert rows, "pipeline selected nothing"

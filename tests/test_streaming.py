@@ -712,6 +712,62 @@ def test_partitioned_merge_sink_matches_full_table_sink(spark, split_events_dir,
     assert part == full
 
 
+def _delta_available() -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec("delta") is not None
+
+
+# collection-time probe, not importorskip: while delta-spark is absent
+# (this image) the delta param simply doesn't exist — 0 skipped tests —
+# and the equivalence leg activates automatically when it lands
+@pytest.mark.parametrize("leg", ["gate"] + (["delta"] if _delta_available() else []))
+def test_delta_merge_leg(spark, split_events_dir, tmp_path, leg):
+    """r5 verdict item 5: the table-format MERGE leg. Without
+    delta-spark on the classpath the leg must refuse loudly with the
+    parquet-swap fallback instruction (never half-work); with it, the
+    MERGE INTO path must converge to the same table as merge_sink."""
+    from trendr_data_pipeline_spark.streaming.jobs import (
+        delta_merge_sink,
+        events_stream,
+        merge_sink,
+    )
+
+    def keyed(stream):
+        return stream.withColumn(
+            "k", F.concat_ws("|", F.col("user_id"), F.col("event_type"))
+        )
+
+    if leg == "gate" and not _delta_available():
+        with pytest.raises(ImportError, match="partitioned_merge_sink"):
+            delta_merge_sink(
+                keyed(events_stream(spark, split_events_dir)),
+                str(tmp_path / "d"), key="k", version_col="ts",
+                checkpoint_dir=str(tmp_path / "ckd"),
+            )
+        return
+    t1, c1 = str(tmp_path / "full"), str(tmp_path / "ck1")
+    t2, c2 = str(tmp_path / "delta"), str(tmp_path / "ck2")
+    q1 = merge_sink(keyed(events_stream(spark, split_events_dir)), t1, key="k",
+                    version_col="ts", checkpoint_dir=c1)
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    q2 = delta_merge_sink(keyed(events_stream(spark, split_events_dir)), t2,
+                          key="k", version_col="ts", checkpoint_dir=c2)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    full = {tuple(r) for r in spark.read.parquet(t1).select("k", "ts", "value").collect()}
+    delt = {
+        tuple(r)
+        for r in spark.read.format("delta").load(t2).select("k", "ts", "value").collect()
+    }
+    assert delt == full
+
+
 def test_partitioned_merge_sink_checkpoint_restart(spark, split_events_dir, tmp_path):
     """Stop mid-replay, wreck one bucket into a mid-swap crash state
     plus a torn epoch temp, restart: the writer heals the layout and

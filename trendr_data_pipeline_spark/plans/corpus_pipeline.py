@@ -31,8 +31,13 @@ Fixture caveat (measured): 71 s end-to-end at sf0.1, ~90% of it the
 exact pair join + component rounds over the ~1.5 M qualifying pairs
 the 24%-density fixture produces among survivors (SCALING.md's
 standing density artifact). At real corpus density (<1% pairs) stage
-3 is the cheap stage; swap `jaccard_similarity_pairs` for
-`minhash_lsh_pairs` when the corpus outgrows the exact path.
+3 is the cheap stage — r6 makes this measured fact, not a docstring
+claim: ``pair_backend='lsh'`` swaps in `minhash_lsh_pairs` (a real
+parameter on `corpus_survivors`/`build_training_corpus`, output
+pinned identical to the exact backend), and
+`tools/corpus_density_bench.py` runs the full pipeline on a
+synthetic low-density corpus, stage wall-times recorded in
+SCALING.md ("corpus pipeline at realistic density").
 """
 
 from __future__ import annotations
@@ -42,10 +47,23 @@ from pyspark.sql import functions as F
 
 from ..functions.pii import redact_pii
 from ..io import read_table
-from ..operators.dedup import jaccard_similarity_pairs
+from ..operators.dedup import jaccard_similarity_pairs, minhash_lsh_pairs
 from ..operators.graph import canonicalize_components, connected_components
 from ..operators.packing import chunk_spans, global_running_offsets
 from .text_ops import budget_scored, clean_ladder
+
+#: stage-3 candidate generators (r6: the backend is a parameter, not a
+#: docstring suggestion). Both are exact-verified, so at thresholds
+#: where banding recall ≈ 1 (0.8 with 32×4 bands: 1−5e-8 per pair)
+#: their OUTPUT is identical — pinned by the cross-backend test — and
+#: only the candidate-generation cost differs: "exact" prefix-joins on
+#: globally-rare tokens (right when density is pathological or the
+#: corpus is small), "lsh" equi-joins on minhash bands (the 100 TB
+#: default: candidate volume tracks true-pair volume, not token df).
+_PAIR_BACKENDS = {
+    "exact": jaccard_similarity_pairs,
+    "lsh": minhash_lsh_pairs,
+}
 
 
 def corpus_survivors(
@@ -55,6 +73,7 @@ def corpus_survivors(
     ppl_cap: float | None = None,
     quality_prob_floor: float | None = None,
     doc_filter=None,
+    pair_backend: str = "exact",
 ) -> DataFrame:
     """Stages 1-3c of the pipeline: per-doc clean ladder, PII
     redaction, transitive near-dup canonicalization, and the optional
@@ -90,8 +109,14 @@ def corpus_survivors(
     # 2. PII redaction (fixture contains none; the stage still runs)
     kept = kept.withColumn("text", redact_pii(F.col("text")))
 
-    # 3. transitive near-dup canonicalization
-    pairs = jaccard_similarity_pairs(kept, threshold=near_dup_threshold)
+    # 3. transitive near-dup canonicalization (backend: see
+    # _PAIR_BACKENDS — both exact-verified, so the survivor set is
+    # backend-independent at banding-recall≈1 thresholds)
+    if pair_backend not in _PAIR_BACKENDS:
+        raise ValueError(
+            f"unknown pair_backend {pair_backend!r}; one of {sorted(_PAIR_BACKENDS)}"
+        )
+    pairs = _PAIR_BACKENDS[pair_backend](kept, threshold=near_dup_threshold)
     labels = connected_components(pairs, nodes=kept, node_col="doc_id")
     canonical = canonicalize_components(labels).filter("is_canonical")
     survivors = kept.join(
@@ -147,6 +172,7 @@ def build_training_corpus(
     mix_target_frac: float | None = None,
     doc_filter=None,
     span_dedup: bool = False,
+    pair_backend: str = "exact",
 ) -> DataFrame:
     """Run the full pipeline; returns one row per SELECTED document:
     (doc_id, source, text, n_tok, quality, component, tok_offset,
@@ -184,6 +210,7 @@ def build_training_corpus(
         ppl_cap=ppl_cap,
         quality_prob_floor=quality_prob_floor,
         doc_filter=doc_filter,
+        pair_backend=pair_backend,
     )
     # the survivor frame is consumed 2-4× downstream (the mix stage's
     # count + join legs, the prefix sum's per-bucket cumsum + bucket
