@@ -923,3 +923,160 @@ def test_near_dup_screen_stream(spark, tmp_path):
     assert got1 == {i for i in expect if i < 200} or got1 <= expect
     got = {r["vec_id"] for r in spark.read.parquet(target + "/bucket=*").collect()}
     assert got == expect, (sorted(got), sorted(expect))
+
+
+# ---------------------------------------------------------------------------
+# r7: null keys, tie rule, and footer-stat truncation safety
+# ---------------------------------------------------------------------------
+
+
+def test_partitioned_merge_sink_null_keys(spark, tmp_path):
+    """r6 ADVICE (medium): a NULL key must not kill the stream. Footer
+    min/max stats never cover nulls, so the pruned sink force-rewrites
+    the null bucket's files; the final state must equal the
+    full-rewrite merge_sink's on the same waves (null behaves like
+    any other key: latest version wins)."""
+    import datetime as dt
+
+    from trendr_data_pipeline_spark.streaming.jobs import (
+        merge_sink,
+        partitioned_merge_sink,
+        read_merge_target,
+    )
+
+    t0 = dt.datetime(2025, 1, 1)
+    waves = [
+        [("a", t0, 1.0), (None, t0, 10.0), ("b", t0, 2.0)],
+        [(None, t0 + dt.timedelta(days=1), 20.0),
+         ("a", t0 + dt.timedelta(days=1), 11.0)],
+    ]
+
+    results = []
+    for sink, kw in (
+        (partitioned_merge_sink, {"buckets": 4, "max_records_per_file": 2}),
+        (merge_sink, {}),
+    ):
+        (tmp_path / sink.__name__).mkdir()
+        d = _wave_dir(tmp_path / sink.__name__)
+        target = str(tmp_path / sink.__name__ / "tbl")
+        ckpt = str(tmp_path / sink.__name__ / "ck")
+        _write_wave(spark, d, 1, waves[0])
+        q = sink(_kv_stream(spark, d), target, key="k", version_col="ts",
+                 checkpoint_dir=ckpt, **kw)
+        try:
+            q.processAllAvailable()
+            _write_wave(spark, d, 2, waves[1])
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        read = read_merge_target if sink is partitioned_merge_sink else (
+            lambda s, t: s.read.parquet(t)
+        )
+        results.append({(r["k"], r["v"]) for r in read(spark, target).collect()})
+
+    assert results[0] == results[1] == {("a", 11.0), ("b", 2.0), (None, 20.0)}
+
+
+def test_merge_tie_rule_legs_agree(spark):
+    """r6 verdict item 4: the parquet leg (upsert_latest's window) and
+    the Delta leg's MERGE condition (merge_match_condition) must
+    resolve version ties identically — incoming wins — WITHOUT delta
+    on the classpath, by simulating MERGE INTO semantics in plain
+    DataFrame ops from the exact condition string the Delta leg
+    compiles."""
+    from trendr_data_pipeline_spark.operators.ingestion import (
+        merge_match_condition,
+        upsert_latest,
+    )
+
+    target = spark.createDataFrame(
+        [("tie", 5, "stored"), ("older", 5, "stored"),
+         ("newer", 5, "stored"), ("only_t", 1, "stored")],
+        "k string, v int, src string",
+    )
+    source = spark.createDataFrame(
+        [("tie", 5, "incoming"), ("older", 4, "incoming"),
+         ("newer", 6, "incoming"), ("only_s", 1, "incoming")],
+        "k string, v int, src string",
+    )
+
+    # the parquet legs' rule
+    window_leg = {tuple(r) for r in upsert_latest(target, source, "k", "v").collect()}
+
+    # the Delta leg's *specified* outcome: MERGE matched-update-where-
+    # condition + not-matched-insert, from the shared condition string
+    cond = F.expr(merge_match_condition("v"))
+    t, s = target.alias("t"), source.alias("s")
+    j = t.join(s, F.col("t.k") == F.col("s.k"), "left")
+    kept = j.where(F.col("s.k").isNull() | ~cond).select("t.*")
+    updated = j.where(F.col("s.k").isNotNull() & cond).select("s.*")
+    inserted = s.join(t, "k", "left_anti")
+    merge_leg = {tuple(r) for r in kept.unionByName(updated)
+                 .unionByName(inserted).collect()}
+
+    assert window_leg == merge_leg
+    assert ("tie", 5, "incoming") in window_leg       # tie → incoming
+    assert ("older", 5, "stored") in window_leg       # lower version loses
+    assert ("newer", 6, "incoming") in window_leg
+
+
+def test_partitioned_merge_sink_long_high_byte_keys(spark, tmp_path):
+    """r6 verdict item 3 — make the footer-stat safety claim
+    executable: >64-byte keys sharing a long prefix, with 0xFF-adjacent
+    bytes, written under a forced 16-byte statistics truncation length.
+    parquet-java either pads the truncated max upward (conservative:
+    extra hits, never a wrong prune) or drops the stats entirely when
+    padding is impossible (all-0xFF suffix → always-hit). Either way no
+    upsert may be silently dropped: the final table must equal the
+    full-rewrite merge_sink's."""
+    import datetime as dt
+
+    from trendr_data_pipeline_spark.streaming.jobs import (
+        merge_sink,
+        partitioned_merge_sink,
+        read_merge_target,
+    )
+
+    t0 = dt.datetime(2025, 1, 1)
+    prefix = "p" * 70                      # shared prefix > any truncation
+    keys = [f"{prefix}\xff{i:03d}" for i in range(40)]  # 0xFF mid-key
+    keys += [prefix + "\xff" * 8 + f"{i}" for i in range(5)]  # 0xFF runs
+    w1 = [(k, t0, float(i)) for i, k in enumerate(keys)]
+    # update a slice that only differs AFTER the truncation point —
+    # exactly where a non-conservative truncation would wrongly prune
+    w2 = [(k, t0 + dt.timedelta(days=1), 1000.0 + i)
+          for i, k in enumerate(keys) if i % 7 == 0]
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hconf.set("parquet.statistics.truncate.length", "16")
+    try:
+        results = []
+        for sink, kw in (
+            (partitioned_merge_sink, {"buckets": 2, "max_records_per_file": 4}),
+            (merge_sink, {}),
+        ):
+            (tmp_path / sink.__name__).mkdir()
+            d = _wave_dir(tmp_path / sink.__name__)
+            target = str(tmp_path / sink.__name__ / "tbl")
+            ckpt = str(tmp_path / sink.__name__ / "ck")
+            _write_wave(spark, d, 1, w1)
+            q = sink(_kv_stream(spark, d), target, key="k", version_col="ts",
+                     checkpoint_dir=ckpt, **kw)
+            try:
+                q.processAllAvailable()
+                _write_wave(spark, d, 2, w2)
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            read = read_merge_target if sink is partitioned_merge_sink else (
+                lambda s, t: s.read.parquet(t)
+            )
+            results.append(
+                {(r["k"], r["v"]) for r in read(spark, target).collect()}
+            )
+    finally:
+        hconf.unset("parquet.statistics.truncate.length")
+
+    expect = {(k, float(i)) for i, k in enumerate(keys) if i % 7 != 0}
+    expect |= {(k, 1000.0 + i) for i, k in enumerate(keys) if i % 7 == 0}
+    assert results[0] == results[1] == expect

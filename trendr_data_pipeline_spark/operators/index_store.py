@@ -45,9 +45,14 @@ from .similarity import (
 )
 
 # v2 (r6): ivfpq codes are RESIDUAL codes (x_n − C[cell]) and the pq
-# meta carries an explicit ksub column — v1 artifacts would be
-# misdecoded, so the version gate rejects them
+# meta carries an explicit ksub column — v1 pq/ivfpq artifacts would be
+# misdecoded, so their version gate rejects them. The IVF layout and
+# semantics are UNCHANGED since v1, so v1 ivf artifacts stay valid
+# (r6 ADVICE: a single module-wide bump forced needless IVF rebuilds)
+# — versioning is per index KIND: new builds stamp _VERSION, readers
+# accept _ACCEPTED_VERSIONS[kind].
 _VERSION = 2
+_ACCEPTED_VERSIONS = {"ivf": {1, 2}, "pq": {2}, "ivfpq": {2}}
 
 
 def _atomic_write(out_dir: str, write_parts) -> None:
@@ -139,8 +144,11 @@ def ivf_topk_index(
 
     spark = queries.sparkSession
     meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
-    if meta["kind"] != "ivf" or meta["version"] != _VERSION:
-        raise ValueError(f"not an ivf v{_VERSION} index: {index_dir}")
+    if meta["kind"] != "ivf" or meta["version"] not in _ACCEPTED_VERSIONS["ivf"]:
+        raise ValueError(
+            f"not an ivf index at an accepted version "
+            f"({sorted(_ACCEPTED_VERSIONS['ivf'])}): {index_dir}"
+        )
     rows = spark.read.parquet(os.path.join(index_dir, "model")).collect()
     centroids = np.zeros((meta["nlist"], meta["dim"]), dtype=np.float64)
     for r in rows:
@@ -208,8 +216,11 @@ def pq_topk_index(
 
     spark = queries.sparkSession
     meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
-    if meta["kind"] != "pq" or meta["version"] != _VERSION:
-        raise ValueError(f"not a pq v{_VERSION} index: {index_dir}")
+    if meta["kind"] != "pq" or meta["version"] not in _ACCEPTED_VERSIONS["pq"]:
+        raise ValueError(
+            f"not a pq index at an accepted version "
+            f"({sorted(_ACCEPTED_VERSIONS['pq'])}): {index_dir}"
+        )
     m, ksub = meta["m"], meta["ksub"]
     dsub = meta["dim"] // m
     rows = spark.read.parquet(os.path.join(index_dir, "model")).collect()
@@ -297,8 +308,11 @@ def ivfpq_topk_index(
 
     spark = queries.sparkSession
     meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
-    if meta["kind"] != "ivfpq" or meta["version"] != _VERSION:
-        raise ValueError(f"not an ivfpq v{_VERSION} index: {index_dir}")
+    if meta["kind"] != "ivfpq" or meta["version"] not in _ACCEPTED_VERSIONS["ivfpq"]:
+        raise ValueError(
+            f"not an ivfpq index at an accepted version "
+            f"({sorted(_ACCEPTED_VERSIONS['ivfpq'])}): {index_dir}"
+        )
     nlist, m, ksub, dim = meta["nlist"], meta["m"], meta["ksub"], meta["dim"]
     rows = spark.read.parquet(os.path.join(index_dir, "model")).collect()
     centroids = np.zeros((nlist, dim), dtype=np.float64)

