@@ -24,7 +24,21 @@ totals compare like with like.
 
 The JSON also carries ``renames``: the name map this round's cap
 rotation applied (old → new), so round-over-round comparisons join on
-it instead of a hand-built table (r5 verdict item 8).
+it instead of a hand-built table (r5 verdict item 8). The rotation is
+RETIRED as of r7 — the attestation loop closed in r6, every
+oracle-bearing query has been driver-signed — so ``renames`` is
+permanently ``{}`` and the registry names are final (COVERAGE.md).
+
+Output size (r6 verdict item 6): the driver records only the LAST
+2000 characters of stdout and parses one JSON line out of them; since
+r4 the full-name per-query map outgrew that window and the driver's
+artifact lost the per-query times (``"parsed": null``). The printed
+line therefore keys ``queries`` by each query's unique ID prefix (the
+part before the first underscore — ``q01``, ``x17``, …), which keeps
+all 76 times inside the window; the full-name map is written to
+``BENCH_local_latest.json`` alongside this script for human/judge
+consumption (IDs are prefixes of the registry names, so the join is
+mechanical).
 """
 
 from __future__ import annotations
@@ -94,57 +108,30 @@ def main() -> None:
     operator_total = round(
         sum(t for n, t in timings.items() if t >= 0 and n not in harness), 3
     )
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "reps": REPS,
-                "sf": parse_sf(SF_DIR),
-                "harness_queries": harness,
-                "operator_total": operator_total,
-                # r6 cap rotation (old name in BENCH_r05 → name here);
-                # queries not listed kept their r5 names
-                "renames": {
-                    "c03_dedup_components": "x03_dedup_components",
-                    "c04_sequence_packing": "x04_sequence_packing",
-                    "c06_budget_selection": "x06_budget_selection",
-                    "c07_tfidf_topk": "x07_tfidf_topk",
-                    "c08_unigram_perplexity": "x08_unigram_perplexity",
-                    "c09_embedding_quantize": "x09_embedding_quantize",
-                    "c10_temperature_mix": "x10_temperature_mix",
-                    "c11_pq_topk": "x11_pq_topk",
-                    "c13_duplicated_spans": "x13_duplicated_spans",
-                    "c14_label_centroids": "x14_label_centroids",
-                    "c17_quality_embedding_corr": "x17_quality_embedding_corr",
-                    "c20_hashed_vectors": "x20_hashed_vectors",
-                    "c21_semantic_dedup": "x21_semantic_dedup",
-                    "c22_zipf_stats": "x22_zipf_stats",
-                    "zq03_top_customers_per_nation": "q03_top_customers_per_nation",
-                    "zq04_returned_orders_by_priority": "q04_returned_orders_by_priority",
-                    "zq05_customers_without_orders": "q05_customers_without_orders",
-                    "zq06_rollup_region_nation": "q06_rollup_region_nation",
-                    "zq07_distinct_counts": "q07_distinct_counts",
-                    "zq08_set_ops_customers": "q08_set_ops_customers",
-                    "zq09_filtered_scan": "q09_filtered_scan",
-                    "ze05_decayed_user_value": "e05_decayed_user_value",
-                    "ze06_value_percentiles": "e06_value_percentiles",
-                    "ze07_props_extraction": "e07_props_extraction",
-                    "zp03_type_allowlist": "p03_type_allowlist",
-                    "zp06_frame_sampling": "p06_frame_sampling",
-                    "zp07_audio_windows": "p07_audio_windows",
-                    "zs06_ttl_due_filter": "s06_ttl_due_filter",
-                    "zs08_maxby_best_per_group": "s08_maxby_best_per_group",
-                    "x05_streaming_interval_join": "c05_streaming_interval_join",
-                    "x18_streaming_momentum": "c18_streaming_momentum",
-                    "x23_ivfpq_topk": "c24_ivfpq_topk",
-                    "x25_span_removal": "c25_span_removal",
-                },
-            }
-        )
+    record = {
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "reps": REPS,
+        "sf": parse_sf(SF_DIR),
+        "harness_queries": harness,
+        "operator_total": operator_total,
+        # the cap rotation is retired (r7): registry names are FINAL
+        "renames": {},
+    }
+    # full-name record for humans and the judge (the driver's stdout
+    # window is 2000 chars — see module docstring)
+    with open(Path(__file__).resolve().parent / "BENCH_local_latest.json", "w") as f:
+        json.dump(record, f, indent=1)
+    compact = dict(record)
+    compact["queries"] = {n.split("_", 1)[0]: t for n, t in timings.items()}
+    compact["harness_queries"] = [n.split("_", 1)[0] for n in harness]
+    compact["queries_key"] = (
+        "unique id prefix of the registry name; full names in "
+        "BENCH_local_latest.json"
     )
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
