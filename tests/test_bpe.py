@@ -325,3 +325,149 @@ def test_bpe_tokenize_pieces_roundtrip(spark):
         assert "".join(r["pieces"]) == norm, d
         for p in r["pieces"]:
             assert len(p) == 1 or p in vocab_syms, (d, p)
+
+
+# ---------------------------------------------------------------------------
+# r7: production depth — fast in-memory learner, prefix-rule rewrite fuzz,
+# batch invariance at >=256 merges (r6 verdict item 2)
+# ---------------------------------------------------------------------------
+
+
+def _direct_scan_prefix(topk, batch, horizon_full):
+    """The r6 form of _safe_batch_prefix's condition-2 scan (direct
+    O(batch²·K) accepted × topk loop) — kept here as the reference the
+    r7 incremental-prefix rewrite is fuzzed against."""
+    accepted, conflict = [], set()
+    floor = topk[-1][2] if topk else 0
+    for left, right, cnt in topk:
+        if len(accepted) >= batch:
+            break
+        if accepted:
+            if left in conflict or right in conflict:
+                break
+            if horizon_full and cnt <= floor:
+                break
+            boundary_hit = any(
+                pc >= cnt and (pr == al or pl == ar)
+                for al, ar, _ in accepted
+                for pl, pr, pc in topk
+                if (pl, pr) != (left, right)
+            )
+            if boundary_hit:
+                break
+        accepted.append((left, right, cnt))
+        conflict.update((left, right, left + right))
+    return accepted
+
+
+def test_safe_batch_prefix_incremental_equals_direct_scan():
+    """400 random count-sorted topk lists over a tiny symbol alphabet
+    (dense shared symbols and ties — the regime where the prefix
+    machinery could diverge from the direct scan)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from trendr_data_pipeline_spark.operators.bpe import _safe_batch_prefix
+
+    sym = st.text(alphabet="abc", min_size=1, max_size=2)
+    entry = st.tuples(sym, sym, st.integers(1, 6))
+
+    @given(
+        entries=st.lists(entry, min_size=1, max_size=12),
+        batch=st.integers(1, 8),
+        horizon_full=st.booleans(),
+    )
+    @settings(max_examples=400, deadline=None)
+    def inner(entries, batch, horizon_full):
+        seen, topk = set(), []
+        for left, right, c in entries:
+            if (left, right) not in seen:
+                seen.add((left, right))
+                topk.append((left, right, c))
+        topk.sort(key=lambda t: (-t[2], t[0], t[1]))
+        assert _safe_batch_prefix(topk, batch, horizon_full) == (
+            _direct_scan_prefix(topk, batch, horizon_full)
+        ), (topk, batch, horizon_full)
+
+    inner()
+
+
+def test_fast_learner_matches_greedy_reference_random_corpora(spark):
+    """learn_bpe_merges_fast (dictionary-collapse + in-memory
+    incremental greedy) must equal the strict one-at-a-time reference
+    exactly — table AND recorded counts."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from trendr_data_pipeline_spark.operators.bpe import learn_bpe_merges_fast
+
+    word = st.text(alphabet="abc", min_size=1, max_size=6)
+    doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
+
+    @given(texts=st.lists(doc, min_size=1, max_size=6))
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def inner(texts):
+        docs = spark.createDataFrame([(t,) for t in texts], "text string")
+        got, _ = learn_bpe_merges_fast(docs, num_merges=15)
+        assert got == _reference_merges(texts, 15), texts
+
+    inner()
+
+
+def test_fast_learner_refuses_oversized_dictionary(spark):
+    from trendr_data_pipeline_spark.operators.bpe import learn_bpe_merges_fast
+
+    docs = spark.createDataFrame(
+        [("alpha beta gamma delta",), ("beta gamma epsilon zeta",)],
+        "text string",
+    )
+    with pytest.raises(ValueError, match="max_dict_rows"):
+        learn_bpe_merges_fast(docs, num_merges=4, max_dict_rows=3)
+
+
+def test_batch_invariance_at_depth_256(spark):
+    """r6 verdict item 2: batch-size invariance pinned at >= 256
+    merges — the regime where run-pair chains and flat tie-heavy
+    counts interact (the r5 ADVICE-high bug's habitat). The fixture's
+    31-word vocabulary caps word-internal BPE far below 256, so the
+    dictionary uses the SentencePiece-style word-bigram grain
+    (space as a symbol): distinct sf0.001 bigrams give ~8k learnable
+    merges. The in-memory learner is the strict-greedy reference
+    (property-pinned above); two different batch sizes must both
+    reproduce it exactly, table and counts."""
+    from trendr_data_pipeline_spark.operators.bpe import (
+        learn_bpe_merges,
+        learn_bpe_merges_fast,
+    )
+
+    docs = spark.read.parquet(f"{SMOKE_SF}/documents.parquet")
+    want, _ = learn_bpe_merges_fast(docs, num_merges=256, ngram=2)
+    assert len(want) == 256
+    for batch in (16, 64):
+        got, _ = learn_bpe_merges(docs, num_merges=256, batch=batch, ngram=2)
+        assert got == want, f"batch={batch} diverged from strict greedy"
+
+
+def test_ngram_word_frequencies_matches_python(spark):
+    """The SentencePiece-style n-gram dictionary must count exactly
+    the sliding word n-grams of the lowercased \\s+-split text."""
+    from collections import Counter
+
+    from trendr_data_pipeline_spark.operators.bpe import word_frequencies
+
+    texts = ["The cat  sat on the mat", "the cat\tran", "on", "a b a b a"]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        r["word"]: r["cnt"]
+        for r in word_frequencies(docs, ngram=2).collect()
+    }
+    want = Counter()
+    for t in texts:
+        ws = [w for w in re.split(r"\s+", t.lower()) if w]
+        for i in range(len(ws) - 1):
+            want[" ".join(ws[i : i + 2])] += 1
+    assert got == dict(want)

@@ -836,3 +836,39 @@ def test_remove_duplicated_spans_keep_one_rule(spark):
     )
     cov = duplicated_span_coverage(cleaned, n=8).collect()
     assert all(r["n_dup_windows"] == 0 for r in cov)
+
+
+def test_ivfpq_recall_monotone_in_nprobe(spark):
+    """r6 verdict item 5: the serving knob works — recall vs brute
+    force rises monotonically with nprobe at the x24 operating point
+    (full curve over nprobe ∈ {1,2,4,8,16} in SCALING.md via
+    tools/ivfpq_recall_bench.py: 0.26 → 0.42 → 0.62 → 0.80 → 0.84 on
+    this fixture). Pinned at the {1,4,16} points with margin; at
+    nprobe=nlist the probe admits the whole corpus, so the residual
+    shortfall from 1.0 is ADC ranking alone (the `candidates` knob —
+    FAISS's k_factor — recovers it, measured in the same table)."""
+    from trendr_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivfpq_topk,
+    )
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(queries, emb, k=10).collect()
+    }
+
+    def recall(nprobe: int) -> float:
+        got = ivfpq_topk(
+            queries, emb, k=10, nlist=16, nprobe=nprobe, m=8, ksub=16,
+            candidates=100,
+        ).collect()
+        hits = sum(
+            1 for r in got if (r["query_id"], r["neighbor_id"]) in truth
+        )
+        return hits / max(1, len(truth))
+
+    r1, r4, r16 = recall(1), recall(4), recall(16)
+    assert r1 < r4 < r16, (r1, r4, r16)
+    assert r16 >= 0.8, r16

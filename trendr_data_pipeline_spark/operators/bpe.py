@@ -115,6 +115,28 @@ def _safe_batch_prefix(
     accepted: list[tuple[str, str, int]] = []
     conflict: set[str] = set()
     floor = topk[-1][2] if topk else 0
+    # Incremental condition-2 machinery (r7): the direct
+    # accepted × topk scan is O(batch²·K) — ~10⁷ python ops per round
+    # at production sizes (batch 256, K 1024). The scan only ever
+    # consults topk pairs with ``pc >= cnt``, and cnt decreases
+    # monotonically along the count-sorted list, so that set is a
+    # GROWING PREFIX: as_left/as_right count how many prefix pairs
+    # start/end with each symbol, and the test per candidate is
+    # O(|accepted|). Exact-equivalence with the direct scan is fuzzed
+    # in tests/test_bpe.py.
+    #
+    # The scan includes pairs already ACCEPTED this batch: for
+    # distinct-symbol accepted merges that inclusion is vacuous
+    # (condition-1 disjointness bars any accepted pair from being
+    # another's boundary pair), but a RUN merge (a,a) must bound its
+    # own chained created pair (aa,a) — its own count is exactly the
+    # bound count(aa,a) <= count(a,a), so excluding it let batch>=2
+    # reorder ties against strict greedy (fuzz-found: vocab
+    # {hhh:5, iits:2}). Only the CANDIDATE pair itself is excluded
+    # (the ``- (al == right)`` / ``- (ar == left)`` terms).
+    as_left: dict[str, int] = {}
+    as_right: dict[str, int] = {}
+    pi = 0  # topk[:pi] is the current >= cnt prefix
     for left, right, cnt in topk:
         if len(accepted) >= batch:
             break
@@ -123,19 +145,15 @@ def _safe_batch_prefix(
                 break  # condition 1
             if horizon_full and cnt <= floor:
                 break  # condition 3
-            # the scan includes pairs already ACCEPTED this batch: for
-            # distinct-symbol accepted merges that inclusion is vacuous
-            # (condition-1 disjointness bars any accepted pair from
-            # being another's boundary pair), but a RUN merge (a,a)
-            # must bound its own chained created pair (aa,a) — its own
-            # count is exactly the bound count(aa,a) <= count(a,a), so
-            # excluding it let batch>=2 reorder ties against strict
-            # greedy (fuzz-found: vocab {hhh:5, iits:2})
+            while pi < len(topk) and topk[pi][2] >= cnt:
+                pl, pr, _ = topk[pi]
+                as_left[pl] = as_left.get(pl, 0) + 1
+                as_right[pr] = as_right.get(pr, 0) + 1
+                pi += 1
             boundary_hit = any(
-                pc >= cnt and (pr == al or pl == ar)
+                (as_right.get(al, 0) - (al == right)) > 0
+                or (as_left.get(ar, 0) - (ar == left)) > 0
                 for al, ar, _ in accepted
-                for pl, pr, pc in topk
-                if (pl, pr) != (left, right)
             )
             if boundary_hit:
                 break  # condition 2
@@ -145,15 +163,42 @@ def _safe_batch_prefix(
 
 
 def word_frequencies(
-    docs: DataFrame, text_col: str = "text", lowercase: bool = True
+    docs: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = True,
+    ngram: int = 1,
 ) -> DataFrame:
     """(word, cnt) dictionary — whitespace words, matching the
-    ``\\s+``-split token semantics used across the text operators."""
+    ``\\s+``-split token semantics used across the text operators.
+
+    ``ngram > 1`` builds the dictionary from sliding word n-grams
+    joined by a single space — the SentencePiece posture (Kudo &
+    Richardson 2018, public: whitespace is an ordinary symbol, merges
+    may cross word boundaries, the way production tokenizers learn
+    ``" the"``, ``"in the"``, …). The learner is unchanged — space is
+    just another character symbol — but the learnable merge space is
+    no longer bounded by the distinct-word inventory, which is what a
+    ≥1k-merge production run needs (tools/bpe_depth_bench.py)."""
     txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
-    w = F.explode(F.split(txt, r"\s+")).alias("word")
+    if ngram <= 1:
+        w = F.explode(F.split(txt, r"\s+")).alias("word")
+        return (
+            docs.select(w)
+            .filter(F.length("word") > 0)
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+    ws = F.filter(F.split(txt, r"\s+"), lambda w: F.length(w) > 0)
+    # materialize the split ONCE, then slice the attribute inside the
+    # transform — slicing a bound column is cheap; re-evaluating the
+    # split per element is the unbound-expression trap (module doc)
+    base = docs.select(ws.alias("ws")).filter(F.size("ws") >= ngram)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - (ngram - 1)),
+        lambda i: F.array_join(F.slice(F.col("ws"), i, ngram), " "),
+    )
     return (
-        docs.select(w)
-        .filter(F.length("word") > 0)
+        base.select(F.explode(grams).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -164,6 +209,8 @@ def learn_bpe_merges(
     num_merges: int = 10,
     text_col: str = "text",
     batch: int = 8,
+    ngram: int = 1,
+    round_log: list | None = None,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Learn ``num_merges`` BPE merges, up to ``batch`` per Spark
     round (provably greedy-equivalent — see module docstring; the
@@ -171,10 +218,16 @@ def learn_bpe_merges(
     (merge table, final vocabulary frame). Merge table rows: (step,
     left, right, weighted pair count at selection time). The
     vocabulary frame is (word, cnt, syms) with ``syms`` the word's
-    symbol sequence after all merges."""
+    symbol sequence after all merges.
+
+    ``ngram``: dictionary grain (see :func:`word_frequencies`) —
+    ``>1`` is the SentencePiece-style space-as-symbol mode production
+    depth needs. ``round_log``: optional list appended with one
+    ``(accepted_this_round, topk_len)`` tuple per Spark round — the
+    instrumentation behind the rounds-vs-merges curve in SCALING.md."""
     batch = max(1, batch)
     vocab = (
-        word_frequencies(docs, text_col)
+        word_frequencies(docs, text_col, ngram=ngram)
         .withColumn("syms", _chars_udf()(F.col("word")))
         .localCheckpoint()
     )
@@ -208,6 +261,8 @@ def learn_bpe_merges(
         accepted = _safe_batch_prefix(
             topk, min(batch, remaining), horizon_full=len(topk) == k
         )
+        if round_log is not None:
+            round_log.append((len(accepted), len(topk)))
         for left, right, wcnt in accepted:
             merges.append((len(merges) + 1, left, right, wcnt))
         applied = [(left, right) for left, right, _ in accepted]
@@ -403,3 +458,119 @@ def bpe_tokenize(
             ).alias("n_pieces"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r7: production-depth learner — dictionary-collapse + in-memory exact greedy
+# ---------------------------------------------------------------------------
+
+MAX_DICT_ROWS = 5_000_000
+
+
+def learn_bpe_merges_fast(
+    docs: DataFrame,
+    num_merges: int = 1024,
+    text_col: str = "text",
+    ngram: int = 1,
+    max_dict_rows: int = MAX_DICT_ROWS,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Production-depth BPE: the Spark job collapses the corpus to the
+    (word, cnt) dictionary — the ONE fact-table pass — then the exact
+    one-at-a-time greedy loop runs IN MEMORY on the driver with
+    incremental pair-count maintenance (a lazy max-heap plus per-pair
+    posting sets), the way public tokenizer trainers work (Sennrich
+    et al. 2016's fast implementation; HuggingFace `tokenizers`
+    trains from word counts in memory for exactly this reason).
+
+    Why this exists alongside :func:`learn_bpe_merges`: strict-greedy
+    BPE is inherently sequential — the batched prover stalls at ~1-2
+    accepted merges/round once top counts flatten (measured curve in
+    SCALING.md), so a 30k-merge production vocabulary would cost tens
+    of thousands of Spark rounds. But the DICTIONARY is small even
+    when the corpus is not (millions of distinct words against
+    trillions of corpus tokens at web scale), so the 100 TB posture
+    is: distributed dictionary collapse, bounded driver collect
+    (``take(max_dict_rows + 1)`` — refuses loudly, same guard shape as
+    ANN serving's MAX_QUERY_ROWS), in-memory merge loop. Use the
+    distributed rounds only when even the dictionary exceeds driver
+    memory.
+
+    Returns exactly what :func:`learn_bpe_merges` returns, and the
+    merge table is IDENTICAL (same count-desc/lexicographic ordering;
+    pinned against the batched learner at 256 merges and against the
+    strict-greedy reference by property test in tests/test_bpe.py).
+    """
+    spark = docs.sparkSession
+    rows = word_frequencies(docs, text_col, ngram=ngram).take(max_dict_rows + 1)
+    if len(rows) > max_dict_rows:
+        raise ValueError(
+            f"dictionary exceeds max_dict_rows={max_dict_rows}; the "
+            "in-memory learner collects the (word, cnt) dictionary — "
+            "raise the bound if the driver has headroom, or fall back "
+            "to learn_bpe_merges (distributed batched rounds)"
+        )
+    import heapq
+    from collections import Counter
+
+    words: list[list[str]] = [list(r["word"]) for r in rows]
+    cnts: list[int] = [int(r["cnt"]) for r in rows]
+
+    pair_counts: Counter = Counter()
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, syms in enumerate(words):
+        c = cnts[wi]
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += c
+            pair_words.setdefault(p, set()).add(wi)
+
+    # lazy heap: stale entries are skipped when their recorded count
+    # no longer matches pair_counts (standard decrease-key avoidance)
+    heap = [(-c, p[0], p[1]) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    def push(p: tuple[str, str]) -> None:
+        heapq.heappush(heap, (-pair_counts[p], p[0], p[1]))
+
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < num_merges and heap:
+        negc, left, right = heapq.heappop(heap)
+        cur = pair_counts.get((left, right))
+        if cur is None or -negc != cur:
+            continue  # stale
+        merges.append((len(merges) + 1, left, right, cur))
+        merged = left + right
+        for wi in list(pair_words.get((left, right), ())):
+            syms = words[wi]
+            c = cnts[wi]
+            old = list(zip(syms, syms[1:]))
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[wi] = out
+            new = list(zip(out, out[1:]))
+            oc, nc = Counter(old), Counter(new)
+            for p in oc.keys() | nc.keys():
+                d = nc.get(p, 0) - oc.get(p, 0)
+                if d:
+                    pair_counts[p] += d * c
+                    if pair_counts[p] <= 0:
+                        del pair_counts[p]
+                        pair_words.get(p, set()).discard(wi)
+                    else:
+                        push(p)
+                if nc.get(p, 0) == 0:
+                    pair_words.get(p, set()).discard(wi)
+                elif oc.get(p, 0) == 0:
+                    pair_words.setdefault(p, set()).add(wi)
+        pair_words.pop((left, right), None)
+
+    vocab = spark.createDataFrame(
+        [(r["word"], cnts[i], words[i]) for i, r in enumerate(rows)],
+        "word string, cnt bigint, syms array<string>",
+    )
+    return merges, vocab
