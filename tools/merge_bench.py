@@ -14,8 +14,10 @@ buckets, any batch of n >> B distinct keys touches ALL buckets, so the
 r5 sink rewrote the whole table per batch. With file pruning the
 rewrite volume is ~min(n · rows_per_file, table).
 
-Usage: python tools/merge_bench.py  (prints a markdown table for
-SCALING.md).
+Usage: python tools/merge_bench.py          (500k-row crossover table)
+       python tools/merge_bench.py --big    (r7: 5M rows / 128MB-file
+       posture — footer-pass cost measured separately)
+Both print markdown tables for SCALING.md.
 """
 
 from __future__ import annotations
@@ -42,10 +44,21 @@ FINE_ROWS_PER_FILE = 500  # ~16 range-disjoint files per bucket
 COARSE_ROWS_PER_FILE = 1 << 20  # one file per bucket == the r5 layout
 BATCH_SIZES = [1, 10, 100, 1_000, 10_000]
 
+# --big (r6 verdict item 8): one scale step up — 5M rows at a
+# 128MB-file posture (10k rows/file here standing in for the
+# rows-per-128MB of a real table; ~8 range-disjoint files per
+# bucket). The claim under test: the per-batch footer pass scales
+# with the AFFECTED buckets' file count, not the table, so the
+# constant stays sublinear as the table grows.
+BIG_TABLE_ROWS = 5_000_000
+BIG_ROWS_PER_FILE = 10_000
+BIG_BATCH_SIZES = [1, 100, 10_000]
 
-def build_table(spark, target: str, rows_per_file: int, bucket_of) -> None:
+
+def build_table(spark, target: str, rows_per_file: int, bucket_of,
+                table_rows: int = TABLE_ROWS) -> None:
     t0 = dt.datetime(2025, 1, 1)
-    base = spark.range(TABLE_ROWS).select(
+    base = spark.range(table_rows).select(
         F.format_string("k%08d", F.col("id")).alias("k"),
         F.lit(t0).alias("ts"),
         F.col("id").cast("double").alias("v"),
@@ -53,11 +66,11 @@ def build_table(spark, target: str, rows_per_file: int, bucket_of) -> None:
     _pruned_bucket_upsert(base, target, "k", "ts", bucket_of, 0, rows_per_file)
 
 
-def batch_of(spark, n: int, seed: int):
+def batch_of(spark, n: int, seed: int, table_rows: int = TABLE_ROWS):
     t1 = dt.datetime(2025, 6, 1)
     # uniform WITHOUT clustering: hash-spread ids across the key space
     return (
-        spark.range(TABLE_ROWS)
+        spark.range(table_rows)
         .orderBy(F.xxhash64(F.col("id"), F.lit(seed)))
         .limit(n)
         .select(
@@ -79,6 +92,9 @@ def inode_set(p: str) -> set:
 def main() -> None:
     spark = get_spark("merge-bench")
     bucket_of = F.pmod(F.xxhash64(F.col("k")), F.lit(BUCKETS))
+    if "--big" in sys.argv:
+        run_big(spark, bucket_of)
+        return
     print(f"table={TABLE_ROWS} rows, buckets={BUCKETS}")
     print("| distinct batch keys | layout | batch wall s | files rewritten | rows rewritten (est) |")
     print("|---|---|---|---|---|")
@@ -103,6 +119,52 @@ def main() -> None:
                 )
             finally:
                 shutil.rmtree(work, ignore_errors=True)
+
+
+def run_big(spark, bucket_of) -> None:
+    print(f"table={BIG_TABLE_ROWS} rows, buckets={BUCKETS}, "
+          f"rows/file={BIG_ROWS_PER_FILE} (128MB posture)")
+    print("| distinct batch keys | batch wall s | footer pass s |"
+          " files rewritten | rows rewritten (est) |")
+    print("|---|---|---|---|---|")
+    import trendr_data_pipeline_spark.streaming.jobs as J
+
+    for n in BIG_BATCH_SIZES:
+        work = tempfile.mkdtemp(prefix="mergebench_big_")
+        target = f"{work}/tbl"
+        try:
+            build_table(spark, target, BIG_ROWS_PER_FILE, bucket_of,
+                        table_rows=BIG_TABLE_ROWS)
+            before = inode_set(target)
+            b = batch_of(spark, n, seed=n,
+                         table_rows=BIG_TABLE_ROWS).localCheckpoint()
+            footer = [0.0]
+            orig = J._file_key_ranges
+
+            def timed(paths, key):
+                t = time.time()
+                out = orig(paths, key)
+                footer[0] += time.time() - t
+                return out
+
+            J._file_key_ranges = timed
+            try:
+                t0 = time.time()
+                _pruned_bucket_upsert(b, target, "k", "ts", bucket_of, 1,
+                                      BIG_ROWS_PER_FILE)
+                wall = time.time() - t0
+            finally:
+                J._file_key_ranges = orig
+            after = inode_set(target)
+            rewritten = len(after - before)
+            rows_per_file = BIG_TABLE_ROWS / max(1, len(before))
+            print(
+                f"| {n} | {wall:.2f} | {footer[0]:.3f} |"
+                f" {rewritten}/{len(after)} |"
+                f" ~{int(min(rewritten * rows_per_file, BIG_TABLE_ROWS))} |"
+            )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":
