@@ -1080,3 +1080,102 @@ def test_partitioned_merge_sink_long_high_byte_keys(spark, tmp_path):
     expect = {(k, float(i)) for i, k in enumerate(keys) if i % 7 != 0}
     expect |= {(k, 1000.0 + i) for i, k in enumerate(keys) if i % 7 == 0}
     assert results[0] == results[1] == expect
+
+
+def test_token_bucket_single_batch_matches_batch_twin(spark, events_dir):
+    """SS1 (r7): replaying the whole fixture in one micro-batch, the
+    admitted set must equal the batch twin's row_number form exactly
+    (same key, same (ts, id) ordering)."""
+    from trendr_data_pipeline_spark.streaming.jobs import (
+        events_stream,
+        token_bucket_admission,
+        token_bucket_batch,
+    )
+
+    kw = dict(daily_tokens=5, reset_hour_utc=7)
+    q = (
+        token_bucket_admission(events_stream(spark, events_dir), **kw)
+        .writeStream.format("memory")
+        .queryName("tb_admitted")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "select event_type, budget_day, event_id from tb_admitted"
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in token_bucket_batch(
+            spark.read.parquet(f"{events_dir}/events.parquet"), **kw
+        )
+        .select("event_type", "budget_day", "event_id")
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_token_bucket_reset_at_utc_hour(spark, tmp_path):
+    """SS1 reset semantics pinned across micro-batches: a source that
+    exhausts its budget stays blocked for the rest of the budget day
+    (second wave, same day → nothing admitted), and the day rolls
+    over at reset_hour_utc, NOT midnight (third wave, 06:59 next
+    calendar day is the SAME budget day → still blocked; 07:01 →
+    fresh budget)."""
+    import datetime as dt
+
+    from trendr_data_pipeline_spark.streaming.jobs import (
+        token_bucket_admission,
+    )
+
+    d = _wave_dir(tmp_path)
+
+    def write(i, rows):
+        spark.createDataFrame(
+            rows, "event_type string, event_id long, ts timestamp"
+        ).coalesce(1).write.parquet(f"{d}/w{i}")
+        import glob as g
+        import shutil as sh
+
+        for f in g.glob(f"{d}/w{i}/*.parquet"):
+            sh.move(f, f"{d}/w{i}.parquet")
+        sh.rmtree(f"{d}/w{i}")
+
+    t = dt.datetime(2025, 3, 1, 12, 0)  # budget day starts 07:00 UTC
+    stream = spark.readStream.schema(
+        "event_type string, event_id long, ts timestamp"
+    ).parquet(d)
+    write(1, [("api", i, t + dt.timedelta(minutes=i)) for i in range(4)])
+    q = (
+        token_bucket_admission(
+            stream, daily_tokens=3, reset_hour_utc=7,
+            id_col="event_id", ts_col="ts",
+        )
+        .writeStream.format("memory")
+        .queryName("tb_reset")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # same budget day: already exhausted
+        write(2, [("api", 10, t + dt.timedelta(hours=1))])
+        q.processAllAvailable()
+        # next calendar day 06:59 — still the SAME budget day
+        write(3, [("api", 20, dt.datetime(2025, 3, 2, 6, 59))])
+        q.processAllAvailable()
+        # 07:01 — new budget day, fresh tokens
+        write(4, [("api", 30, dt.datetime(2025, 3, 2, 7, 1))])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        r["event_id"] for r in spark.sql("select * from tb_reset").collect()
+    )
+    assert got == [0, 1, 2, 30], got

@@ -226,6 +226,96 @@ def topn_dedup_stateful(
 
 
 # ---------------------------------------------------------------------------
+# SS1 — daily token bucket with UTC reset hour
+# ---------------------------------------------------------------------------
+
+
+def _budget_day(ts_col: str, reset_hour_utc: int):
+    """The budget day a timestamp belongs to: the 24h window starting
+    at ``reset_hour_utc`` — shifting by the reset hour makes the
+    window boundary a plain date truncation."""
+    return F.to_date(
+        F.col(ts_col) - F.expr(f"INTERVAL {int(reset_hour_utc)} HOURS")
+    ).alias("budget_day")
+
+
+def token_bucket_admission(
+    stream: DataFrame,
+    daily_tokens: int = 100,
+    reset_hour_utc: int = 7,
+    watermark: str = "3 days",
+    source_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """SS1 — the reference's daily API token bucket with UTC reset
+    hour (google_places_ingester.py:44-74: ``daily_tokens`` calls per
+    day, the day rolling over at ``reset_hour_utc``; calls beyond the
+    budget are BLOCKED). Streaming form: per (source, budget day),
+    the first ``daily_tokens`` requests — (ts, id)-ordered within
+    each micro-batch — are admitted and emitted; the rest never
+    leave the operator.
+
+    Keying the state on the BUDGET DAY makes the daily reset
+    structural rather than imperative: a new day is a new state key
+    with a fresh counter (no reset-time bookkeeping to replay
+    through a crash), and the watermark expires finished days' state
+    — per-key state is a single counter, the same bounded shape as
+    SS3. Deterministic under checkpoint replay because each batch
+    group is sorted before consuming tokens.
+
+    Batch twin / oracle: :func:`token_bucket_batch` (row_number over
+    the same key, same ordering)."""
+    out_schema = (
+        f"{source_col} string, budget_day date, {id_col} long,"
+        f" {ts_col} timestamp"
+    )
+    state_schema = "used long"
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (used,) = state.get if state.exists else (0,)
+        batch = pd.concat(list(pdfs)).sort_values([ts_col, id_col])
+        keep = batch.iloc[: max(0, daily_tokens - used)]
+        state.update((min(daily_tokens, used + len(batch)),))
+        yield keep[[source_col, "budget_day", id_col, ts_col]]
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .withColumn("budget_day", _budget_day(ts_col, reset_hour_utc))
+        .groupBy(source_col, "budget_day")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def token_bucket_batch(
+    events: DataFrame,
+    daily_tokens: int = 100,
+    reset_hour_utc: int = 7,
+    source_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Batch twin of :func:`token_bucket_admission`: the admitted set
+    is the first ``daily_tokens`` rows per (source, budget day) in
+    (ts, id) order — one window row_number, no state."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source_col, "budget_day").orderBy(ts_col, id_col)
+    return (
+        events.withColumn("budget_day", _budget_day(ts_col, reset_hour_utc))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= daily_tokens)
+        .select(source_col, "budget_day", id_col, ts_col)
+    )
+
+
+# ---------------------------------------------------------------------------
 # SS7 — rescan scheduling with state timeouts
 # ---------------------------------------------------------------------------
 
