@@ -126,6 +126,9 @@ def main() -> None:
         json.dump(record, f, indent=1)
     compact = dict(record)
     compact["queries"] = {n.split("_", 1)[0]: t for n, t in timings.items()}
+    # the frozen names have unique id prefixes; a future name reusing
+    # one would silently drop a timing from the compact map — fail loud
+    assert len(compact["queries"]) == len(timings), "duplicate id prefix"
     compact["harness_queries"] = [n.split("_", 1)[0] for n in harness]
     compact["queries_key"] = (
         "unique id prefix of the registry name; full names in "

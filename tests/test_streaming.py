@@ -1173,9 +1173,53 @@ def test_token_bucket_reset_at_utc_hour(spark, tmp_path):
         # 07:01 — new budget day, fresh tokens
         write(4, [("api", 30, dt.datetime(2025, 3, 2, 7, 1))])
         q.processAllAvailable()
+        # far-future wave: advances the watermark (3d delay) past the
+        # first days' ends, firing their EventTimeTimeout eviction —
+        # the stream must keep admitting afterwards
+        write(5, [("api", 40, dt.datetime(2025, 3, 10, 12, 0))])
+        q.processAllAvailable()
+        write(6, [("api", 41, dt.datetime(2025, 3, 10, 12, 1))])
+        q.processAllAvailable()
+        # numRowsRemoved is per-batch: the timeout fires in the batch
+        # AFTER the watermark advances, so scan the whole history
+        evicted = sum(
+            so.get("numRowsRemoved", 0)
+            for p in q.recentProgress
+            for so in (p.get("stateOperators") or [])
+        )
     finally:
         q.stop()
     got = sorted(
         r["event_id"] for r in spark.sql("select * from tb_reset").collect()
     )
-    assert got == [0, 1, 2, 30], got
+    assert got == [0, 1, 2, 30, 40, 41], got
+    # the finished budget days' counters were actually removed
+    assert evicted >= 1, "EventTimeTimeout never evicted state"
+
+
+def test_token_bucket_budget_day_is_session_timezone_proof(spark, events_dir):
+    """_budget_day is epoch arithmetic: the admitted set must be
+    byte-identical under any spark.sql.session.timeZone (a
+    to_date(ts - INTERVAL) form would move the reset boundary with
+    the session zone)."""
+    from trendr_data_pipeline_spark.streaming.jobs import token_bucket_batch
+
+    events = spark.read.parquet(f"{events_dir}/events.parquet")
+    kw = dict(daily_tokens=5, reset_hour_utc=7)
+
+    def run():
+        return {
+            tuple(r)
+            for r in token_bucket_batch(events, **kw)
+            .select("event_type", "budget_day", "event_id")
+            .collect()
+        }
+
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    base = run()
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        shifted = run()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+    assert base == shifted and base

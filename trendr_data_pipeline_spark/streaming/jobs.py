@@ -229,14 +229,22 @@ def topn_dedup_stateful(
 # SS1 — daily token bucket with UTC reset hour
 # ---------------------------------------------------------------------------
 
+_EPOCH_ORDINAL = 719163  # datetime.date(1970, 1, 1).toordinal()
+
 
 def _budget_day(ts_col: str, reset_hour_utc: int):
     """The budget day a timestamp belongs to: the 24h window starting
-    at ``reset_hour_utc`` — shifting by the reset hour makes the
-    window boundary a plain date truncation."""
-    return F.to_date(
-        F.col(ts_col) - F.expr(f"INTERVAL {int(reset_hour_utc)} HOURS")
-    ).alias("budget_day")
+    at ``reset_hour_utc`` UTC. Computed in epoch arithmetic
+    (``unix_timestamp`` on a timestamp is timezone-free;
+    ``date_from_unix_date`` is a pure day-number decode), so the UTC
+    semantics hold under ANY ``spark.sql.session.timeZone`` — a
+    ``to_date(ts - INTERVAL h HOURS)`` form would truncate in the
+    session zone and move the reset boundary (r7 review finding)."""
+    days = F.floor(
+        (F.unix_timestamp(F.col(ts_col)) - int(reset_hour_utc) * 3600)
+        / 86400
+    )
+    return F.date_from_unix_date(days.cast("int")).alias("budget_day")
 
 
 def token_bucket_admission(
@@ -259,28 +267,51 @@ def token_bucket_admission(
     Keying the state on the BUDGET DAY makes the daily reset
     structural rather than imperative: a new day is a new state key
     with a fresh counter (no reset-time bookkeeping to replay
-    through a crash), and the watermark expires finished days' state
-    — per-key state is a single counter, the same bounded shape as
-    SS3. Deterministic under checkpoint replay because each batch
-    group is sorted before consuming tokens.
+    through a crash). Per-key state is a single counter, and finished
+    days' state is REMOVED via ``EventTimeTimeout`` set to the budget
+    day's end — once the watermark passes the last admissible
+    timestamp of a day, no event can join it, so the counter is dead
+    weight (same eviction pattern as SS7; without it the state store
+    would grow one entry per source per day forever — r7 review
+    finding). Deterministic under checkpoint replay because each
+    batch group is sorted before consuming tokens.
 
     Batch twin / oracle: :func:`token_bucket_batch` (row_number over
-    the same key, same ordering)."""
+    the same key, same ordering). The twins agree exactly whenever
+    each budget day's events ARRIVE in (ts, id) order (single-batch
+    replay, or event-time-ordered ingestion); under out-of-order
+    multi-batch arrival the streaming operator is arrival-order
+    greedy — the reference's processing-order bucket semantics
+    (google_places_ingester.py:57-74) — while the batch twin is the
+    event-time-canonical admission, and the two can admit different
+    rows of an over-budget day. Both are pinned in
+    tests/test_streaming.py (single-batch equality; multi-batch
+    reset/blocking semantics)."""
     out_schema = (
         f"{source_col} string, budget_day date, {id_col} long,"
         f" {ts_col} timestamp"
     )
     state_schema = "used long"
+    reset_s = int(reset_hour_utc) * 3600
 
     def fn(
         key: tuple[Any, ...],
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
         (used,) = state.get if state.exists else (0,)
         batch = pd.concat(list(pdfs)).sort_values([ts_col, id_col])
         keep = batch.iloc[: max(0, daily_tokens - used)]
         state.update((min(daily_tokens, used + len(batch)),))
+        # last admissible instant of this budget day: day start
+        # (epoch day + reset hour) + 24h — watermark past it ⇒ the
+        # key is finished and its counter removable
+        epoch_day = key[1].toordinal() - _EPOCH_ORDINAL
+        day_end_ms = ((epoch_day + 1) * 86400 + reset_s) * 1000
+        state.setTimeoutTimestamp(day_end_ms)
         yield keep[[source_col, "budget_day", id_col, ts_col]]
 
     return (
@@ -288,7 +319,8 @@ def token_bucket_admission(
         .withColumn("budget_day", _budget_day(ts_col, reset_hour_utc))
         .groupBy(source_col, "budget_day")
         .applyInPandasWithState(
-            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
         )
     )
 
