@@ -569,8 +569,17 @@ def learn_bpe_merges_fast(
                     pair_words.setdefault(p, set()).add(wi)
         pair_words.pop((left, right), None)
 
+    # the return frame goes back through Arrow (pandas → createDataFrame
+    # uses the Arrow path), not a row-list — at the 5M-row guard bound a
+    # Py4J row-by-row upload would dominate the whole learn
     vocab = spark.createDataFrame(
-        [(r["word"], cnts[i], words[i]) for i, r in enumerate(rows)],
+        pd.DataFrame(
+            {
+                "word": [r["word"] for r in rows],
+                "cnt": cnts,
+                "syms": words,
+            }
+        ),
         "word string, cnt bigint, syms array<string>",
     )
     return merges, vocab
