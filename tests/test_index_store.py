@@ -153,3 +153,106 @@ def test_ivfpq_index_scan_is_partition_pruned(spark, tmp_path):
         sub.explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "cell" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# r7: incremental extend (FAISS train/add split)
+# ---------------------------------------------------------------------------
+
+
+def _inodes(d):
+    out = {}
+    for root, _dirs, files in os.walk(d):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, d)] = os.stat(p).st_ino
+    return out
+
+
+def test_extend_ivf_index_adds_without_rewrite(spark, tmp_path):
+    """extend = FAISS add: (1) at nprobe = nlist the extended index
+    answers exactly the brute force over the UNION (degenerate-exact
+    under the original centroids); (2) every pre-existing file
+    survives as the SAME inode (the no-retrain/no-rewrite claim is
+    executable); (3) model/ and meta/ are untouched."""
+    from trendr_data_pipeline_spark.operators.index_store import (
+        extend_ivf_index,
+    )
+    from trendr_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    idx = str(tmp_path / "ivf_idx")
+    write_ivf_index(base, idx, nlist=8, seed=42)
+    before = _inodes(idx)
+    extend_ivf_index(new, idx)
+    after = _inodes(idx)
+    # old files: same relative path, same inode
+    for rel, ino in before.items():
+        assert after.get(rel) == ino, f"rewritten or lost: {rel}"
+    assert len(after) > len(before)  # new cell files landed
+    got = _rows(
+        ivf_topk_index(queries, idx, k=10, nprobe=8).select(
+            "query_id", "neighbor_id"
+        )
+    )
+    want = _rows(
+        cosine_topk_bruteforce(queries, emb, k=10).select(
+            "query_id", "neighbor_id"
+        )
+    )
+    assert got == want
+
+
+def test_extend_ivfpq_index_new_vectors_findable(spark, tmp_path):
+    """After extend, a query identical to a NEW vector returns that
+    vector as its top hit (exact rescore: cosine 1.0 wins once ADC
+    admits it), and old files' inodes are unchanged."""
+    from trendr_data_pipeline_spark.operators.index_store import (
+        extend_ivfpq_index,
+        ivfpq_topk_index,
+        write_ivfpq_index,
+    )
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    idx = str(tmp_path / "ivfpq_idx")
+    write_ivfpq_index(base, idx, nlist=8, m=8, ksub=16, seed=42)
+    before = _inodes(idx)
+    extend_ivfpq_index(new, idx)
+    after = _inodes(idx)
+    for rel, ino in before.items():
+        assert after.get(rel) == ino, f"rewritten or lost: {rel}"
+    # query with FRESH ids (the ADC scan masks qid == neighbor_id self
+    # matches by design): each query vector equals one NEW corpus
+    # vector, which must come back as the exact-cosine-1.0 top hit
+    queries = new.filter(F.col("vec_id") % 100 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    got = ivfpq_topk_index(
+        queries, emb, idx, k=1, nprobe=8, candidates=400
+    ).collect()
+    assert got, "no results from extended index"
+    for r in got:
+        assert r["neighbor_id"] == r["query_id"] - 1_000_000, r
+        assert abs(r["cosine_sim"] - 1.0) < 1e-9
+
+
+def test_extend_ivf_index_rejects_wrong_kind(spark, tmp_path):
+    import pytest
+
+    from trendr_data_pipeline_spark.operators.index_store import (
+        extend_ivfpq_index,
+    )
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    idx = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, idx, nlist=8)
+    with pytest.raises(ValueError, match="ivfpq"):
+        extend_ivfpq_index(emb.limit(5), idx)

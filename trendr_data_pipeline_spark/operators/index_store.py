@@ -347,3 +347,153 @@ def ivfpq_topk_index(
         queries, corpus, books, coded, k, candidates, id_col, vec_col,
         probe_centroids=centroids, nprobe=nprobe, qrows=qrows, residual=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# r7: incremental extend — FAISS's train/add split for persisted artifacts
+# ---------------------------------------------------------------------------
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Hard-link every file under ``src`` into the same relative
+    layout under ``dst`` (copy2 fallback on mounts without link
+    support — the merge-sink posture). Zero data movement on POSIX."""
+    import shutil
+
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        out = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(out, exist_ok=True)
+        for f in files:
+            s, d = os.path.join(root, f), os.path.join(out, f)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+
+
+def _stage_into_cells(new_part: DataFrame, data_dir: str) -> None:
+    """Write the cell-partitioned new rows into a staging dir, then
+    move its part files into the (already hard-linked) ``data_dir``
+    cell tree. Spark part-file names carry write UUIDs, so moved
+    files cannot collide with linked ones — the same argument the
+    partitioned merge sink documents."""
+    import shutil
+
+    stage = data_dir + "._stage"
+    new_part.write.partitionBy("cell").parquet(stage)
+    for root, _dirs, files in os.walk(stage):
+        rel = os.path.relpath(root, stage)
+        if rel == ".":
+            continue
+        out = os.path.join(data_dir, rel)
+        os.makedirs(out, exist_ok=True)
+        for f in files:
+            if f.endswith(".parquet"):
+                shutil.move(os.path.join(root, f), os.path.join(out, f))
+    shutil.rmtree(stage)
+
+
+def extend_ivf_index(
+    new_vectors: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """FAISS's ``train``/``add`` split, parquet-artifact edition (the
+    lifecycle step between :func:`write_ivf_index` — full retrain +
+    rewrite — and serving): add ``new_vectors`` to a persisted IVF
+    index WITHOUT retraining the coarse quantizer and WITHOUT
+    rewriting the stored corpus. The trained centroids are reused
+    verbatim (assignment is the same stable cosine argmax as
+    serving), every existing file is HARD-LINKED into the new
+    artifact, and only the new rows are assigned and written — cost
+    O(new vectors), not O(corpus). The swap is the same atomic
+    two-phase rename as every index build: readers never observe a
+    half-extended index, and a crashed extend leaves the old artifact
+    intact (retry-safe).
+
+    Search contract (pinned in tests/test_index_store.py): after
+    extend, queries run against the UNION corpus under the ORIGINAL
+    centroids — at nprobe = nlist that is exactly the brute force
+    over the union (the m03 degenerate argument), and the old files'
+    inodes are unchanged (the no-rewrite claim is executable)."""
+    import numpy as np
+
+    spark = new_vectors.sparkSession
+    from .similarity import _nearest_cells
+
+    meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+    if meta["kind"] != "ivf" or meta["version"] not in _ACCEPTED_VERSIONS["ivf"]:
+        raise ValueError(
+            f"not an ivf index at an accepted version "
+            f"({sorted(_ACCEPTED_VERSIONS['ivf'])}): {index_dir}"
+        )
+    rows = spark.read.parquet(os.path.join(index_dir, "model")).collect()
+    centroids = np.zeros((meta["nlist"], meta["dim"]), dtype=np.float64)
+    for r in rows:
+        centroids[r["cell"]] = r["vec"]
+    assign_udf = _nearest_cells(centroids, nprobe=1)
+    assigned = new_vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        assign_udf(F.col(vec_col)).getItem(0).alias("cell"),
+    )
+
+    def parts(tmp: str) -> None:
+        _link_tree(index_dir, tmp)
+        _stage_into_cells(assigned, os.path.join(tmp, "data"))
+
+    _atomic_write(index_dir, parts)
+
+
+def extend_ivfpq_index(
+    new_vectors: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """:func:`extend_ivf_index` for the IVFPQ artifact: reuse the
+    trained centroids AND residual codebooks, hard-link every
+    existing file, encode + write only the new rows (one Arrow
+    projection over the new vectors). New vectors' residuals are
+    quantized by codebooks trained before they existed — exactly
+    FAISS ``add`` semantics: the codebook is a frozen model, recall
+    on post-training data is an empirical property (pinned: a query
+    equal to a new vector finds it — the exact rescore guarantees
+    cosine 1.0 wins once ADC admits it)."""
+    import numpy as np
+
+    spark = new_vectors.sparkSession
+    from .similarity import _assign_and_encode_residual
+
+    meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+    if meta["kind"] != "ivfpq" or meta["version"] not in _ACCEPTED_VERSIONS["ivfpq"]:
+        raise ValueError(
+            f"not an ivfpq index at an accepted version "
+            f"({sorted(_ACCEPTED_VERSIONS['ivfpq'])}): {index_dir}"
+        )
+    nlist, m, ksub, dim = meta["nlist"], meta["m"], meta["ksub"], meta["dim"]
+    rows = spark.read.parquet(os.path.join(index_dir, "model")).collect()
+    centroids = np.zeros((nlist, dim), dtype=np.float64)
+    books = np.zeros((m, ksub, dim // m), dtype=np.float64)
+    for r in rows:
+        if r["subspace"] < 0:
+            centroids[r["code"]] = r["vec"]
+        else:
+            books[r["subspace"], r["code"]] = r["vec"]
+    assign_encode = _assign_and_encode_residual(centroids, books)
+    coded = new_vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        assign_encode(F.col(vec_col)).alias("ce"),
+    ).select(
+        "neighbor_id",
+        F.col("ce.cell").alias("cell"),
+        F.col("ce.codes").alias("codes"),
+    )
+
+    def parts(tmp: str) -> None:
+        _link_tree(index_dir, tmp)
+        _stage_into_cells(coded, os.path.join(tmp, "data"))
+
+    _atomic_write(index_dir, parts)
