@@ -256,3 +256,42 @@ def test_extend_ivf_index_rejects_wrong_kind(spark, tmp_path):
     write_ivf_index(emb, idx, nlist=8)
     with pytest.raises(ValueError, match="ivfpq"):
         extend_ivfpq_index(emb.limit(5), idx)
+
+
+def test_extend_heals_crash_residue(spark, tmp_path):
+    """An extend that died mid-build (leftover ._tmp) or mid-swap
+    cleanup (leftover .old) must not poison the next extend — the
+    shared _atomic_write recovery, exercised through the extend
+    path."""
+    import shutil
+
+    from trendr_data_pipeline_spark.operators.index_store import (
+        extend_ivf_index,
+    )
+    from trendr_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    idx = str(tmp_path / "ivf_idx")
+    write_ivf_index(base, idx, nlist=8, seed=42)
+    # simulate a crashed prior build: torn tmp + stale old backup
+    os.makedirs(idx + "._tmp/garbage")
+    shutil.copytree(idx, idx + ".old")
+    extend_ivf_index(new, idx)
+    assert not os.path.exists(idx + "._tmp")
+    assert not os.path.exists(idx + ".old")
+    got = _rows(
+        ivf_topk_index(queries, idx, k=10, nprobe=8).select(
+            "query_id", "neighbor_id"
+        )
+    )
+    want = _rows(
+        cosine_topk_bruteforce(queries, emb, k=10).select(
+            "query_id", "neighbor_id"
+        )
+    )
+    assert got == want
