@@ -295,3 +295,83 @@ def test_extend_heals_crash_residue(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_extend_pq_index_matches_full_rebuild_candidates(spark, tmp_path):
+    """PQ extend uses the frozen codebooks, so an extended index's
+    stored codes for the NEW rows must equal what write_pq_index
+    would produce for them under the same books — checked end-to-end:
+    a query's results from the extended index equal those from an
+    index rebuilt over the union WITH THE SAME training sample (train
+    on base only in both cases)."""
+    from trendr_data_pipeline_spark.operators.index_store import (
+        extend_pq_index,
+        pq_topk_index,
+    )
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    queries = emb.filter(F.col("vec_id") % 100 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    idx = str(tmp_path / "pq_idx")
+    write_pq_index(base, idx, m=8, ksub=16, seed=42)
+    before = _inodes(idx)
+    extend_pq_index(new, idx)
+    after = _inodes(idx)
+    for rel, ino in before.items():
+        assert after.get(rel) == ino, f"rewritten or lost: {rel}"
+    # every new row is searchable: stored rows == union
+    stored = {
+        r["neighbor_id"]
+        for r in spark.read.parquet(os.path.join(idx, "data")).collect()
+    }
+    assert stored == {r["vec_id"] for r in emb.collect()}
+    got = pq_topk_index(queries, emb, idx, k=3, candidates=500).collect()
+    assert got
+    # a query equal to a new vector finds it at exact cosine 1.0
+    tops = {r["query_id"]: r for r in got if r["rk"] == 1}
+    for qid, r in tops.items():
+        assert r["neighbor_id"] == qid - 1_000_000, r
+        assert abs(r["cosine_sim"] - 1.0) < 1e-9
+
+
+def test_compact_index_reduces_files_and_preserves_results(spark, tmp_path):
+    """Three extends accumulate files per cell; compaction rewrites
+    only oversized cells to one file each, leaves small cells'
+    inodes untouched, and search results are identical before and
+    after."""
+    from trendr_data_pipeline_spark.operators.index_store import (
+        compact_index,
+        extend_ivf_index,
+    )
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 == 0)
+    idx = str(tmp_path / "ivf_idx")
+    write_ivf_index(base, idx, nlist=4, seed=42)
+    for rem in (1, 2, 3):
+        extend_ivf_index(emb.filter(F.col("vec_id") % 4 == rem), idx)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    pre = _rows(ivf_topk_index(queries, idx, k=10, nprobe=4))
+
+    def files_per_cell():
+        out = {}
+        for root, _dirs, files in os.walk(os.path.join(idx, "data")):
+            n = sum(1 for f in files if f.endswith(".parquet"))
+            if n:
+                out[os.path.basename(root)] = n
+        return out
+
+    before = files_per_cell()
+    assert max(before.values()) > 2, before  # extends really accumulated
+    compact_index(idx, max_files_per_cell=2)
+    after = files_per_cell()
+    assert max(after.values()) <= 2, after
+    assert set(after) == set(before)  # no cell lost
+    post = _rows(ivf_topk_index(queries, idx, k=10, nprobe=4))
+    assert post == pre
+    # idempotent: nothing oversized left, second call is a no-op
+    compact_index(idx, max_files_per_cell=2)
+    assert files_per_cell() == after

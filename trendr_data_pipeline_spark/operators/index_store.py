@@ -497,3 +497,101 @@ def extend_ivfpq_index(
         _stage_into_cells(coded, os.path.join(tmp, "data"))
 
     _atomic_write(index_dir, parts)
+
+
+def extend_pq_index(
+    new_vectors: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """:func:`extend_ivf_index` for the flat PQ artifact: encode the
+    new rows with the frozen codebooks (one Arrow projection), stage
+    them as new files beside the hard-linked existing ones, atomic
+    swap."""
+    import numpy as np
+
+    spark = new_vectors.sparkSession
+    from .similarity import _pq_encode
+
+    meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+    if meta["kind"] != "pq" or meta["version"] not in _ACCEPTED_VERSIONS["pq"]:
+        raise ValueError(
+            f"not a pq index at an accepted version "
+            f"({sorted(_ACCEPTED_VERSIONS['pq'])}): {index_dir}"
+        )
+    m, ksub, dim = meta["m"], meta["ksub"], meta["dim"]
+    rows = spark.read.parquet(os.path.join(index_dir, "model")).collect()
+    books = np.zeros((m, ksub, dim // m), dtype=np.float64)
+    for r in rows:
+        books[r["subspace"], r["code"]] = r["vec"]
+    encode = _pq_encode(books)
+    coded = new_vectors.select(
+        F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("codes")
+    )
+
+    def parts(tmp: str) -> None:
+        import shutil
+
+        _link_tree(index_dir, tmp)
+        data_dir = os.path.join(tmp, "data")
+        stage = data_dir + "._stage"
+        coded.write.parquet(stage)
+        for f in os.listdir(stage):
+            if f.endswith(".parquet"):
+                shutil.move(os.path.join(stage, f), os.path.join(data_dir, f))
+        shutil.rmtree(stage)
+
+    _atomic_write(index_dir, parts)
+
+
+def compact_index(index_dir: str, max_files_per_cell: int = 8) -> None:
+    """Small-file compaction for extended indexes: every
+    :func:`extend_*_index` call adds at least one file per touched
+    cell, so a daily-extend lifecycle accumulates files that tax the
+    scan (open/footer cost per file). Rewrite ONLY the cells (or the
+    flat data root, for pq) holding more than ``max_files_per_cell``
+    parquet files — each such group is read and rewritten as one file
+    — hard-link everything else unchanged, and publish through the
+    same atomic swap. Cost O(oversized cells' rows); search results
+    are byte-identical before/after (pinned in
+    tests/test_index_store.py)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.active()
+    meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+    if meta["kind"] not in _ACCEPTED_VERSIONS:
+        raise ValueError(f"unknown index kind at {index_dir}")
+    data_dir = os.path.join(index_dir, "data")
+    groups: dict[str, list[str]] = {}
+    for root, _dirs, files in os.walk(data_dir):
+        pq_files = [f for f in files if f.endswith(".parquet")]
+        if pq_files:
+            groups[os.path.relpath(root, data_dir)] = sorted(
+                os.path.join(root, f) for f in pq_files
+            )
+    oversized = {g: fs for g, fs in groups.items() if len(fs) > max_files_per_cell}
+    if not oversized:
+        return
+
+    def parts(tmp: str) -> None:
+        import shutil
+
+        _link_tree(index_dir, tmp)
+        for g, fs in oversized.items():
+            out = os.path.join(tmp, "data") if g == "." else os.path.join(
+                tmp, "data", g
+            )
+            # drop the linked copies of the files being compacted
+            for p in fs:
+                linked = os.path.join(out, os.path.basename(p))
+                if os.path.exists(linked):
+                    os.remove(linked)
+            stage = out + "._stage"
+            spark.read.parquet(*fs).coalesce(1).write.parquet(stage)
+            for f in os.listdir(stage):
+                if f.endswith(".parquet"):
+                    shutil.move(os.path.join(stage, f), os.path.join(out, f))
+            shutil.rmtree(stage)
+
+    _atomic_write(index_dir, parts)
