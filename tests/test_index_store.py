@@ -375,3 +375,58 @@ def test_compact_index_reduces_files_and_preserves_results(spark, tmp_path):
     # idempotent: nothing oversized left, second call is a no-op
     compact_index(idx, max_files_per_cell=2)
     assert files_per_cell() == after
+
+
+def test_ivf_extend_sink_streaming_replay_safe(spark, tmp_path):
+    """Two waves with overlapping ids: the sink inserts each vector
+    once (replay-style duplicates anti-joined away via the
+    partition-pruned id scan), and the final index answers the full
+    union exactly at nprobe = nlist."""
+    from trendr_data_pipeline_spark.operators.index_store import (
+        ivf_extend_sink,
+    )
+    from trendr_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 == 0)
+    idx = str(tmp_path / "ivf_idx")
+    write_ivf_index(base, idx, nlist=4, seed=42)
+
+    d = tmp_path / "waves"
+    d.mkdir()
+
+    def write_wave(i, df):
+        import glob as g
+        import shutil as sh
+
+        df.coalesce(1).write.parquet(f"{d}/w{i}")
+        for f in g.glob(f"{d}/w{i}/*.parquet"):
+            sh.move(f, f"{d}/w{i}.parquet")
+        sh.rmtree(f"{d}/w{i}")
+
+    # wave 1: % 4 in {0 (dup of base!), 1}; wave 2: {1 (dup), 2, 3}
+    write_wave(1, emb.filter(F.col("vec_id") % 4 <= 1))
+    stream = spark.readStream.schema(emb.schema).parquet(str(d))
+    q = ivf_extend_sink(stream, idx, str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+        write_wave(2, emb.filter(F.col("vec_id") % 4 >= 1))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stored = spark.read.parquet(os.path.join(idx, "data")).select("neighbor_id")
+    assert stored.count() == stored.distinct().count() == emb.count()
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    got = _rows(
+        ivf_topk_index(queries, idx, k=10, nprobe=4).select(
+            "query_id", "neighbor_id"
+        )
+    )
+    want = _rows(
+        cosine_topk_bruteforce(queries, emb, k=10).select(
+            "query_id", "neighbor_id"
+        )
+    )
+    assert got == want

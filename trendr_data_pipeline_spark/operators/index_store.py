@@ -595,3 +595,65 @@ def compact_index(index_dir: str, max_files_per_cell: int = 8) -> None:
             shutil.rmtree(stage)
 
     _atomic_write(index_dir, parts)
+
+
+def ivf_extend_sink(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming index maintenance: each micro-batch extends the
+    persisted IVF index with its genuinely-new vectors — the
+    lifecycle stream a serving deployment runs beside ingestion
+    (FAISS ``add`` on a schedule, expressed as foreachBatch over
+    :func:`extend_ivf_index`).
+
+    Replay safety: a replayed batch (checkpoint recovery) must not
+    double-insert, so the batch anti-joins the stored ids first — and
+    that scan is PRUNED to the batch's own cells (assign the batch
+    with the current centroids, read only ``cell IN (...)``
+    partitions, project only ``neighbor_id``), so the idempotence
+    check costs O(affected cells' ids), not O(corpus). Every publish
+    goes through the atomic swap, so concurrent readers are never
+    torn and a crash leaves the previous artifact intact.
+
+    Returns the started StreamingQuery."""
+    import numpy as np
+
+    from .similarity import _nearest_cells
+
+    def do_extend(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        if not batch.take(1):
+            return
+        rows = spark.read.parquet(os.path.join(index_dir, "model")).collect()
+        meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+        centroids = np.zeros((meta["nlist"], meta["dim"]), dtype=np.float64)
+        for r in rows:
+            centroids[r["cell"]] = r["vec"]
+        assign_udf = _nearest_cells(centroids, nprobe=1)
+        assigned = batch.withColumn(
+            "cell", assign_udf(F.col(vec_col)).getItem(0)
+        ).localCheckpoint()
+        cells = [int(r["cell"]) for r in assigned.select("cell").distinct().collect()]
+        stored_ids = (
+            spark.read.parquet(os.path.join(index_dir, "data"))
+            .filter(F.col("cell").isin(cells))
+            .select(F.col("neighbor_id").alias(id_col))
+        )
+        new_only = (
+            assigned.drop("cell")
+            .dropDuplicates([id_col])
+            .join(stored_ids, id_col, "left_anti")
+        )
+        if new_only.take(1):
+            extend_ivf_index(new_only, index_dir, id_col=id_col, vec_col=vec_col)
+
+    return (
+        stream.writeStream.foreachBatch(do_extend)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
