@@ -297,17 +297,19 @@ def test_extend_heals_crash_residue(spark, tmp_path):
     assert got == want
 
 
-def test_extend_pq_index_matches_full_rebuild_candidates(spark, tmp_path):
-    """PQ extend uses the frozen codebooks, so an extended index's
-    stored codes for the NEW rows must equal what write_pq_index
-    would produce for them under the same books — checked end-to-end:
-    a query's results from the extended index equal those from an
-    index rebuilt over the union WITH THE SAME training sample (train
-    on base only in both cases)."""
+def test_extend_pq_index_codes_and_retrieval(spark, tmp_path):
+    """PQ extend uses the frozen codebooks: (a) the NEW rows' stored
+    codes equal ``_pq_encode(books)`` of their vectors under the
+    index's own codebooks (the exact contract — a transposed or
+    re-trained codebook would fail this even if exact-match queries
+    still won the rescore); (b) old files keep their inodes; (c) a
+    query equal to a new vector retrieves it at exact cosine 1.0."""
     from trendr_data_pipeline_spark.operators.index_store import (
+        _load_index,
         extend_pq_index,
         pq_topk_index,
     )
+    from trendr_data_pipeline_spark.operators.similarity import _pq_encode
 
     emb = read_table(spark, SMOKE_SF, "embeddings")
     base = emb.filter(F.col("vec_id") % 5 != 0)
@@ -323,11 +325,25 @@ def test_extend_pq_index_matches_full_rebuild_candidates(spark, tmp_path):
     for rel, ino in before.items():
         assert after.get(rel) == ino, f"rewritten or lost: {rel}"
     # every new row is searchable: stored rows == union
-    stored = {
-        r["neighbor_id"]
-        for r in spark.read.parquet(os.path.join(idx, "data")).collect()
-    }
+    data = spark.read.parquet(os.path.join(idx, "data"))
+    stored = {r["neighbor_id"] for r in data.collect()}
     assert stored == {r["vec_id"] for r in emb.collect()}
+    # (a) stored codes of the new rows == frozen-codebook encode
+    _meta, _c, books = _load_index(spark, idx, "pq")
+    want_codes = {
+        r["neighbor_id"]: list(r["codes"])
+        for r in new.select(
+            F.col("vec_id").alias("neighbor_id"),
+            _pq_encode(books)(F.col("embedding")).alias("codes"),
+        ).collect()
+    }
+    got_codes = {
+        r["neighbor_id"]: list(r["codes"])
+        for r in data.filter(
+            F.col("neighbor_id").isin(list(want_codes))
+        ).collect()
+    }
+    assert got_codes == want_codes
     got = pq_topk_index(queries, emb, idx, k=3, candidates=500).collect()
     assert got
     # a query equal to a new vector finds it at exact cosine 1.0
@@ -430,3 +446,86 @@ def test_ivf_extend_sink_streaming_replay_safe(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_extend_heals_died_mid_swap(spark, tmp_path):
+    """The worst residue: the previous writer died BETWEEN the two
+    renames, so only `.old` exists. Every entry point loads through
+    the heal-first path, so the next extend (and a plain query)
+    must recover and succeed rather than crash-loop on a missing
+    dir."""
+    from trendr_data_pipeline_spark.operators.index_store import (
+        extend_ivf_index,
+    )
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    idx = str(tmp_path / "ivf_idx")
+    write_ivf_index(base, idx, nlist=8, seed=42)
+    os.rename(idx, idx + ".old")  # simulate died-mid-swap
+    extend_ivf_index(new, idx)
+    assert os.path.isdir(idx) and not os.path.exists(idx + ".old")
+    stored = spark.read.parquet(os.path.join(idx, "data")).select("neighbor_id")
+    assert stored.count() == emb.count()
+
+
+def test_compact_drops_crc_sidecars(spark, tmp_path):
+    """Hadoop .crc sidecars of compacted files must not be re-linked
+    forever: after compaction, every .crc in the artifact corresponds
+    to an existing file."""
+    from trendr_data_pipeline_spark.operators.index_store import (
+        compact_index,
+        extend_ivf_index,
+    )
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    idx = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb.filter(F.col("vec_id") % 4 == 0), idx, nlist=4)
+    for rem in (1, 2, 3):
+        extend_ivf_index(emb.filter(F.col("vec_id") % 4 == rem), idx)
+    compact_index(idx, max_files_per_cell=1)
+    orphans = []
+    for root, _dirs, files in os.walk(idx):
+        present = set(files)
+        for f in files:
+            if f.endswith(".crc") and f.startswith("."):
+                target = f[1:-4]
+                if target not in present:
+                    orphans.append(os.path.join(root, f))
+    assert not orphans, orphans
+
+
+def test_concurrent_writer_conflict_detected(spark, tmp_path):
+    """The single-writer guard: a build window during which the live
+    data listing changes must abort the publish with RuntimeError
+    (loud retry), never silently drop the other writer's rows."""
+    import pytest
+
+    from trendr_data_pipeline_spark.operators import index_store
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    idx = str(tmp_path / "ivf_idx")
+    write_ivf_index(base, idx, nlist=4, seed=42)
+
+    orig = index_store._link_tree
+
+    def racing_link_tree(src, dst):
+        orig(src, dst)
+        # another writer lands a file in the LIVE tree mid-build
+        cell = next(
+            d
+            for d in os.listdir(os.path.join(idx, "data"))
+            if d.startswith("cell=")
+        )
+        with open(os.path.join(idx, "data", cell, "part-intruder.parquet"), "wb") as f:
+            f.write(b"x")
+
+    index_store._link_tree = racing_link_tree
+    try:
+        with pytest.raises(RuntimeError, match="concurrent"):
+            index_store.extend_ivf_index(new, idx)
+    finally:
+        index_store._link_tree = orig

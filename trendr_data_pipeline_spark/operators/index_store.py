@@ -65,12 +65,8 @@ def _atomic_write(out_dir: str, write_parts) -> None:
     recovery contract as ``streaming/jobs.merge_sink``."""
     import shutil
 
+    _heal_crash_residue(out_dir)
     old = out_dir + ".old"
-    if os.path.exists(old):
-        if os.path.exists(out_dir):
-            shutil.rmtree(old)  # prior swap finished; cleanup didn't
-        else:
-            os.rename(old, out_dir)  # prior build died mid-swap
     tmp = out_dir + "._tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
@@ -140,19 +136,8 @@ def ivf_topk_index(
     """Query a persisted IVF index: read centroids (tiny), prune the
     partitioned data scan to the probed cells, exact-rescore. No
     training, no encode — the warm-path cost is the candidate scan."""
-    import numpy as np
-
     spark = queries.sparkSession
-    meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
-    if meta["kind"] != "ivf" or meta["version"] not in _ACCEPTED_VERSIONS["ivf"]:
-        raise ValueError(
-            f"not an ivf index at an accepted version "
-            f"({sorted(_ACCEPTED_VERSIONS['ivf'])}): {index_dir}"
-        )
-    rows = spark.read.parquet(os.path.join(index_dir, "model")).collect()
-    centroids = np.zeros((meta["nlist"], meta["dim"]), dtype=np.float64)
-    for r in rows:
-        centroids[r["cell"]] = r["vec"]
+    _meta, centroids, _books = _load_index(spark, index_dir, "ivf")
     assigned = spark.read.parquet(os.path.join(index_dir, "data"))
     return _ivf_search(queries, assigned, centroids, k, nprobe, id_col, vec_col)
 
@@ -215,18 +200,7 @@ def pq_topk_index(
     import numpy as np
 
     spark = queries.sparkSession
-    meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
-    if meta["kind"] != "pq" or meta["version"] not in _ACCEPTED_VERSIONS["pq"]:
-        raise ValueError(
-            f"not a pq index at an accepted version "
-            f"({sorted(_ACCEPTED_VERSIONS['pq'])}): {index_dir}"
-        )
-    m, ksub = meta["m"], meta["ksub"]
-    dsub = meta["dim"] // m
-    rows = spark.read.parquet(os.path.join(index_dir, "model")).collect()
-    books = np.zeros((m, ksub, dsub), dtype=np.float64)
-    for r in rows:
-        books[r["subspace"], r["code"]] = r["vec"]
+    _meta, _centroids, books = _load_index(spark, index_dir, "pq")
     coded = spark.read.parquet(os.path.join(index_dir, "data"))
     return _pq_adc_rescore(queries, corpus, books, coded, k, candidates, id_col, vec_col)
 
@@ -307,21 +281,7 @@ def ivfpq_topk_index(
     from .similarity import _pq_adc_rescore
 
     spark = queries.sparkSession
-    meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
-    if meta["kind"] != "ivfpq" or meta["version"] not in _ACCEPTED_VERSIONS["ivfpq"]:
-        raise ValueError(
-            f"not an ivfpq index at an accepted version "
-            f"({sorted(_ACCEPTED_VERSIONS['ivfpq'])}): {index_dir}"
-        )
-    nlist, m, ksub, dim = meta["nlist"], meta["m"], meta["ksub"], meta["dim"]
-    rows = spark.read.parquet(os.path.join(index_dir, "model")).collect()
-    centroids = np.zeros((nlist, dim), dtype=np.float64)
-    books = np.zeros((m, ksub, dim // m), dtype=np.float64)
-    for r in rows:
-        if r["subspace"] < 0:
-            centroids[r["code"]] = r["vec"]
-        else:
-            books[r["subspace"], r["code"]] = r["vec"]
+    _meta, centroids, books = _load_index(spark, index_dir, "ivfpq")
 
     # union of all queries' probe sets → partition-pruned data scan.
     # Collect the query rows ONCE and hand them down — _pq_adc_rescore
@@ -350,8 +310,76 @@ def ivfpq_topk_index(
 
 
 # ---------------------------------------------------------------------------
-# r7: incremental extend — FAISS's train/add split for persisted artifacts
+# r7: incremental extend + lifecycle — FAISS's train/add split for
+# persisted artifacts (extend / streaming extend / compact), with one
+# shared heal-gate-load path and single-writer conflict detection
 # ---------------------------------------------------------------------------
+
+
+def _heal_crash_residue(out_dir: str) -> None:
+    """The died-mid-swap recovery extracted from :func:`_atomic_write`
+    so EVERY entry point can heal BEFORE its first read of
+    ``out_dir`` — an entry point that read ``meta/`` first would crash
+    forever on an artifact whose previous writer died between the two
+    renames (only ``.old`` exists), despite the retry-safe contract
+    (r7 review finding)."""
+    import shutil
+
+    old = out_dir + ".old"
+    if os.path.exists(old):
+        if os.path.exists(out_dir):
+            shutil.rmtree(old)  # prior swap finished; cleanup didn't
+        else:
+            os.rename(old, out_dir)  # prior build died mid-swap
+
+
+def _load_index(spark: SparkSession, index_dir: str, expect_kind: str | None):
+    """Heal → gate → load, the ONE path every reader/extender/compactor
+    goes through (r7 review: the gate + model reconstruction were
+    copy-pasted across six sites and the sink had drifted to no gate at
+    all). Returns ``(meta, centroids, books)`` — ``centroids`` is None
+    for pq, ``books`` None for ivf; with ``expect_kind=None`` (the
+    compactor) any accepted kind/version passes and only ``meta`` is
+    loaded."""
+    import numpy as np
+
+    _heal_crash_residue(index_dir)
+    meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+    kind = meta["kind"]
+    want = kind if expect_kind is None else expect_kind
+    if kind != want or meta["version"] not in _ACCEPTED_VERSIONS.get(want, set()):
+        art = "an" if want.startswith("i") else "a"
+        raise ValueError(
+            f"not {art} {want} index at an accepted version "
+            f"({sorted(_ACCEPTED_VERSIONS.get(want, set()))}): {index_dir}"
+        )
+    if expect_kind is None:
+        return meta, None, None
+    rows = spark.read.parquet(os.path.join(index_dir, "model")).collect()
+    centroids = books = None
+    if kind == "ivf":
+        centroids = np.zeros((meta["nlist"], meta["dim"]), dtype=np.float64)
+        for r in rows:
+            centroids[r["cell"]] = r["vec"]
+    elif kind == "pq":
+        books = np.zeros(
+            (meta["m"], meta["ksub"], meta["dim"] // meta["m"]),
+            dtype=np.float64,
+        )
+        for r in rows:
+            books[r["subspace"], r["code"]] = r["vec"]
+    else:  # ivfpq: subspace -1 rows are centroids, >= 0 the codewords
+        centroids = np.zeros((meta["nlist"], meta["dim"]), dtype=np.float64)
+        books = np.zeros(
+            (meta["m"], meta["ksub"], meta["dim"] // meta["m"]),
+            dtype=np.float64,
+        )
+        for r in rows:
+            if r["subspace"] < 0:
+                centroids[r["code"]] = r["vec"]
+            else:
+                books[r["subspace"], r["code"]] = r["vec"]
+    return meta, centroids, books
 
 
 def _link_tree(src: str, dst: str) -> None:
@@ -372,26 +400,78 @@ def _link_tree(src: str, dst: str) -> None:
                 shutil.copy2(s, d)
 
 
-def _stage_into_cells(new_part: DataFrame, data_dir: str) -> None:
-    """Write the cell-partitioned new rows into a staging dir, then
-    move its part files into the (already hard-linked) ``data_dir``
-    cell tree. Spark part-file names carry write UUIDs, so moved
-    files cannot collide with linked ones — the same argument the
-    partitioned merge sink documents."""
+def _stage_files(df: DataFrame, out_dir: str, partition_by: str | None = None) -> None:
+    """Write ``df`` into a staging dir, then move its part files into
+    the live ``out_dir`` tree (flat, or partition-subdir'd). Spark
+    part-file names carry write UUIDs, so moved files cannot collide
+    with linked ones — the partitioned-merge-sink argument. One copy
+    of the staging protocol for all three lifecycle writers (r7
+    review)."""
     import shutil
 
-    stage = data_dir + "._stage"
-    new_part.write.partitionBy("cell").parquet(stage)
+    stage = out_dir + "._stage"
+    w = df.write
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(stage)
     for root, _dirs, files in os.walk(stage):
         rel = os.path.relpath(root, stage)
-        if rel == ".":
-            continue
-        out = os.path.join(data_dir, rel)
+        out = out_dir if rel == "." else os.path.join(out_dir, rel)
         os.makedirs(out, exist_ok=True)
         for f in files:
             if f.endswith(".parquet"):
                 shutil.move(os.path.join(root, f), os.path.join(out, f))
     shutil.rmtree(stage)
+
+
+def _data_listing(index_dir: str) -> set:
+    out = set()
+    data = os.path.join(index_dir, "data")
+    for root, _dirs, files in os.walk(data):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.add(os.path.relpath(os.path.join(root, f), index_dir))
+    return out
+
+
+def _guarded_parts(index_dir: str, build):
+    """Single-writer conflict DETECTION (not serialization): index
+    maintenance assumes one writer at a time — the module-wide posture
+    shared with the merge sinks — because a snapshot-link-then-swap
+    that raced a concurrent extend would publish a tree missing the
+    other writer's rows (r7 review finding: silent loss). The guard
+    snapshots the live data listing when the build starts and aborts
+    the publish with RuntimeError if it changed by the end, turning
+    the race into a loud retry instead of silent loss. (A TOCTOU
+    window narrower than the build remains — run ONE writer.)"""
+
+    def parts(tmp: str) -> None:
+        before = _data_listing(index_dir)
+        build(tmp)
+        if _data_listing(index_dir) != before:
+            raise RuntimeError(
+                "concurrent index modification detected during "
+                "extend/compact — index maintenance assumes a single "
+                "writer; re-run the operation"
+            )
+
+    return parts
+
+
+def _publish_extend(new_part: DataFrame, index_dir: str, partitioned: bool) -> None:
+    """Shared extend body: hard-link the whole current artifact, stage
+    only the new rows beside it, publish through the atomic swap with
+    the conflict guard."""
+
+    def build(tmp: str) -> None:
+        _link_tree(index_dir, tmp)
+        _stage_files(
+            new_part,
+            os.path.join(tmp, "data"),
+            partition_by="cell" if partitioned else None,
+        )
+
+    _atomic_write(index_dir, _guarded_parts(index_dir, build))
 
 
 def extend_ivf_index(
@@ -411,40 +491,25 @@ def extend_ivf_index(
     O(new vectors), not O(corpus). The swap is the same atomic
     two-phase rename as every index build: readers never observe a
     half-extended index, and a crashed extend leaves the old artifact
-    intact (retry-safe).
+    intact (retry-safe, including from a died-mid-swap state — the
+    load path heals first).
 
     Search contract (pinned in tests/test_index_store.py): after
     extend, queries run against the UNION corpus under the ORIGINAL
     centroids — at nprobe = nlist that is exactly the brute force
     over the union (the m03 degenerate argument), and the old files'
     inodes are unchanged (the no-rewrite claim is executable)."""
-    import numpy as np
-
-    spark = new_vectors.sparkSession
     from .similarity import _nearest_cells
 
-    meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
-    if meta["kind"] != "ivf" or meta["version"] not in _ACCEPTED_VERSIONS["ivf"]:
-        raise ValueError(
-            f"not an ivf index at an accepted version "
-            f"({sorted(_ACCEPTED_VERSIONS['ivf'])}): {index_dir}"
-        )
-    rows = spark.read.parquet(os.path.join(index_dir, "model")).collect()
-    centroids = np.zeros((meta["nlist"], meta["dim"]), dtype=np.float64)
-    for r in rows:
-        centroids[r["cell"]] = r["vec"]
+    spark = new_vectors.sparkSession
+    _meta, centroids, _books = _load_index(spark, index_dir, "ivf")
     assign_udf = _nearest_cells(centroids, nprobe=1)
     assigned = new_vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         assign_udf(F.col(vec_col)).getItem(0).alias("cell"),
     )
-
-    def parts(tmp: str) -> None:
-        _link_tree(index_dir, tmp)
-        _stage_into_cells(assigned, os.path.join(tmp, "data"))
-
-    _atomic_write(index_dir, parts)
+    _publish_extend(assigned, index_dir, partitioned=True)
 
 
 def extend_ivfpq_index(
@@ -462,26 +527,10 @@ def extend_ivfpq_index(
     on post-training data is an empirical property (pinned: a query
     equal to a new vector finds it — the exact rescore guarantees
     cosine 1.0 wins once ADC admits it)."""
-    import numpy as np
-
-    spark = new_vectors.sparkSession
     from .similarity import _assign_and_encode_residual
 
-    meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
-    if meta["kind"] != "ivfpq" or meta["version"] not in _ACCEPTED_VERSIONS["ivfpq"]:
-        raise ValueError(
-            f"not an ivfpq index at an accepted version "
-            f"({sorted(_ACCEPTED_VERSIONS['ivfpq'])}): {index_dir}"
-        )
-    nlist, m, ksub, dim = meta["nlist"], meta["m"], meta["ksub"], meta["dim"]
-    rows = spark.read.parquet(os.path.join(index_dir, "model")).collect()
-    centroids = np.zeros((nlist, dim), dtype=np.float64)
-    books = np.zeros((m, ksub, dim // m), dtype=np.float64)
-    for r in rows:
-        if r["subspace"] < 0:
-            centroids[r["code"]] = r["vec"]
-        else:
-            books[r["subspace"], r["code"]] = r["vec"]
+    spark = new_vectors.sparkSession
+    _meta, centroids, books = _load_index(spark, index_dir, "ivfpq")
     assign_encode = _assign_and_encode_residual(centroids, books)
     coded = new_vectors.select(
         F.col(id_col).alias("neighbor_id"),
@@ -491,12 +540,7 @@ def extend_ivfpq_index(
         F.col("ce.cell").alias("cell"),
         F.col("ce.codes").alias("codes"),
     )
-
-    def parts(tmp: str) -> None:
-        _link_tree(index_dir, tmp)
-        _stage_into_cells(coded, os.path.join(tmp, "data"))
-
-    _atomic_write(index_dir, parts)
+    _publish_extend(coded, index_dir, partitioned=True)
 
 
 def extend_pq_index(
@@ -508,41 +552,18 @@ def extend_pq_index(
     """:func:`extend_ivf_index` for the flat PQ artifact: encode the
     new rows with the frozen codebooks (one Arrow projection), stage
     them as new files beside the hard-linked existing ones, atomic
-    swap."""
-    import numpy as np
-
-    spark = new_vectors.sparkSession
+    swap. Stored-code contract: the new rows' persisted codes equal
+    ``_pq_encode(books)`` of their vectors under the index's frozen
+    codebooks (pinned in tests/test_index_store.py)."""
     from .similarity import _pq_encode
 
-    meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
-    if meta["kind"] != "pq" or meta["version"] not in _ACCEPTED_VERSIONS["pq"]:
-        raise ValueError(
-            f"not a pq index at an accepted version "
-            f"({sorted(_ACCEPTED_VERSIONS['pq'])}): {index_dir}"
-        )
-    m, ksub, dim = meta["m"], meta["ksub"], meta["dim"]
-    rows = spark.read.parquet(os.path.join(index_dir, "model")).collect()
-    books = np.zeros((m, ksub, dim // m), dtype=np.float64)
-    for r in rows:
-        books[r["subspace"], r["code"]] = r["vec"]
+    spark = new_vectors.sparkSession
+    _meta, _centroids, books = _load_index(spark, index_dir, "pq")
     encode = _pq_encode(books)
     coded = new_vectors.select(
         F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("codes")
     )
-
-    def parts(tmp: str) -> None:
-        import shutil
-
-        _link_tree(index_dir, tmp)
-        data_dir = os.path.join(tmp, "data")
-        stage = data_dir + "._stage"
-        coded.write.parquet(stage)
-        for f in os.listdir(stage):
-            if f.endswith(".parquet"):
-                shutil.move(os.path.join(stage, f), os.path.join(data_dir, f))
-        shutil.rmtree(stage)
-
-    _atomic_write(index_dir, parts)
+    _publish_extend(coded, index_dir, partitioned=False)
 
 
 def compact_index(index_dir: str, max_files_per_cell: int = 8) -> None:
@@ -554,14 +575,16 @@ def compact_index(index_dir: str, max_files_per_cell: int = 8) -> None:
     parquet files — each such group is read and rewritten as one file
     — hard-link everything else unchanged, and publish through the
     same atomic swap. Cost O(oversized cells' rows); search results
-    are byte-identical before/after (pinned in
-    tests/test_index_store.py)."""
+    are byte-identical before/after and a second call is a no-op
+    (pinned in tests/test_index_store.py). Hadoop ``.crc`` sidecars
+    of compacted files are dropped with them (they'd otherwise
+    accumulate forever — r7 review finding). Single-writer, like all
+    index maintenance: the conflict guard turns a concurrent extend
+    into a loud RuntimeError instead of silent row loss."""
     from pyspark.sql import SparkSession
 
     spark = SparkSession.active()
-    meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
-    if meta["kind"] not in _ACCEPTED_VERSIONS:
-        raise ValueError(f"unknown index kind at {index_dir}")
+    _load_index(spark, index_dir, expect_kind=None)  # heal + kind/version gate
     data_dir = os.path.join(index_dir, "data")
     groups: dict[str, list[str]] = {}
     for root, _dirs, files in os.walk(data_dir):
@@ -574,7 +597,7 @@ def compact_index(index_dir: str, max_files_per_cell: int = 8) -> None:
     if not oversized:
         return
 
-    def parts(tmp: str) -> None:
+    def build(tmp: str) -> None:
         import shutil
 
         _link_tree(index_dir, tmp)
@@ -582,19 +605,17 @@ def compact_index(index_dir: str, max_files_per_cell: int = 8) -> None:
             out = os.path.join(tmp, "data") if g == "." else os.path.join(
                 tmp, "data", g
             )
-            # drop the linked copies of the files being compacted
+            # drop the linked copies of the compacted files AND their
+            # checksum sidecars
             for p in fs:
-                linked = os.path.join(out, os.path.basename(p))
-                if os.path.exists(linked):
-                    os.remove(linked)
-            stage = out + "._stage"
-            spark.read.parquet(*fs).coalesce(1).write.parquet(stage)
-            for f in os.listdir(stage):
-                if f.endswith(".parquet"):
-                    shutil.move(os.path.join(stage, f), os.path.join(out, f))
-            shutil.rmtree(stage)
+                base = os.path.basename(p)
+                for name in (base, f".{base}.crc"):
+                    linked = os.path.join(out, name)
+                    if os.path.exists(linked):
+                        os.remove(linked)
+            _stage_files(spark.read.parquet(*fs).coalesce(1), out)
 
-    _atomic_write(index_dir, parts)
+    _atomic_write(index_dir, _guarded_parts(index_dir, build))
 
 
 def ivf_extend_sink(
@@ -607,49 +628,50 @@ def ivf_extend_sink(
     """Streaming index maintenance: each micro-batch extends the
     persisted IVF index with its genuinely-new vectors — the
     lifecycle stream a serving deployment runs beside ingestion
-    (FAISS ``add`` on a schedule, expressed as foreachBatch over
-    :func:`extend_ivf_index`).
+    (FAISS ``add`` on a schedule, expressed as foreachBatch over the
+    shared extend body).
 
     Replay safety: a replayed batch (checkpoint recovery) must not
     double-insert, so the batch anti-joins the stored ids first — and
     that scan is PRUNED to the batch's own cells (assign the batch
     with the current centroids, read only ``cell IN (...)``
     partitions, project only ``neighbor_id``), so the idempotence
-    check costs O(affected cells' ids), not O(corpus). Every publish
-    goes through the atomic swap, so concurrent readers are never
-    torn and a crash leaves the previous artifact intact.
+    check costs O(affected cells' ids), not O(corpus). Model and
+    assignment load ONCE per batch and the assigned frame is
+    localCheckpointed, so nothing runs twice (r7 review finding).
+    Every publish goes through the atomic swap + conflict guard, so
+    concurrent readers are never torn and a crash leaves the previous
+    artifact intact. Single writer, like all index maintenance.
 
     Returns the started StreamingQuery."""
-    import numpy as np
-
     from .similarity import _nearest_cells
 
     def do_extend(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         if not batch.take(1):
             return
-        rows = spark.read.parquet(os.path.join(index_dir, "model")).collect()
-        meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
-        centroids = np.zeros((meta["nlist"], meta["dim"]), dtype=np.float64)
-        for r in rows:
-            centroids[r["cell"]] = r["vec"]
+        _meta, centroids, _books = _load_index(spark, index_dir, "ivf")
         assign_udf = _nearest_cells(centroids, nprobe=1)
-        assigned = batch.withColumn(
-            "cell", assign_udf(F.col(vec_col)).getItem(0)
-        ).localCheckpoint()
-        cells = [int(r["cell"]) for r in assigned.select("cell").distinct().collect()]
+        assigned = (
+            batch.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cv"),
+                assign_udf(F.col(vec_col)).getItem(0).alias("cell"),
+            )
+            .dropDuplicates(["neighbor_id"])
+            .localCheckpoint()
+        )
+        cells = [
+            int(r["cell"]) for r in assigned.select("cell").distinct().collect()
+        ]
         stored_ids = (
             spark.read.parquet(os.path.join(index_dir, "data"))
             .filter(F.col("cell").isin(cells))
-            .select(F.col("neighbor_id").alias(id_col))
+            .select("neighbor_id")
         )
-        new_only = (
-            assigned.drop("cell")
-            .dropDuplicates([id_col])
-            .join(stored_ids, id_col, "left_anti")
-        )
+        new_only = assigned.join(stored_ids, "neighbor_id", "left_anti").localCheckpoint()
         if new_only.take(1):
-            extend_ivf_index(new_only, index_dir, id_col=id_col, vec_col=vec_col)
+            _publish_extend(new_only, index_dir, partitioned=True)
 
     return (
         stream.writeStream.foreachBatch(do_extend)
