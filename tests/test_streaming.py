@@ -1223,3 +1223,75 @@ def test_token_bucket_budget_day_is_session_timezone_proof(spark, events_dir):
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz)
     assert base == shifted and base
+
+
+def test_token_bucket_multibatch_matches_greedy_replay_oracle(spark, tmp_path):
+    """SS1 multi-batch contract: under out-of-order arrival the
+    operator is arrival-order greedy (the reference's
+    processing-order bucket) — a pure-python replay over the same
+    wave partition must predict the admitted set exactly, including
+    the case where a late lower-ts event is blocked because an
+    earlier batch already drained the budget (where the batch twin
+    would have admitted it instead)."""
+    import datetime as dt
+
+    from trendr_data_pipeline_spark.streaming.jobs import (
+        token_bucket_admission,
+    )
+
+    d = _wave_dir(tmp_path)
+
+    def write(i, rows):
+        spark.createDataFrame(
+            rows, "event_type string, event_id long, ts timestamp"
+        ).coalesce(1).write.parquet(f"{d}/w{i}")
+        import glob as g
+        import shutil as sh
+
+        for f in g.glob(f"{d}/w{i}/*.parquet"):
+            sh.move(f, f"{d}/w{i}.parquet")
+        sh.rmtree(f"{d}/w{i}")
+
+    t = dt.datetime(2025, 3, 1, 12, 0)
+    waves = [
+        # batch 1: two late-ts events drain a 2-token budget
+        [("api", 2, t + dt.timedelta(minutes=20)),
+         ("api", 3, t + dt.timedelta(minutes=30))],
+        # batch 2: an EARLIER-ts event arrives late → blocked
+        # (the batch twin would admit id=1 and block id=3)
+        [("api", 1, t + dt.timedelta(minutes=10)),
+         ("web", 10, t)],
+    ]
+
+    # pure-python greedy replay: per (source, budget day), admit in
+    # (ts, id) order WITHIN each wave, first-come across waves
+    used: dict = {}
+    expect = set()
+    for wave in waves:
+        for src, eid, ts in sorted(wave, key=lambda r: (r[0], r[2], r[1])):
+            day = (int(ts.replace(tzinfo=dt.timezone.utc).timestamp())
+                   - 7 * 3600) // 86400
+            k = (src, day)
+            if used.get(k, 0) < 2:
+                used[k] = used.get(k, 0) + 1
+                expect.add(eid)
+
+    write(1, waves[0])
+    stream = spark.readStream.schema(
+        "event_type string, event_id long, ts timestamp"
+    ).parquet(d)
+    q = (
+        token_bucket_admission(stream, daily_tokens=2, reset_hour_utc=7)
+        .writeStream.format("memory")
+        .queryName("tb_replay")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write(2, waves[1])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["event_id"] for r in spark.sql("select * from tb_replay").collect()}
+    assert got == expect == {2, 3, 10}, (got, expect)
