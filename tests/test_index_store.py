@@ -529,3 +529,71 @@ def test_concurrent_writer_conflict_detected(spark, tmp_path):
             index_store.extend_ivf_index(new, idx)
     finally:
         index_store._link_tree = orig
+
+
+def test_streaming_extend_then_compact_then_resume(spark, tmp_path):
+    """The documented single-writer lifecycle end-to-end: stream
+    extends accumulate files → stop the stream → compact → restart
+    the stream on new data. Every stage preserves exactness at full
+    probe and the checkpoint survives the compaction."""
+    from trendr_data_pipeline_spark.operators.index_store import (
+        compact_index,
+        ivf_extend_sink,
+    )
+    from trendr_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    idx = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb.filter(F.col("vec_id") % 4 == 0), idx, nlist=4, seed=42)
+
+    d = tmp_path / "waves"
+    d.mkdir()
+    ck = str(tmp_path / "ck")
+
+    def write_wave(i, df):
+        import glob as g
+        import shutil as sh
+
+        df.coalesce(1).write.parquet(f"{d}/w{i}")
+        for f in g.glob(f"{d}/w{i}/*.parquet"):
+            sh.move(f, f"{d}/w{i}.parquet")
+        sh.rmtree(f"{d}/w{i}")
+
+    def start():
+        return ivf_extend_sink(
+            spark.readStream.schema(emb.schema).parquet(str(d)), idx, ck
+        )
+
+    write_wave(1, emb.filter(F.col("vec_id") % 4 == 1))
+    write_wave(2, emb.filter(F.col("vec_id") % 4 == 2))
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    compact_index(idx, max_files_per_cell=1)
+
+    write_wave(3, emb.filter(F.col("vec_id") % 4 == 3))
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    stored = spark.read.parquet(os.path.join(idx, "data")).select("neighbor_id")
+    assert stored.count() == stored.distinct().count() == emb.count()
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    got = _rows(
+        ivf_topk_index(queries, idx, k=10, nprobe=4).select(
+            "query_id", "neighbor_id"
+        )
+    )
+    want = _rows(
+        cosine_topk_bruteforce(queries, emb, k=10).select(
+            "query_id", "neighbor_id"
+        )
+    )
+    assert got == want
