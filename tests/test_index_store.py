@@ -597,3 +597,53 @@ def test_streaming_extend_then_compact_then_resume(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_ivfpq_extend_sink_streaming(spark, tmp_path):
+    """The compressed production leg of the extend sink: overlapping
+    waves insert each vector once (codes under the frozen books), and
+    new vectors are retrievable at exact cosine 1.0."""
+    from trendr_data_pipeline_spark.operators.index_store import (
+        index_extend_sink,
+        ivfpq_topk_index,
+        write_ivfpq_index,
+    )
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    idx = str(tmp_path / "ivfpq_idx")
+    write_ivfpq_index(
+        emb.filter(F.col("vec_id") % 4 == 0), idx, nlist=4, m=8, ksub=16
+    )
+    d = tmp_path / "waves"
+    d.mkdir()
+
+    def write_wave(i, df):
+        import glob as g
+        import shutil as sh
+
+        df.coalesce(1).write.parquet(f"{d}/w{i}")
+        for f in g.glob(f"{d}/w{i}/*.parquet"):
+            sh.move(f, f"{d}/w{i}.parquet")
+        sh.rmtree(f"{d}/w{i}")
+
+    write_wave(1, emb.filter(F.col("vec_id") % 4 <= 1))
+    stream = spark.readStream.schema(emb.schema).parquet(str(d))
+    q = index_extend_sink(stream, idx, str(tmp_path / "ck"), kind="ivfpq")
+    try:
+        q.processAllAvailable()
+        write_wave(2, emb.filter(F.col("vec_id") % 4 >= 1))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stored = spark.read.parquet(os.path.join(idx, "data")).select("neighbor_id")
+    assert stored.count() == stored.distinct().count() == emb.count()
+    queries = emb.filter(F.col("vec_id") % 100 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    got = ivfpq_topk_index(
+        queries, emb, idx, k=1, nprobe=4, candidates=400
+    ).collect()
+    assert got
+    for r in got:
+        assert r["neighbor_id"] == r["query_id"] - 1_000_000, r
+        assert abs(r["cosine_sim"] - 1.0) < 1e-9

@@ -618,18 +618,20 @@ def compact_index(index_dir: str, max_files_per_cell: int = 8) -> None:
     _atomic_write(index_dir, _guarded_parts(index_dir, build))
 
 
-def ivf_extend_sink(
+def index_extend_sink(
     stream: DataFrame,
     index_dir: str,
     checkpoint_dir: str,
+    kind: str = "ivf",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ):
     """Streaming index maintenance: each micro-batch extends the
-    persisted IVF index with its genuinely-new vectors — the
-    lifecycle stream a serving deployment runs beside ingestion
-    (FAISS ``add`` on a schedule, expressed as foreachBatch over the
-    shared extend body).
+    persisted cell-partitioned index (``kind`` = ``"ivf"`` or
+    ``"ivfpq"`` — the compressed production artifact) with its
+    genuinely-new vectors — the lifecycle stream a serving deployment
+    runs beside ingestion (FAISS ``add`` on a schedule, expressed as
+    foreachBatch over the shared extend body).
 
     Replay safety: a replayed batch (checkpoint recovery) must not
     double-insert, so the batch anti-joins the stored ids first — and
@@ -641,26 +643,42 @@ def ivf_extend_sink(
     localCheckpointed, so nothing runs twice (r7 review finding).
     Every publish goes through the atomic swap + conflict guard, so
     concurrent readers are never torn and a crash leaves the previous
-    artifact intact. Single writer, like all index maintenance.
+    artifact intact. Single writer, like all index maintenance. (The
+    flat pq artifact has no cell pruning for the idempotence scan, so
+    it is not offered here — extend it in scheduled batches via
+    :func:`extend_pq_index`.)
 
     Returns the started StreamingQuery."""
-    from .similarity import _nearest_cells
+    if kind not in ("ivf", "ivfpq"):
+        raise ValueError(f"index_extend_sink supports ivf/ivfpq, got {kind!r}")
 
     def do_extend(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         if not batch.take(1):
             return
-        _meta, centroids, _books = _load_index(spark, index_dir, "ivf")
-        assign_udf = _nearest_cells(centroids, nprobe=1)
-        assigned = (
-            batch.select(
+        _meta, centroids, books = _load_index(spark, index_dir, kind)
+        if kind == "ivf":
+            from .similarity import _nearest_cells
+
+            assign_udf = _nearest_cells(centroids, nprobe=1)
+            assigned = batch.select(
                 F.col(id_col).alias("neighbor_id"),
                 F.col(vec_col).alias("cv"),
                 assign_udf(F.col(vec_col)).getItem(0).alias("cell"),
             )
-            .dropDuplicates(["neighbor_id"])
-            .localCheckpoint()
-        )
+        else:
+            from .similarity import _assign_and_encode_residual
+
+            assign_encode = _assign_and_encode_residual(centroids, books)
+            assigned = batch.select(
+                F.col(id_col).alias("neighbor_id"),
+                assign_encode(F.col(vec_col)).alias("ce"),
+            ).select(
+                "neighbor_id",
+                F.col("ce.cell").alias("cell"),
+                F.col("ce.codes").alias("codes"),
+            )
+        assigned = assigned.dropDuplicates(["neighbor_id"]).localCheckpoint()
         cells = [
             int(r["cell"]) for r in assigned.select("cell").distinct().collect()
         ]
@@ -678,4 +696,19 @@ def ivf_extend_sink(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
         .start()
+    )
+
+
+def ivf_extend_sink(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF leg of :func:`index_extend_sink` (kept as the named entry
+    point the tests and docs reference)."""
+    return index_extend_sink(
+        stream, index_dir, checkpoint_dir, kind="ivf",
+        id_col=id_col, vec_col=vec_col,
     )
