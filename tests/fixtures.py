@@ -68,3 +68,24 @@ def make_domain_fixtures(n_pois: int = 60):
                 )
             )
     return pois, mentions, snapshots
+
+
+def stage_stream_file(spark, stream_dir, name, df_or_rows, schema=None):
+    """Write one single-file parquet 'wave' a file-stream source will
+    pick up: stage via Spark, flatten the part file up to
+    ``<stream_dir>/<name>.parquet``, drop the staging dir. The ONE
+    copy of the staging protocol the streaming tests previously
+    re-derived per test (r7 review)."""
+    import glob
+    import shutil
+
+    df = (
+        df_or_rows
+        if hasattr(df_or_rows, "write")
+        else spark.createDataFrame(df_or_rows, schema)
+    )
+    stage = f"{stream_dir}/{name}__stage"
+    df.coalesce(1).write.parquet(stage)
+    for f in glob.glob(f"{stage}/*.parquet"):
+        shutil.move(f, f"{stream_dir}/{name}.parquet")
+    shutil.rmtree(stage)

@@ -872,3 +872,109 @@ def test_ivfpq_recall_monotone_in_nprobe(spark):
     r1, r4, r16 = recall(1), recall(4), recall(16)
     assert r1 < r4 < r16, (r1, r4, r16)
     assert r16 >= 0.8, r16
+
+
+def test_winnow_fingerprints_matches_python_oracle(spark):
+    """Full-set parity with a direct Python transcription of the
+    SIGMOD'03 selection rule (incl. the truncated-window boundary
+    for docs with <w grams), on real fixture docs + adversarial
+    shorts."""
+    import hashlib
+    import re
+
+    from trendr_data_pipeline_spark.operators.dedup import winnow_fingerprints
+
+    docs = read_table(spark, SMOKE_SF, "documents").limit(80)
+    extra = spark.createDataFrame(
+        [  # <k tokens (no grams), ==k tokens (1 gram), <w grams
+            (900001, "one two"),
+            (900002, "one two three"),
+            (900003, "a b c d e"),
+            (900004, ""),
+        ],
+        "doc_id long, text string",
+    )
+    docs = docs.select("doc_id", "text").unionByName(extra)
+    k, w = 3, 4
+    got = {(r["doc_id"], r["fp"]) for r in winnow_fingerprints(docs, k=k, w=w).collect()}
+
+    want = set()
+    for r in docs.collect():
+        ws = [x for x in re.split(r"\s+", r["text"].lower()) if x]
+        if len(ws) < k:
+            continue
+        hs = [
+            hashlib.md5(" ".join(ws[i : i + k]).encode()).hexdigest()
+            for i in range(len(ws) - k + 1)
+        ]
+        for p in range(max(len(hs) - w, 0) + 1):
+            want.add((r["doc_id"], min(hs[p : p + w])))
+    assert got == want
+    assert any(d == 900002 for d, _ in got)  # single-gram doc kept
+    assert not any(d in (900001, 900004) for d, _ in got)
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """The paper's matching guarantee, executable: two documents
+    sharing a run of ≥ w+k−1 tokens share ≥1 fingerprint — even when
+    the surrounding text is completely disjoint."""
+    from trendr_data_pipeline_spark.operators.dedup import winnow_fingerprints
+
+    run = "alpha beta gamma delta epsilon zeta"  # 6 = w+k-1 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"left filler words here {run} and unrelated tail text"),
+            (2, f"totally different prefix tokens {run} other suffix material"),
+            (3, "no overlap with anything else at all in this document"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=3, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2]  # guaranteed shared fingerprint
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_fingerprint_match_pairs_df_cap_and_floor(spark):
+    """Match pairs: planted near-copies match with high shared count;
+    a boilerplate fingerprint present in EVERY doc is dropped by the
+    df cap (it would otherwise pair all docs); pairs below min_shared
+    are suppressed."""
+    from trendr_data_pipeline_spark.operators.dedup import fingerprint_match_pairs
+
+    boiler = "standard license header applies to this file entirely"
+    body_a = "the quick brown fox jumps over the lazy dog repeatedly today"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} {body_a}"),
+            (2, f"{boiler} {body_a} with a tiny appended suffix"),
+            (3, f"{boiler} completely different body text goes here instead now"),
+            (4, f"{boiler} yet another unrelated body of words entirely apart"),
+        ],
+        "doc_id long, text string",
+    )
+    # df_cap=3 drops fingerprints present in all 4 docs (the boiler run)
+    got = {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in fingerprint_match_pairs(
+            docs, k=3, w=4, min_shared=2, df_cap=3
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 2
+    # 3 and 4 share ONLY the boilerplate — capped away, no pair
+    assert (3, 4) not in got
+
+
+def test_fingerprint_match_pairs_scopes_its_persist(spark):
+    """Scope twin for the fingerprint-frame persist: nothing cached
+    outlives the call."""
+    from trendr_data_pipeline_spark.operators.dedup import fingerprint_match_pairs
+
+    docs = read_table(spark, SMOKE_SF, "documents")
+    before = _persistent_ids(spark)
+    out = fingerprint_match_pairs(docs)
+    assert not _unscoped_persisted_rdds(spark, before)
+    assert out.count() >= 0
+    assert not _unscoped_persisted_rdds(spark, before)

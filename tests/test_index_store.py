@@ -329,7 +329,7 @@ def test_extend_pq_index_codes_and_retrieval(spark, tmp_path):
     stored = {r["neighbor_id"] for r in data.collect()}
     assert stored == {r["vec_id"] for r in emb.collect()}
     # (a) stored codes of the new rows == frozen-codebook encode
-    _meta, _c, books = _load_index(spark, idx, "pq")
+    _root, _meta, _c, books = _load_index(spark, idx, "pq")
     want_codes = {
         r["neighbor_id"]: list(r["codes"])
         for r in new.select(
@@ -413,14 +413,10 @@ def test_ivf_extend_sink_streaming_replay_safe(spark, tmp_path):
     d = tmp_path / "waves"
     d.mkdir()
 
-    def write_wave(i, df):
-        import glob as g
-        import shutil as sh
+    from tests.fixtures import stage_stream_file
 
-        df.coalesce(1).write.parquet(f"{d}/w{i}")
-        for f in g.glob(f"{d}/w{i}/*.parquet"):
-            sh.move(f, f"{d}/w{i}.parquet")
-        sh.rmtree(f"{d}/w{i}")
+    def write_wave(i, df):
+        stage_stream_file(spark, str(d), f"w{i}", df)
 
     # wave 1: % 4 in {0 (dup of base!), 1}; wave 2: {1 (dup), 2, 3}
     write_wave(1, emb.filter(F.col("vec_id") % 4 <= 1))
@@ -552,14 +548,10 @@ def test_streaming_extend_then_compact_then_resume(spark, tmp_path):
     d.mkdir()
     ck = str(tmp_path / "ck")
 
-    def write_wave(i, df):
-        import glob as g
-        import shutil as sh
+    from tests.fixtures import stage_stream_file
 
-        df.coalesce(1).write.parquet(f"{d}/w{i}")
-        for f in g.glob(f"{d}/w{i}/*.parquet"):
-            sh.move(f, f"{d}/w{i}.parquet")
-        sh.rmtree(f"{d}/w{i}")
+    def write_wave(i, df):
+        stage_stream_file(spark, str(d), f"w{i}", df)
 
     def start():
         return ivf_extend_sink(
@@ -617,14 +609,10 @@ def test_ivfpq_extend_sink_streaming(spark, tmp_path):
     d = tmp_path / "waves"
     d.mkdir()
 
-    def write_wave(i, df):
-        import glob as g
-        import shutil as sh
+    from tests.fixtures import stage_stream_file
 
-        df.coalesce(1).write.parquet(f"{d}/w{i}")
-        for f in g.glob(f"{d}/w{i}/*.parquet"):
-            sh.move(f, f"{d}/w{i}.parquet")
-        sh.rmtree(f"{d}/w{i}")
+    def write_wave(i, df):
+        stage_stream_file(spark, str(d), f"w{i}", df)
 
     write_wave(1, emb.filter(F.col("vec_id") % 4 <= 1))
     stream = spark.readStream.schema(emb.schema).parquet(str(d))
@@ -647,3 +635,22 @@ def test_ivfpq_extend_sink_streaming(spark, tmp_path):
     for r in got:
         assert r["neighbor_id"] == r["query_id"] - 1_000_000, r
         assert abs(r["cosine_sim"] - 1.0) < 1e-9
+
+
+def test_reader_survives_swap_window_without_mutating(spark, tmp_path):
+    """Readers are PURE: when the artifact momentarily exists only as
+    `.old` (a writer's swap window), a query answers from the
+    surviving copy and leaves the layout EXACTLY as it found it —
+    healing is writer-only (a reader's rename would race the writer's
+    swap; r7 review)."""
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    idx = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, idx, nlist=8, seed=42)
+    want = _rows(ivf_topk_index(queries, idx, k=10, nprobe=8))
+    os.rename(idx, idx + ".old")  # the writer's window-A state
+    got = _rows(ivf_topk_index(queries, idx, k=10, nprobe=8))
+    assert got == want
+    # the reader did NOT heal: layout untouched
+    assert os.path.isdir(idx + ".old") and not os.path.exists(idx)
+    os.rename(idx + ".old", idx)

@@ -991,12 +991,16 @@ def test_merge_tie_rule_legs_agree(spark):
 
     target = spark.createDataFrame(
         [("tie", 5, "stored"), ("older", 5, "stored"),
-         ("newer", 5, "stored"), ("only_t", 1, "stored")],
+         ("newer", 5, "stored"), ("only_t", 1, "stored"),
+         ("t_null", None, "stored"), ("s_null", 5, "stored"),
+         ("both_null", None, "stored")],
         "k string, v int, src string",
     )
     source = spark.createDataFrame(
         [("tie", 5, "incoming"), ("older", 4, "incoming"),
-         ("newer", 6, "incoming"), ("only_s", 1, "incoming")],
+         ("newer", 6, "incoming"), ("only_s", 1, "incoming"),
+         ("t_null", 3, "incoming"), ("s_null", None, "incoming"),
+         ("both_null", None, "incoming")],
         "k string, v int, src string",
     )
 
@@ -1005,7 +1009,10 @@ def test_merge_tie_rule_legs_agree(spark):
 
     # the Delta leg's *specified* outcome: MERGE matched-update-where-
     # condition + not-matched-insert, from the shared condition string
-    cond = F.expr(merge_match_condition("v"))
+    # MERGE updates when the condition is TRUE and keeps the stored
+    # row otherwise — including when it evaluates to NULL (SQL
+    # three-valued logic), so the simulation coalesces to FALSE
+    cond = F.coalesce(F.expr(merge_match_condition("v")), F.lit(False))
     t, s = target.alias("t"), source.alias("s")
     j = t.join(s, F.col("t.k") == F.col("s.k"), "left")
     kept = j.where(F.col("s.k").isNull() | ~cond).select("t.*")
@@ -1018,6 +1025,11 @@ def test_merge_tie_rule_legs_agree(spark):
     assert ("tie", 5, "incoming") in window_leg       # tie → incoming
     assert ("older", 5, "stored") in window_leg       # lower version loses
     assert ("newer", 6, "incoming") in window_leg
+    # NULL-version rule (r7 review): a NULL stored version always
+    # loses; a NULL incoming version loses to a versioned stored row
+    assert ("t_null", 3, "incoming") in window_leg
+    assert ("s_null", 5, "stored") in window_leg
+    assert ("both_null", None, "incoming") in window_leg
 
 
 def test_partitioned_merge_sink_long_high_byte_keys(spark, tmp_path):
@@ -1136,16 +1148,13 @@ def test_token_bucket_reset_at_utc_hour(spark, tmp_path):
 
     d = _wave_dir(tmp_path)
 
-    def write(i, rows):
-        spark.createDataFrame(
-            rows, "event_type string, event_id long, ts timestamp"
-        ).coalesce(1).write.parquet(f"{d}/w{i}")
-        import glob as g
-        import shutil as sh
+    from tests.fixtures import stage_stream_file
 
-        for f in g.glob(f"{d}/w{i}/*.parquet"):
-            sh.move(f, f"{d}/w{i}.parquet")
-        sh.rmtree(f"{d}/w{i}")
+    def write(i, rows):
+        stage_stream_file(
+            spark, d, f"w{i}", rows,
+            "event_type string, event_id long, ts timestamp",
+        )
 
     t = dt.datetime(2025, 3, 1, 12, 0)  # budget day starts 07:00 UTC
     stream = spark.readStream.schema(
@@ -1241,16 +1250,13 @@ def test_token_bucket_multibatch_matches_greedy_replay_oracle(spark, tmp_path):
 
     d = _wave_dir(tmp_path)
 
-    def write(i, rows):
-        spark.createDataFrame(
-            rows, "event_type string, event_id long, ts timestamp"
-        ).coalesce(1).write.parquet(f"{d}/w{i}")
-        import glob as g
-        import shutil as sh
+    from tests.fixtures import stage_stream_file
 
-        for f in g.glob(f"{d}/w{i}/*.parquet"):
-            sh.move(f, f"{d}/w{i}.parquet")
-        sh.rmtree(f"{d}/w{i}")
+    def write(i, rows):
+        stage_stream_file(
+            spark, d, f"w{i}", rows,
+            "event_type string, event_id long, ts timestamp",
+        )
 
     t = dt.datetime(2025, 3, 1, 12, 0)
     waves = [

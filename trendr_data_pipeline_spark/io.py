@@ -24,6 +24,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BROADCAST_TABLES = frozenset({"region", "nation", "source_catalog", "city_profiles"})
 
 
+def link_or_copy(src: str, dst: str) -> None:
+    """Hard-link ``src`` to ``dst``, falling back to a byte copy on
+    mounts that support rename but not links (NFS/FUSE/overlay).
+    The ONE copy of the posture shared by the partitioned merge sink
+    and the index-artifact lifecycle (zero data movement on POSIX,
+    graceful degradation elsewhere)."""
+    import os
+    import shutil
+
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copy2(src, dst)
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 

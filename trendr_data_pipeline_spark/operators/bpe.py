@@ -192,11 +192,19 @@ def word_frequencies(
     # materialize the split ONCE, then slice the attribute inside the
     # transform — slicing a bound column is cheap; re-evaluating the
     # split per element is the unbound-expression trap (module doc)
-    base = docs.select(ws.alias("ws")).filter(F.size("ws") >= ngram)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size("ws") - (ngram - 1)),
-        lambda i: F.array_join(F.slice(F.col("ws"), i, ngram), " "),
-    )
+    base = docs.select(ws.alias("ws")).filter(F.size("ws") >= 1)
+    # docs shorter than the gram width still contribute — as their one
+    # full-width entry — otherwise a corpus of short lines (titles,
+    # queries) would silently train a vocabulary that never saw them
+    # (r7 review finding); SentencePiece likewise learns from short
+    # sequences
+    grams = F.when(
+        F.size("ws") >= ngram,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - (ngram - 1)),
+            lambda i: F.array_join(F.slice(F.col("ws"), i, ngram), " "),
+        ),
+    ).otherwise(F.array(F.array_join(F.col("ws"), " ")))
     return (
         base.select(F.explode(grams).alias("word"))
         .groupBy("word")

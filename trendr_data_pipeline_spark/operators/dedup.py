@@ -1014,3 +1014,126 @@ def remove_duplicated_spans(
             F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03 — public algorithm): hash every word ``k``-gram of the
+    lowercased token stream, slide a window of ``w`` consecutive gram
+    positions over the hash sequence, and keep the MINIMUM hash of
+    each window. The guarantee that makes this the standard
+    fingerprint for copy detection (MOSS): any shared run of at least
+    ``w + k - 1`` tokens between two documents yields at least one
+    shared fingerprint, while the expected density of selected hashes
+    is only 2/(w+1) of the grams — a fixed-rate sketch with a
+    matching guarantee, which plain random sampling lacks.
+
+    Documents with fewer than ``k`` tokens have no grams and are
+    absent; documents with fewer than ``w`` grams contribute the
+    minimum of their single truncated window (every fingerprintable
+    document gets ≥1 fingerprint, the paper's boundary rule).
+
+    Returns distinct ``(doc_id, fp)`` rows; ``fp`` is the md5 hex of
+    the gram text, so the value (and its window minimum — hex strings
+    compare bytewise identically in the JVM and C) is reproducible in
+    ANSI SQL for the oracle. Only the set identity of a fingerprint
+    matters, so md5-as-rolling-hash-stand-in changes nothing the
+    algorithm guarantees. Positions are not recorded (the matching
+    application keys on the hash set; robust winnowing's
+    rightmost-tie rule only affects which POSITION is reported, never
+    the selected hash value).
+
+    Scale shape: grams and hashes are pure JVM expressions; the only
+    shuffle is ONE exchange on ``doc_id`` for the per-document window
+    (each document's hash sequence is processed within its own
+    partition — no document's grams ever cross reducers twice), then
+    the distinct folds into the same keyed exchange via partial
+    aggregation. Window starts are pruned BEFORE the distinct, so the
+    aggregate sees 2/(w+1)·grams rows, not grams·w.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    m = F.size(toks) - (k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
+    )
+    g = docs.filter(m >= 1).select(
+        F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos", "h")
+    )
+    by_doc = Window.partitionBy("doc_id")
+    wnd = by_doc.orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        g.select(
+            "doc_id",
+            "pos",
+            F.min("h").over(wnd).alias("fp"),
+            F.count(F.lit(1)).over(by_doc).alias("n_grams"),
+        )
+        # valid window starts: 0-based pos ≤ n−w, or pos 0 alone when
+        # the document has fewer than w grams (truncated window)
+        .filter(F.col("pos") <= F.greatest(F.col("n_grams") - w, F.lit(0)))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+def fingerprint_match_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    df_cap: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document copy detection over winnowing fingerprints —
+    the MOSS-style matching step on top of
+    :func:`winnow_fingerprints`: document pairs sharing at least
+    ``min_shared`` fingerprints, with the shared count as the match
+    strength (a lower bound on shared ≥(w+k−1)-token runs).
+
+    ``df_cap`` drops fingerprints occurring in more than that many
+    documents before pairing — boilerplate grams (headers, licenses)
+    are exactly the hot keys that would otherwise quadratically blow
+    up the equi-join at corpus scale, and a gram in hundreds of
+    documents identifies no specific pair anyway (the d02/d05 df_cap
+    posture, and the paper's own "ignore overly common" note).
+
+    Scale shape: fingerprint sets from ONE doc_id exchange
+    (:func:`winnow_fingerprints`), the document-frequency cap from
+    one map-side-combined groupBy on ``fp``, pairing via a
+    self-equi-join ON the fingerprint key — candidate volume is
+    Σ_fp df(fp)², bounded by ``df_cap``·rows, never corpus² — and
+    one final (id_a, id_b) groupBy. No all-pairs stage anywhere.
+    The fingerprint frame is consumed three times (df count, and
+    both sides of the self-join), so it is persisted for the call
+    and the (tiny) pair result checkpointed before the persist is
+    dropped — the scoped-persist posture of the symmetric
+    sign-sketch join (similarity.py, pinned by the scope tests).
+    """
+    fps = winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col).persist()
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("fp")
+    )
+    capped = fps.join(rare, "fp", "left_semi")
+    a, b = capped.alias("a"), capped.alias("b")
+    out = (
+        a.join(b, "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+        .localCheckpoint(eager=True)
+    )
+    fps.unpersist()
+    return out

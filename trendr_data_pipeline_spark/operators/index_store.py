@@ -137,8 +137,8 @@ def ivf_topk_index(
     partitioned data scan to the probed cells, exact-rescore. No
     training, no encode — the warm-path cost is the candidate scan."""
     spark = queries.sparkSession
-    _meta, centroids, _books = _load_index(spark, index_dir, "ivf")
-    assigned = spark.read.parquet(os.path.join(index_dir, "data"))
+    root, _meta, centroids, _books = _load_index(spark, index_dir, "ivf")
+    assigned = spark.read.parquet(os.path.join(root, "data"))
     return _ivf_search(queries, assigned, centroids, k, nprobe, id_col, vec_col)
 
 
@@ -197,11 +197,9 @@ def pq_topk_index(
     raw ``corpus`` vectors (the index stores only the compressed
     codes; the rescore join is the same broadcast-candidate shape as
     :func:`~.similarity.pq_topk`)."""
-    import numpy as np
-
     spark = queries.sparkSession
-    _meta, _centroids, books = _load_index(spark, index_dir, "pq")
-    coded = spark.read.parquet(os.path.join(index_dir, "data"))
+    root, _meta, _centroids, books = _load_index(spark, index_dir, "pq")
+    coded = spark.read.parquet(os.path.join(root, "data"))
     return _pq_adc_rescore(queries, corpus, books, coded, k, candidates, id_col, vec_col)
 
 
@@ -281,7 +279,7 @@ def ivfpq_topk_index(
     from .similarity import _pq_adc_rescore
 
     spark = queries.sparkSession
-    _meta, centroids, books = _load_index(spark, index_dir, "ivfpq")
+    root, _meta, centroids, books = _load_index(spark, index_dir, "ivfpq")
 
     # union of all queries' probe sets → partition-pruned data scan.
     # Collect the query rows ONCE and hand them down — _pq_adc_rescore
@@ -300,7 +298,7 @@ def ivfpq_topk_index(
             for c in row
         }
     )
-    coded = spark.read.parquet(os.path.join(index_dir, "data")).filter(
+    coded = spark.read.parquet(os.path.join(root, "data")).filter(
         F.col("cell").isin(probed)
     )
     return _pq_adc_rescore(
@@ -333,18 +331,48 @@ def _heal_crash_residue(out_dir: str) -> None:
             os.rename(old, out_dir)  # prior build died mid-swap
 
 
-def _load_index(spark: SparkSession, index_dir: str, expect_kind: str | None):
-    """Heal → gate → load, the ONE path every reader/extender/compactor
-    goes through (r7 review: the gate + model reconstruction were
+def _reader_root(index_dir: str) -> str:
+    """Resolve the directory a READER should use: during a writer's
+    swap window the artifact may momentarily exist only as ``.old``.
+    Readers must NOT mutate (healing is writer-only — a reader's
+    rename/rmtree would race the writer's swap: resurrecting ``.old``
+    mid-swap fails the writer's rename, and a concurrent double-rmtree
+    crashes one side; r7 review finding) — they simply read whichever
+    full copy survives. The swap invariant guarantees one always
+    does."""
+    if not os.path.exists(os.path.join(index_dir, "meta")) and os.path.isdir(
+        index_dir + ".old"
+    ):
+        return index_dir + ".old"
+    return index_dir
+
+
+def _load_index(
+    spark: SparkSession,
+    index_dir: str,
+    expect_kind: str | None,
+    heal: bool = False,
+):
+    """Gate → load, the ONE path every reader/extender/compactor goes
+    through (r7 review: the gate + model reconstruction were
     copy-pasted across six sites and the sink had drifted to no gate at
-    all). Returns ``(meta, centroids, books)`` — ``centroids`` is None
-    for pq, ``books`` None for ivf; with ``expect_kind=None`` (the
-    compactor) any accepted kind/version passes and only ``meta`` is
-    loaded."""
+    all). ``heal=True`` is for WRITERS only — it recovers died-mid-swap
+    residue before the first read (a writer that read ``meta/`` first
+    would crash forever on an ``.old``-only artifact); readers pass
+    ``heal=False`` and get the surviving copy via :func:`_reader_root`
+    without mutating anything. Returns ``(root, meta, centroids,
+    books)`` — ``centroids`` is None for pq, ``books`` None for ivf;
+    with ``expect_kind=None`` (the compactor) any accepted
+    kind/version passes and only ``meta`` is loaded. Readers must read
+    ``data/`` under the returned ``root``."""
     import numpy as np
 
-    _heal_crash_residue(index_dir)
-    meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+    if heal:
+        _heal_crash_residue(index_dir)
+        root = index_dir
+    else:
+        root = _reader_root(index_dir)
+    meta = spark.read.parquet(os.path.join(root, "meta")).collect()[0]
     kind = meta["kind"]
     want = kind if expect_kind is None else expect_kind
     if kind != want or meta["version"] not in _ACCEPTED_VERSIONS.get(want, set()):
@@ -354,8 +382,8 @@ def _load_index(spark: SparkSession, index_dir: str, expect_kind: str | None):
             f"({sorted(_ACCEPTED_VERSIONS.get(want, set()))}): {index_dir}"
         )
     if expect_kind is None:
-        return meta, None, None
-    rows = spark.read.parquet(os.path.join(index_dir, "model")).collect()
+        return root, meta, None, None
+    rows = spark.read.parquet(os.path.join(root, "model")).collect()
     centroids = books = None
     if kind == "ivf":
         centroids = np.zeros((meta["nlist"], meta["dim"]), dtype=np.float64)
@@ -379,25 +407,21 @@ def _load_index(spark: SparkSession, index_dir: str, expect_kind: str | None):
                 centroids[r["code"]] = r["vec"]
             else:
                 books[r["subspace"], r["code"]] = r["vec"]
-    return meta, centroids, books
+    return root, meta, centroids, books
 
 
 def _link_tree(src: str, dst: str) -> None:
     """Hard-link every file under ``src`` into the same relative
     layout under ``dst`` (copy2 fallback on mounts without link
     support — the merge-sink posture). Zero data movement on POSIX."""
-    import shutil
+    from ..io import link_or_copy
 
     for root, _dirs, files in os.walk(src):
         rel = os.path.relpath(root, src)
         out = dst if rel == "." else os.path.join(dst, rel)
         os.makedirs(out, exist_ok=True)
         for f in files:
-            s, d = os.path.join(root, f), os.path.join(out, f)
-            try:
-                os.link(s, d)
-            except OSError:
-                shutil.copy2(s, d)
+            link_or_copy(os.path.join(root, f), os.path.join(out, f))
 
 
 def _stage_files(df: DataFrame, out_dir: str, partition_by: str | None = None) -> None:
@@ -502,7 +526,7 @@ def extend_ivf_index(
     from .similarity import _nearest_cells
 
     spark = new_vectors.sparkSession
-    _meta, centroids, _books = _load_index(spark, index_dir, "ivf")
+    _root, _meta, centroids, _books = _load_index(spark, index_dir, "ivf", heal=True)
     assign_udf = _nearest_cells(centroids, nprobe=1)
     assigned = new_vectors.select(
         F.col(id_col).alias("neighbor_id"),
@@ -530,7 +554,7 @@ def extend_ivfpq_index(
     from .similarity import _assign_and_encode_residual
 
     spark = new_vectors.sparkSession
-    _meta, centroids, books = _load_index(spark, index_dir, "ivfpq")
+    _root, _meta, centroids, books = _load_index(spark, index_dir, "ivfpq", heal=True)
     assign_encode = _assign_and_encode_residual(centroids, books)
     coded = new_vectors.select(
         F.col(id_col).alias("neighbor_id"),
@@ -558,7 +582,7 @@ def extend_pq_index(
     from .similarity import _pq_encode
 
     spark = new_vectors.sparkSession
-    _meta, _centroids, books = _load_index(spark, index_dir, "pq")
+    _root, _meta, _centroids, books = _load_index(spark, index_dir, "pq", heal=True)
     encode = _pq_encode(books)
     coded = new_vectors.select(
         F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("codes")
@@ -584,7 +608,7 @@ def compact_index(index_dir: str, max_files_per_cell: int = 8) -> None:
     from pyspark.sql import SparkSession
 
     spark = SparkSession.active()
-    _load_index(spark, index_dir, expect_kind=None)  # heal + kind/version gate
+    _load_index(spark, index_dir, expect_kind=None, heal=True)  # writer: heal + gate
     data_dir = os.path.join(index_dir, "data")
     groups: dict[str, list[str]] = {}
     for root, _dirs, files in os.walk(data_dir):
@@ -638,9 +662,15 @@ def index_extend_sink(
     that scan is PRUNED to the batch's own cells (assign the batch
     with the current centroids, read only ``cell IN (...)``
     partitions, project only ``neighbor_id``), so the idempotence
-    check costs O(affected cells' ids), not O(corpus). Model and
-    assignment load ONCE per batch and the assigned frame is
-    localCheckpointed, so nothing runs twice (r7 review finding).
+    check costs O(affected cells' ids), not O(corpus). Contract the
+    pruning rests on: ids are CONTENT-IMMUTABLE — re-delivering an id
+    with a DIFFERENT embedding is undefined (if its new vector lands
+    in a different cell, the pruned scan cannot see the stored copy
+    and the id would be indexed twice; r7 review). A re-embedding
+    pipeline must delete+rebuild or full-scan dedup in a batch job —
+    the same contract FAISS `add` has (it never updates in place).
+    Model and assignment load ONCE per batch and the assigned frame
+    is localCheckpointed, so nothing runs twice (r7 review finding).
     Every publish goes through the atomic swap + conflict guard, so
     concurrent readers are never torn and a crash leaves the previous
     artifact intact. Single writer, like all index maintenance. (The
@@ -656,7 +686,7 @@ def index_extend_sink(
         spark = batch.sparkSession
         if not batch.take(1):
             return
-        _meta, centroids, books = _load_index(spark, index_dir, kind)
+        _root, _meta, centroids, books = _load_index(spark, index_dir, kind, heal=True)
         if kind == "ivf":
             from .similarity import _nearest_cells
 

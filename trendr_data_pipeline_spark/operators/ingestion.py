@@ -96,15 +96,22 @@ def merge_match_condition(
 ) -> str:
     """The ONE latest-wins/tie rule every merge leg shares: an incoming
     (source) row replaces the stored (target) row iff its version is
-    ``>=`` — equal versions go to the INCOMING row. The parquet legs
-    implement this rule via :func:`upsert_latest`'s window ordering
-    (version desc, then an is-incoming flag desc); the Delta leg
+    ``>=`` — equal versions go to the INCOMING row — and a NULL stored
+    version always loses (it carries no recency claim). The parquet
+    legs implement this rule via :func:`upsert_latest`'s window
+    ordering (version desc — which puts NULLs LAST — then an
+    is-incoming flag desc); the ``OR t IS NULL`` arm below is what
+    makes the SQL form agree with that ordering on every NULL
+    combination (bare ``s.v >= t.v`` evaluates to NULL — no update —
+    whenever either side is NULL, silently diverging from the window
+    leg on NULL-version rows; r7 review finding). The Delta leg
     (streaming/jobs.py delta_merge_sink) compiles this exact string
-    into ``whenMatchedUpdateAll(condition=...)``. Tie-heavy
-    equivalence of the two legs' *specified* outcomes is pinned in
-    tests/test_streaming.py (r6 verdict item 4) without delta on the
-    classpath."""
-    return f"{source}.{version_col} >= {target}.{version_col}"
+    into ``whenMatchedUpdateAll(condition=...)``. Tie-heavy AND
+    null-version equivalence of the two legs' *specified* outcomes is
+    pinned in tests/test_streaming.py (r6 verdict item 4) without
+    delta on the classpath."""
+    s, t = f"{source}.{version_col}", f"{target}.{version_col}"
+    return f"{s} >= {t} OR {t} IS NULL"
 
 
 def upsert_latest(

@@ -528,3 +528,79 @@ def c25_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import remove_duplicated_spans
 
     return remove_duplicated_spans(read_table(spark, sf_dir, "documents"))
+
+
+#: winnowing CTE chain shared by t06 (fingerprint sets) and t07
+#: (match pairs): word-3-gram md5 hashes with 1-based positions, the
+#: min of each 4-window of consecutive gram positions, truncated
+#: window for docs with <4 grams (the paper's boundary rule — every
+#: fingerprintable doc keeps ≥1 fingerprint)
+_SQL_WINNOW_FPS = f"""
+    t AS (
+        SELECT doc_id, {_SQL_TOKS_DEDUP} AS ws FROM documents
+    ), g AS (
+        SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                          i -> struct_pack(pos := i,
+                                           h := md5(array_to_string(ws[i:i+2], ' ')))))
+                     AS u
+            FROM t WHERE len(ws) >= 3
+        )
+    ), wnd AS (
+        SELECT doc_id, pos,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+               count(*) OVER (PARTITION BY doc_id) AS n
+        FROM g
+    ), fps AS (
+        SELECT DISTINCT doc_id, fp FROM wnd WHERE pos <= greatest(n - 4, 0) + 1
+    )
+"""
+
+
+@register(
+    "t06_winnowing_fingerprints",
+    f"WITH {_SQL_WINNOW_FPS} SELECT doc_id, fp FROM fps",
+    doc="""Winnowing document fingerprints (⊕, Schleimer/Wilkerson/
+    Aiken SIGMOD'03, the MOSS sketch): per document, the set of
+    window-minimum word-3-gram hashes at window 4 — a fixed-density
+    (~2/(w+1)) sketch guaranteeing any shared ≥6-token run between
+    two documents shares a fingerprint. One doc_id exchange; grams,
+    hashes and window minima all JVM-side. Oracle replays the same
+    selection with DuckDB window functions (md5 hex compares
+    bytewise identically in both engines).""",
+)
+def t06_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(read_table(spark, sf_dir, "documents"), k=3, w=4)
+
+
+@register(
+    "t07_fingerprint_matches",
+    f"""
+    WITH {_SQL_WINNOW_FPS}, rare AS (
+        SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50
+    ), capped AS (
+        SELECT doc_id, fp FROM fps SEMI JOIN rare USING (fp)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+    FROM capped a JOIN capped b USING (fp)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+    doc="""MOSS-style copy detection on winnowing fingerprints (⊕):
+    document pairs sharing ≥2 fingerprints, shared count = match
+    strength (lower-bounds shared ≥6-token runs). Fingerprints in
+    >50 documents are dropped before pairing (boilerplate hot keys —
+    the d02/d05 df_cap posture), so candidate volume is Σ df(fp)² ≤
+    50·rows, never corpus². Pairing is a fingerprint-keyed
+    self-equi-join + one (id_a,id_b) groupBy — no all-pairs stage.""",
+)
+def t07_fingerprint_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import fingerprint_match_pairs
+
+    return fingerprint_match_pairs(
+        read_table(spark, sf_dir, "documents"), k=3, w=4, min_shared=2, df_cap=50
+    )

@@ -867,15 +867,12 @@ def _pruned_bucket_upsert(
     for bk, misses in miss_by_bucket.items():
         dst_dir = os.path.join(tmp, f"bucket={bk}")
         os.makedirs(dst_dir, exist_ok=True)
+        from ..io import link_or_copy
+
         for p in misses:
-            dst = os.path.join(dst_dir, os.path.basename(p))
-            try:
-                os.link(p, dst)
-            except OSError:
-                # some mounts (NFS/FUSE/overlay) support rename but not
-                # hard links — degrade to a byte copy for this file
-                # rather than killing the stream (r6 ADVICE, low)
-                shutil.copy2(p, dst)
+            # link-or-copy: zero-copy on POSIX, byte copy on mounts
+            # without hard links (r6 ADVICE, low; shared helper)
+            link_or_copy(p, os.path.join(dst_dir, os.path.basename(p)))
     _swap_bucket_dirs(target_dir, tmp, affected)
 
 
