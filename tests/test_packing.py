@@ -153,3 +153,80 @@ def test_global_offsets_property_random_frames(spark):
         assert got == want
 
     inner()
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents (t09): per-document sliding windows
+# ---------------------------------------------------------------------------
+
+
+def _mk_docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_chunk_documents_python_oracle(spark):
+    from trendr_data_pipeline_spark.operators.packing import chunk_documents
+
+    random.seed(109)
+    texts = [
+        " ".join(f"w{random.randrange(30)}" for _ in range(n))
+        for n in [0, 1, 15, 16, 17, 48, 63, 64, 65, 100, 112, 113, 200]
+    ]
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.start_pos, r.n_tok, r.chunk_text)
+        for r in chunk_documents(_mk_docs(spark, texts), 64, 48).collect()
+    )
+    want = []
+    for i, t in enumerate(texts):
+        ws = t.split()
+        if not ws:
+            continue
+        s = 1
+        while s <= max(len(ws) - 16, 1):
+            chunk = ws[s - 1 : s - 1 + 64]
+            want.append((i, (s - 1) // 48, s, len(chunk), " ".join(chunk)))
+            s += 48
+    assert got == sorted(want)
+
+
+def test_chunk_documents_invariants(spark):
+    """Coverage + no-contained-chunk + single-chunk-for-short-docs,
+    over random lengths around every boundary."""
+    from trendr_data_pipeline_spark.operators.packing import chunk_documents
+
+    random.seed(110)
+    texts = [
+        " ".join(f"w{random.randrange(9)}" for _ in range(random.randrange(1, 260)))
+        for _ in range(120)
+    ]
+    rows = chunk_documents(_mk_docs(spark, texts), 64, 48).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(range(len(texts)))
+    for i, t in enumerate(texts):
+        n = len(t.split())
+        chunks = sorted(by_doc[i], key=lambda r: r.start_pos)
+        covered = set()
+        prev_end = 0
+        for c in chunks:
+            end = c.start_pos + c.n_tok - 1
+            assert end > prev_end, "chunk contained in predecessor"
+            covered.update(range(c.start_pos, end + 1))
+            prev_end = end
+        assert covered == set(range(1, n + 1)), "not a full cover"
+        if n <= 64:
+            assert len(chunks) == 1
+
+
+def test_chunk_documents_rejects_bad_stride(spark):
+    import pytest
+
+    from trendr_data_pipeline_spark.operators.packing import chunk_documents
+
+    with pytest.raises(ValueError):
+        chunk_documents(_mk_docs(spark, ["a b"]), chunk_size=8, stride=0)
+    with pytest.raises(ValueError):
+        chunk_documents(_mk_docs(spark, ["a b"]), chunk_size=8, stride=9)

@@ -1,0 +1,161 @@
+"""Python-oracle tests for the r7 data-selection operators: the
+interpolated bigram-LM perplexity (t08) and the DSIR hashed
+importance weights (t10). Exact cross-engine equality is the driver
+gate's job (DuckDB twins); here we pin the SEMANTICS — counts exact,
+scores to float tolerance, the band/separation rules exact."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def _py_bigram(texts, lam=0.7):
+    toks = {i: t.lower().split() for i, t in enumerate(texts)}
+    toks = {i: ws for i, ws in toks.items() if len(ws) >= 2}
+    cbi, cw1, cu = Counter(), Counter(), Counter()
+    for ws in toks.values():
+        for a, b in zip(ws, ws[1:]):
+            cbi[(a, b)] += 1
+            cw1[a] += 1
+        cu.update(ws)
+    total = sum(cu.values())
+    out = {}
+    for i, ws in toks.items():
+        s = 0.0
+        for a, b in zip(ws, ws[1:]):
+            p = lam * (cbi[(a, b)] / cw1[a]) + (1 - lam) * (cu[b] / total)
+            s += math.log(p)
+        n = len(ws) - 1
+        out[i] = (n, -s / n)
+    return out
+
+
+def test_bigram_perplexity_python_oracle(spark):
+    from trendr_data_pipeline_spark.plans.text_ops import bigram_perplexity
+
+    random.seed(41)
+    texts = [
+        " ".join(random.choice("abcdefg") for _ in range(random.randrange(0, 40)))
+        for _ in range(60)
+    ]
+    rows = {
+        r.doc_id: r
+        for r in bigram_perplexity(
+            _docs(spark, [(i, t, "en") for i, t in enumerate(texts)])
+        ).collect()
+    }
+    want = _py_bigram(texts)
+    assert set(rows) == set(want)
+    for i, (n, nll) in want.items():
+        assert rows[i].n_big == n
+        assert abs(rows[i].avg_nll - nll) < 2e-6, (i, rows[i].avg_nll, nll)
+        assert abs(rows[i].ppl - math.exp(nll)) < 1e-2
+
+    # band rule recomputed EXACTLY from the returned ppls: value-level
+    # cumulative tertiles (equal ppl => equal band)
+    ppls = sorted(r.ppl for r in rows.values())
+    nd = len(ppls)
+    cum = {}
+    c = 0
+    for v in ppls:
+        c += 1
+        cum[v] = c  # last occurrence wins == cumulative count at v
+    for r in rows.values():
+        cc = cum[r.ppl]
+        band = "head" if 3 * cc <= nd else ("middle" if 3 * cc <= 2 * nd else "tail")
+        assert r.band == band
+
+
+def test_bigram_perplexity_uniform_corpus_degenerate(spark):
+    """All-identical docs: every bigram is deterministic given its
+    context, so ppl is identical for every doc and the value-level
+    band rule puts ALL docs in one band (no doc-id tie splitting)."""
+    from trendr_data_pipeline_spark.plans.text_ops import bigram_perplexity
+
+    rows = bigram_perplexity(
+        _docs(spark, [(i, "x y x y x", "en") for i in range(9)])
+    ).collect()
+    assert len(rows) == 9
+    assert len({r.ppl for r in rows}) == 1
+    assert {r.band for r in rows} == {"tail"}  # cc == nd for the single value
+
+
+def _py_dsir(texts, langs, dim=64, salt="ir"):
+    def bucket(tok):
+        h = int(hashlib.md5((salt + tok).encode()).hexdigest()[:8], 16)
+        return h % dim
+
+    craw, ctgt = Counter(), Counter()
+    per_doc = []
+    for t, lang in zip(texts, langs):
+        bs = [bucket(w) for w in t.lower().split()]
+        per_doc.append(bs)
+        craw.update(bs)
+        if lang == "en":
+            ctgt.update(bs)
+    nraw, ntgt = sum(craw.values()), sum(ctgt.values())
+    lr = {
+        b: math.log(
+            ((ctgt[b] + 1) / (ntgt + dim)) / ((craw[b] + 1) / (nraw + dim))
+        )
+        for b in range(dim)
+    }
+    return {
+        i: (len(bs), sum(lr[b] for b in bs))
+        for i, bs in enumerate(per_doc)
+        if bs
+    }
+
+
+def test_dsir_python_oracle(spark):
+    from trendr_data_pipeline_spark.operators.sampling import dsir_log_weights
+
+    random.seed(42)
+    texts, langs = [], []
+    for i in range(80):
+        lang = "en" if i % 2 == 0 else "de"
+        pool = "abcdefgh" if lang == "en" else "ijklmnop"
+        texts.append(
+            " ".join(random.choice(pool) * 2 for _ in range(random.randrange(0, 30)))
+        )
+        langs.append(lang)
+    rows = {
+        r.doc_id: r
+        for r in dsir_log_weights(
+            _docs(spark, list(zip(range(80), texts, langs))),
+            target=F.col("lang") == "en",
+        ).collect()
+    }
+    want = _py_dsir(texts, langs)
+    assert set(rows) == set(want)
+    for i, (n, lw) in want.items():
+        assert rows[i].n_tok == n
+        assert abs(rows[i].log_w - lw) < 2e-5, (i, rows[i].log_w, lw)
+
+    # separation: disjoint vocab pools => target docs score higher
+    en = [r.log_w / r.n_tok for i, r in rows.items() if langs[i] == "en"]
+    de = [r.log_w / r.n_tok for i, r in rows.items() if langs[i] == "de"]
+    assert min(en) > max(de)
+
+
+def test_dsir_model_table_is_broadcast(spark):
+    """The dim-row model join must be a broadcast — a shuffle there
+    would key the scoring pass on a 64-value column (max 64-way
+    parallelism at 100 TB)."""
+    from trendr_data_pipeline_spark.operators.sampling import dsir_log_weights
+
+    df = dsir_log_weights(
+        _docs(spark, [(1, "a b c", "en"), (2, "d e", "de")]),
+        target=F.col("lang") == "en",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -174,3 +174,94 @@ def temperature_mix(
             "chars_kept",
         )
     )
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target: Column,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "ir",
+) -> DataFrame:
+    """DSIR importance log-weights (north-star op: Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    public): score every document by how target-like its hashed
+    token distribution is —
+
+        log w(doc) = Σ_tok  ln( p_target(b(tok)) / p_raw(b(tok)) )
+
+    with ``b`` the md5 feature-hash bucket (the x20/vectorize device,
+    its own ``salt`` so the feature space is independent of the
+    vectorizer's) and add-one smoothing over the ``dim`` buckets, so
+    every bucket has mass in both models. ``target`` is a boolean
+    Column over ``docs`` marking the in-domain rows (e.g.
+    ``F.col("lang") == "en"``); downstream, ``exp(log_w)`` is the
+    resampling weight.
+
+    Determinism/oracle shape: the per-token addend ``ln(ratio)`` is
+    ROUNDed to 9 decimals and accumulated in DECIMAL(28,6) (the x08
+    posture), so both engines see bit-identical sums; buckets come
+    from md5, identical in DuckDB.
+
+    Scale shape: two passes over the token stream — (1) bucket
+    counts for raw and target, each ONE map-side-combined groupBy
+    collapsing to ≤ dim rows; (2) the scoring pass joins the dim-row
+    (broadcast) log-ratio table and folds per document with ONE
+    (doc) keyed agg. No Python, no global sort; the model table is
+    O(dim), never O(vocab).
+    """
+    spark = docs.sparkSession
+    from ..functions.text import tokens
+
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col("tok"))), 1, 8), 16, 10
+    )
+    toks = docs.select(
+        F.col(id_col),
+        target.alias("_is_target"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    ).withColumn("bucket", F.pmod(h.cast("bigint"), F.lit(dim)))
+
+    counts = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("craw"),
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("ctgt"),
+    )
+    # full bucket domain (smoothing needs zero-count buckets too)
+    domain = spark.range(dim).select(F.col("id").alias("bucket"))
+    model = (
+        domain.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("craw"), F.lit(0)).alias("craw"),
+            F.coalesce(F.col("ctgt"), F.lit(0)).alias("ctgt"),
+        )
+        .crossJoin(
+            # totals fold from the dim-row counts table — NOT a third
+            # pass over the token stream
+            F.broadcast(
+                counts.agg(
+                    F.sum("craw").alias("nraw"), F.sum("ctgt").alias("ntgt")
+                )
+            )
+        )
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    ((F.col("ctgt") + 1) * 1.0 / (F.col("ntgt") + dim))
+                    / ((F.col("craw") + 1) * 1.0 / (F.col("nraw") + dim))
+                ),
+                9,
+            ).alias("lr"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(model), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum(F.col("lr").cast("decimal(28,6)")).cast("double").alias("log_w"),
+        )
+        .select(id_col, "n_tok", F.round("log_w", 6).alias("log_w"))
+    )

@@ -1167,3 +1167,253 @@ def x22_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t08 — interpolated bigram-LM perplexity (⊕T18, r7). x08 scores with
+# a unigram model; real CCNet/KenLM-style filtering is n-gram. Same
+# determinism contract as x08: every ln() is rounded to 9 decimals
+# per (doc, bigram) BEFORE the decimal-exact accumulation, exp() is
+# fed the rounded avg-nll, and the CCNet head/middle/tail split is
+# computed on the ROUNDED ppl so the tertile rule is an integer
+# comparison in both engines.
+# ---------------------------------------------------------------------------
+
+_SQL_BIGRAM_PPL = f"""
+    WITH t AS (
+        SELECT doc_id, {_SQL_TOKS} AS ws FROM documents
+        WHERE len({_SQL_TOKS}) >= 2
+    ), bg AS (
+        SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        FROM t CROSS JOIN UNNEST(range(1, len(ws))) AS r(i)
+    ), tf AS (
+        SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3
+    ), cbi AS (
+        SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS cbi FROM tf GROUP BY 1, 2
+    ), cctx AS (
+        SELECT w1, CAST(SUM(cbi) AS BIGINT) AS cw1 FROM cbi GROUP BY 1
+    ), uni AS (
+        SELECT tok, COUNT(*) AS cu
+        FROM (SELECT UNNEST(ws) AS tok FROM t) GROUP BY tok
+    ), tot AS (
+        SELECT CAST(SUM(cu) AS BIGINT) AS total FROM uni
+    ), j AS (
+        SELECT tf.doc_id, tf.tf, cbi.cbi, cctx.cw1, uni.cu, tot.total
+        FROM tf JOIN cbi USING (w1, w2) JOIN cctx USING (w1)
+        JOIN uni ON tf.w2 = uni.tok CROSS JOIN tot
+    ), d AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(tf * ROUND(ln(0.7 * (cbi * 1.0 / cw1)
+                        + 0.3 * (cu * 1.0 / total)), 9)
+                   AS DECIMAL(28,6))) * -1000000 AS BIGINT) AS neg_s_micro,
+               CAST(SUM(tf) AS BIGINT) AS n_big
+        FROM j GROUP BY doc_id
+    ), dq AS (
+        SELECT doc_id, n_big,
+               (2 * neg_s_micro + n_big) // (2 * n_big) AS q
+        FROM d
+    ), d2 AS (
+        SELECT doc_id, n_big,
+               q * 1.0 / 1000000 AS avg_nll,
+               ROUND(exp(q * 1.0 / 1000000), 3) AS ppl
+        FROM dq
+    ), hist AS (
+        SELECT ppl, COUNT(*) AS c FROM d2 GROUP BY ppl
+    ), cum AS (
+        SELECT ppl, SUM(c) OVER (ORDER BY ppl) AS cc FROM hist
+    ), nd AS (
+        SELECT COUNT(*) AS nd FROM d2
+    )
+    SELECT d2.doc_id, d2.n_big, d2.avg_nll, d2.ppl,
+           CASE WHEN cc * 3 <= nd THEN 'head'
+                WHEN cc * 3 <= nd * 2 THEN 'middle'
+                ELSE 'tail' END AS band
+    FROM d2 JOIN cum USING (ppl) CROSS JOIN nd
+"""
+
+
+@register(
+    "t08_bigram_perplexity",
+    _SQL_BIGRAM_PPL,
+    doc="""Interpolated bigram-LM perplexity + CCNet head/middle/tail
+    band (⊕, r7): p(w₂|w₁) = 0.7·MLE_bigram + 0.3·MLE_unigram over
+    the corpus's own counts, per-document avg-nll and ppl, then the
+    CCNet-style tertile band on the rounded ppl (value-consistent:
+    equal ppl ⇒ equal band — no doc-id tie splitting). Docs with <2
+    tokens carry no bigram events and are absent.""",
+)
+def t08_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring (⊕T18 — the CCNet/KenLM filtering
+    practice, one n-gram order up from x08). See
+    :func:`bigram_perplexity` for the plan shape."""
+    return bigram_perplexity(read_table(spark, sf_dir, "documents"))
+
+
+def bigram_perplexity(
+    docs: DataFrame, lam: float = 0.7, lam_uni: float = 0.3
+) -> DataFrame:
+    """Interpolated bigram-LM perplexity + CCNet tertile band. Model
+    tables are keyed aggs with map-side combine: (w1,w2) bigram
+    counts, w1 context totals (folded from the bigram table, not the
+    token stream), and the unigram table; scoring is the same joins
+    every LM-filter needs — at 100 TB the join side is the MODEL
+    (vocab²-bounded, heavy-tailed → AQE broadcast-or-shuffle,
+    unhinted like x08). The tertile thresholds come from a ppl
+    HISTOGRAM (distinct rounded values) — the single-partition
+    running sum is over that tiny frame, never the doc grain (the
+    packing-bases posture). Bigrams come from sequence+transform —
+    pure JVM, no shuffle until the keyed aggs."""
+    ws = tokens(F.lower(F.col("text")))
+    t = docs.select("doc_id", ws.alias("ws")).where(F.size("ws") >= 2)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("ws"), i).alias("w1"),
+            F.element_at(F.col("ws"), i + 1).alias("w2"),
+        ),
+    )
+    bg = t.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    tf = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    cbi = tf.groupBy("w1", "w2").agg(F.sum("tf").cast("long").alias("cbi"))
+    cctx = cbi.groupBy("w1").agg(F.sum("cbi").cast("long").alias("cw1"))
+    uni = (
+        t.select(F.explode("ws").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    tot = uni.agg(F.sum("cu").cast("long").alias("total"))
+    j = (
+        tf.join(cbi, ["w1", "w2"])
+        .join(cctx, "w1")
+        .join(uni, tf["w2"] == uni["tok"])
+        .crossJoin(F.broadcast(tot))
+    )
+    addend = F.round(
+        F.log(
+            F.lit(lam) * (F.col("cbi") * 1.0 / F.col("cw1"))
+            # lam_uni is a SEPARATE literal, not 1-lam: 1.0-0.7 is
+            # 0.30000000000000004 in binary, which would diverge
+            # from the oracle's exact 0.3 literal
+            + F.lit(lam_uni) * (F.col("cu") * 1.0 / F.col("total"))
+        ),
+        9,
+    )
+    # avg-nll rounding is done in INTEGER micro-units — the exact
+    # decimal sum scaled to a BIGINT, then half-up via floor
+    # division — because ROUND(double, 6) on a near-midpoint
+    # quotient is engine-dependent (Spark rounds the shortest
+    # decimal repr, DuckDB scales-then-std::round; sf0.01 hit such
+    # a midpoint). Integer math is bit-identical by construction.
+    d = j.groupBy("doc_id").agg(
+        (F.sum((F.col("tf") * addend).cast(DEC)) * -1000000)
+        .cast("long")
+        .alias("neg_s_micro"),
+        F.sum("tf").cast("long").alias("n_big"),
+    )
+    q = F.expr("(2 * neg_s_micro + n_big) div (2 * n_big)")
+    dq = d.select("doc_id", "n_big", q.alias("q"))
+    avg_nll = F.col("q") * 1.0 / F.lit(1000000)
+    d2 = dq.select(
+        "doc_id",
+        "n_big",
+        avg_nll.alias("avg_nll"),
+        F.round(F.exp(avg_nll), 3).alias("ppl"),
+    )
+    hist = d2.groupBy("ppl").agg(F.count(F.lit(1)).alias("c"))
+    # running sum over the DISTINCT-ppl histogram — tiny by
+    # construction (3-decimal ppls), so the single partition is safe
+    cum = hist.withColumn("cc", F.sum("c").over(Window.orderBy("ppl"))).select(
+        "ppl", "cc"
+    )
+    nd = d2.agg(F.count(F.lit(1)).alias("nd"))
+    band = (
+        F.when(F.col("cc") * 3 <= F.col("nd"), F.lit("head"))
+        .when(F.col("cc") * 3 <= F.col("nd") * 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        d2.join(F.broadcast(cum), "ppl")
+        .crossJoin(F.broadcast(nd))
+        .select("doc_id", "n_big", "avg_nll", "ppl", band.alias("band"))
+    )
+
+
+@register(
+    "t09_doc_chunks",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_SQL_TOKS} AS ws FROM documents
+        WHERE len({_SQL_TOKS}) >= 1
+    )
+    SELECT doc_id,
+           CAST((s - 1) / 48 AS BIGINT) AS chunk_id,
+           CAST(s AS BIGINT) AS start_pos,
+           CAST(len(ws[s:s + 63]) AS BIGINT) AS n_tok,
+           array_to_string(ws[s:s + 63], ' ') AS chunk_text
+    FROM t CROSS JOIN
+         UNNEST(range(1, greatest(len(ws) - 16, 1) + 1, 48)) AS r(s)
+    """,
+    doc="""Sliding-window document chunking (⊕, r7): 64-token chunks
+    at stride 48 (16-token overlap), never crossing a document
+    boundary — the RAG / long-context preprocessing shape. Start rule
+    ``1, 1+48, … ≤ max(n−16, 1)`` guarantees full coverage with no
+    chunk contained in its predecessor; ≤64-token docs yield exactly
+    one chunk. chunk_id arithmetic is exact ((s−1) is always a
+    multiple of the stride, so the double division is
+    integer-valued in both engines).""",
+)
+def t09_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import chunk_documents
+
+    return chunk_documents(
+        read_table(spark, sf_dir, "documents"), chunk_size=64, stride=48
+    )
+
+
+@register(
+    "t10_importance_weights",
+    f"""
+    WITH t AS (
+        SELECT doc_id, lang = 'en' AS is_t, UNNEST({_SQL_TOKS}) AS tok
+        FROM documents
+    ), b AS (
+        SELECT doc_id, is_t,
+               (('0x' || substr(md5('ir' || tok), 1, 8))::BIGINT % 64 + 64) % 64
+                   AS bucket
+        FROM t
+    ), counts AS (
+        SELECT bucket, COUNT(*) AS craw,
+               SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ctgt
+        FROM b GROUP BY bucket
+    ), tot AS (
+        SELECT SUM(craw) AS nraw, SUM(ctgt) AS ntgt FROM counts
+    ), model0 AS (
+        SELECT d.bucket, COALESCE(craw, 0) AS craw, COALESCE(ctgt, 0) AS ctgt
+        FROM (SELECT UNNEST(range(64)) AS bucket) d
+        LEFT JOIN counts USING (bucket)
+    ), model AS (
+        SELECT bucket,
+               ROUND(ln(((ctgt + 1) * 1.0 / (ntgt + 64))
+                        / ((craw + 1) * 1.0 / (nraw + 64))), 9) AS lr
+        FROM model0 CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+           ROUND({sql_dsum('lr')}, 6) AS log_w
+    FROM b JOIN model USING (bucket)
+    GROUP BY doc_id
+    """,
+    doc="""DSIR importance log-weights (⊕, r7 — Xie et al. 2023's
+    hashed-n-gram importance resampling): log w(doc) = Σ ln(p_target/
+    p_raw) over 64 md5 feature-hash buckets with add-one smoothing;
+    target distribution = the lang='en' rows. Same determinism
+    devices as x08/x20 (9-decimal per-token rounding, DECIMAL
+    accumulation, md5 buckets).""",
+)
+def t10_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import dsir_log_weights
+
+    return dsir_log_weights(
+        read_table(spark, sf_dir, "documents"), target=F.col("lang") == "en", dim=64
+    )
