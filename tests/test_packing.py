@@ -230,3 +230,45 @@ def test_chunk_documents_rejects_bad_stride(spark):
         chunk_documents(_mk_docs(spark, ["a b"]), chunk_size=8, stride=0)
     with pytest.raises(ValueError):
         chunk_documents(_mk_docs(spark, ["a b"]), chunk_size=8, stride=9)
+
+
+def test_chunk_documents_property_random_geometry(spark):
+    """Invariants hold for EVERY (chunk_size, stride) geometry, not
+    just the gate's 64/48: full cover, no contained chunk, exact
+    start arithmetic, single chunk for short docs. One Spark job for
+    all geometries (hypothesis's per-example Spark round trip is the
+    slow part, so this sweeps a grid instead)."""
+    from trendr_data_pipeline_spark.operators.packing import chunk_documents
+
+    random.seed(111)
+    texts = [
+        " ".join(f"w{random.randrange(7)}" for _ in range(n))
+        for n in list(range(1, 20)) + [31, 32, 33, 47, 48, 49, 95, 96, 97, 150]
+    ]
+    df = _mk_docs(spark, texts)
+    for chunk_size, stride in [(1, 1), (2, 1), (5, 5), (7, 3), (16, 15), (32, 8)]:
+        overlap = chunk_size - stride
+        rows = chunk_documents(df, chunk_size, stride).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for i, t in enumerate(texts):
+            ws = t.split()
+            n = len(ws)
+            chunks = sorted(by_doc[i], key=lambda r: r.start_pos)
+            # exact start set per the documented rule
+            want_starts = list(range(1, max(n - overlap, 1) + 1, stride))
+            assert [c.start_pos for c in chunks] == want_starts, (
+                chunk_size, stride, n)
+            covered = set()
+            prev_end = 0
+            for c in chunks:
+                assert c.chunk_id == (c.start_pos - 1) // stride
+                end = c.start_pos + c.n_tok - 1
+                assert c.n_tok == len(ws[c.start_pos - 1 : c.start_pos - 1 + chunk_size])
+                assert end > prev_end
+                covered.update(range(c.start_pos, end + 1))
+                prev_end = end
+            assert covered == set(range(1, n + 1))
+            if n <= chunk_size:
+                assert len(chunks) == 1

@@ -1058,15 +1058,21 @@ def winnow_fingerprints(
     aggregation. Window starts are pruned BEFORE the distinct, so the
     aggregate sees 2/(w+1)·grams rows, not grams·w.
     """
-    toks = tokens(F.lower(F.col(text_col)))
-    m = F.size(toks) - (k - 1)
+    # tokenize ONCE into a bound column before the transform lambda:
+    # referencing the tokenize expression inside the lambda would
+    # re-evaluate split+filter per gram slot (the
+    # unbound-expression-in-lambda trap, SCALING.md — measured ~3×
+    # on this op's wall time at sf0.1)
+    ws = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.lower(F.col(text_col))).alias("ws"),
+    ).filter(F.size("ws") >= k)
+    m = F.size(F.col("ws")) - (k - 1)
     grams = F.transform(
         F.sequence(F.lit(1), m),
-        lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
+        lambda i: F.md5(F.array_join(F.slice(F.col("ws"), i, k), " ")),
     )
-    g = docs.filter(m >= 1).select(
-        F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos", "h")
-    )
+    g = ws.select("doc_id", F.posexplode(grams).alias("pos", "h"))
     by_doc = Window.partitionBy("doc_id")
     wnd = by_doc.orderBy("pos").rowsBetween(0, w - 1)
     return (
