@@ -48,17 +48,37 @@ def bow_fingerprint(col: Column) -> Column:
     return F.md5(F.array_join(token_set(col), " "))
 
 
+def _ngram_zip_fold(arr: Column, n: int, sep: str) -> Column:
+    """All n-grams of ``arr`` (length ≥ n assumed) as sep-joined
+    strings, built by zipping n shifted slices. ``slice`` takes the
+    array as a DIRECT argument — evaluated n times per ROW — so no
+    complex expression lands in a lambda body, where it would
+    re-evaluate per ELEMENT (the unbound-expression-in-lambda trap:
+    the transform(sequence, i -> ...slice(arr, i, n)...) form embeds
+    the whole ``arr`` tree in the per-gram lambda, measured 3× on
+    winnowing and 20× on quality.word_bigrams)."""
+    m = F.size(arr) - (n - 1)
+    acc = F.slice(arr, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(arr, 1 + j, m),
+            lambda a, b: F.concat(a, F.lit(sep), b) if sep else F.concat(a, b),
+        )
+    return acc
+
+
 def shingle_set(col: Column, n: int = 5) -> Column:
     """Sorted distinct character n-gram shingles of the lowercased
     text — the classic near-dup representation (robust to word
     reordering AND intra-word edits, unlike word tokens). Pure JVM:
-    a sequence of start offsets transformed through substring."""
-    s = F.lower(col)
-    m = F.length(s) - (n - 1)
-    grams = F.transform(F.sequence(F.lit(1), F.greatest(m, F.lit(1))), lambda i: F.substring(s, i, n))
-    return F.when(m >= 1, F.array_sort(F.array_distinct(grams))).otherwise(
-        F.array().cast("array<string>")
-    )
+    n shifted slices of the char array zipped back together (see
+    :func:`_ngram_zip_fold` for why not substring-over-sequence)."""
+    cs = F.split(F.lower(col), "")
+    m = F.length(F.lower(col)) - (n - 1)
+    return F.when(
+        m >= 1, F.array_sort(F.array_distinct(_ngram_zip_fold(cs, n, "")))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def shingle_hashes(col: Column, n: int = 5) -> Column:
@@ -112,14 +132,15 @@ def word_ngrams(col: Column, n: int = 8) -> Column:
     screened for documents sharing an n-gram with an evaluation
     benchmark (the GPT-3 13-gram practice; 8 here because the fixture
     docs are short). Empty array when the document has fewer than
-    ``n`` tokens."""
+    ``n`` tokens. Built with the slice-zip fold (:func:`_ngram_zip_fold`)
+    so the tokenize tree is evaluated n times per ROW, not once per
+    gram (the previous transform-over-sequence form re-tokenized the
+    document per gram slot)."""
     toks = tokens(F.lower(col))
     m = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    return F.when(m >= 1, F.array_distinct(_ngram_zip_fold(toks, n, " "))).otherwise(
+        F.array().cast("array<string>")
     )
-    return F.when(m >= 1, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
 
 
 def word_ngram_hashes(col: Column, n: int = 8, positional: bool = False) -> Column:
