@@ -978,3 +978,48 @@ def test_fingerprint_match_pairs_scopes_its_persist(spark):
     assert not _unscoped_persisted_rdds(spark, before)
     assert out.count() >= 0
     assert not _unscoped_persisted_rdds(spark, before)
+
+
+def test_filtered_ann_prefilter_semantics(spark):
+    """t11's filtered search: (1) every returned neighbor satisfies
+    the predicate; (2) each query still gets a full k results (the
+    pre-filter vs post-cut distinction: a post-cut of the unfiltered
+    top-10 would keep only the ~quarter of winners that carry the
+    label); (3) filtered-IVF recall at production nprobe holds
+    against the filtered brute force; (4) scores exact."""
+    from trendr_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    pred = F.col("label") == 1
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+
+    exact = cosine_topk_bruteforce(queries, emb, k=10, where=pred).collect()
+    assert all(labels[r["neighbor_id"]] == 1 for r in exact)
+    by_q = {}
+    for r in exact:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert all(len(v) == 10 for v in by_q.values())
+    # post-cut comparison: the unfiltered top-10 keeps far fewer
+    # label-1 rows than k for at least some query (so pre-filter
+    # genuinely differs from cutting the unfiltered result)
+    unfiltered = cosine_topk_bruteforce(queries, emb, k=10).collect()
+    kept = {}
+    for r in unfiltered:
+        kept[r["query_id"]] = kept.get(r["query_id"], 0) + (
+            1 if labels[r["neighbor_id"]] == 1 else 0
+        )
+    assert min(kept.values()) < 10
+
+    ivf = ivf_topk(queries, emb, k=10, nlist=8, nprobe=3, where=pred).collect()
+    assert all(labels[r["neighbor_id"]] == 1 for r in ivf)
+    exact_map = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in cosine_topk_bruteforce(queries, emb, k=10**9, where=pred).collect()
+    }
+    for r in ivf:
+        assert abs(exact_map[(r["query_id"], r["neighbor_id"])] - r["cosine_sim"]) < 1e-9
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    ivf_set = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    recall = len(exact_set & ivf_set) / len(exact_set)
+    assert recall >= 0.4, f"filtered IVF recall too low: {recall}"

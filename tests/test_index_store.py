@@ -654,3 +654,134 @@ def test_reader_survives_swap_window_without_mutating(spark, tmp_path):
     # the reader did NOT heal: layout untouched
     assert os.path.isdir(idx + ".old") and not os.path.exists(idx)
     os.rename(idx + ".old", idx)
+
+
+# ---------------------------------------------------------------------------
+# remove_from_index: the third lifecycle verb (extend / compact / remove)
+# ---------------------------------------------------------------------------
+
+
+def test_remove_from_index_ivf_file_pruned(spark, tmp_path):
+    """(1) post-remove full-probe search == brute force over the
+    surviving corpus; (2) removed ids never returned; (3) files not
+    containing a doomed id keep their inodes (file-pruned rewrite is
+    executable, not prose)."""
+    from trendr_data_pipeline_spark.operators.index_store import remove_from_index
+    from trendr_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    idx = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, idx, nlist=8, seed=42)
+
+    doomed_ids = [1, 2, 3]
+    # which files hold the doomed rows (for the inode pin below)
+    stored = spark.read.parquet(os.path.join(idx, "data"))
+    hit = {
+        os.path.relpath(r["_f"].removeprefix("file:"), idx)
+        for r in stored.withColumn("_f", F.input_file_name())
+        .filter(F.col("neighbor_id").isin(doomed_ids))
+        .select("_f")
+        .distinct()
+        .collect()
+    }
+    assert hit
+    before = _inodes(idx)
+    doomed = spark.createDataFrame([(i,) for i in doomed_ids], "vec_id long")
+    remove_from_index(doomed, idx)
+    after = _inodes(idx)
+    for rel, ino in before.items():
+        if rel not in hit:
+            assert after.get(rel) == ino, f"untouched file rewritten: {rel}"
+        else:
+            assert after.get(rel) != ino, f"affected file kept: {rel}"
+
+    survivors = emb.filter(~F.col("vec_id").isin(doomed_ids))
+    got = _rows(
+        ivf_topk_index(queries, idx, k=10, nprobe=8).select(
+            "query_id", "neighbor_id", "cosine_sim", "rk"
+        )
+    )
+    want = _rows(cosine_topk_bruteforce(queries, survivors, k=10))
+    assert got == want
+    assert not {r for r in got if r[1] in set(doomed_ids)}
+
+
+def test_remove_from_index_noop_and_idempotent(spark, tmp_path):
+    from trendr_data_pipeline_spark.operators.index_store import remove_from_index
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    idx = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, idx, nlist=8, seed=42)
+    before = _inodes(idx)
+    # ids absent from the index: TRUE no-op, no swap, no rewrite
+    ghost = spark.createDataFrame([(10**9 + 7,)], "vec_id long")
+    remove_from_index(ghost, idx)
+    assert _inodes(idx) == before
+    # real removal, then the SAME removal again: second call no-op
+    doomed = spark.createDataFrame([(4,), (5,)], "vec_id long")
+    remove_from_index(doomed, idx)
+    mid = _inodes(idx)
+    remove_from_index(doomed, idx)
+    assert _inodes(idx) == mid
+
+
+def test_remove_from_index_pq_flat(spark, tmp_path):
+    """Flat (unpartitioned) pq artifact: removal rewrites the flat
+    data root's affected files; warm search over the artifact equals
+    the train-and-query path on the surviving corpus."""
+    from trendr_data_pipeline_spark.operators.index_store import remove_from_index
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    idx = str(tmp_path / "pq_idx")
+    write_pq_index(emb, idx, m=8, ksub=16, seed=42)
+    doomed_ids = [0, 8, 16]
+    doomed = spark.createDataFrame([(i,) for i in doomed_ids], "vec_id long")
+    remove_from_index(doomed, idx)
+    survivors = emb.filter(~F.col("vec_id").isin(doomed_ids))
+    # candidates >= corpus makes ADC admit everything, so both paths
+    # reduce to exact cosine over their (surviving) code sets and the
+    # codebook difference (index trained pre-removal) cannot matter
+    got = _rows(pq_topk_index(queries, survivors, idx, k=10, candidates=10**9))
+    want = _rows(
+        pq_topk(queries, survivors, k=10, m=8, ksub=16, seed=42, candidates=10**9)
+    )
+    assert got == want
+
+
+def test_remove_composes_with_extend_and_compact(spark, tmp_path):
+    """Full lifecycle: build on a base slice, extend with new rows,
+    REMOVE a mix of base and new ids, compact — final search equals
+    brute force over (base ∪ new) − removed at full probe."""
+    from trendr_data_pipeline_spark.operators.index_store import (
+        compact_index,
+        extend_ivf_index,
+        remove_from_index,
+    )
+    from trendr_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    idx = str(tmp_path / "ivf_idx")
+    write_ivf_index(base, idx, nlist=8, seed=42)
+    extend_ivf_index(new, idx)
+    doomed_ids = [1, 2, 5, 10]  # base ids and extended ids
+    remove_from_index(
+        spark.createDataFrame([(i,) for i in doomed_ids], "vec_id long"), idx
+    )
+    compact_index(idx, max_files_per_cell=0)
+    survivors = emb.filter(~F.col("vec_id").isin(doomed_ids))
+    got = _rows(
+        ivf_topk_index(queries, idx, k=10, nprobe=8).select(
+            "query_id", "neighbor_id", "cosine_sim", "rk"
+        )
+    )
+    want = _rows(cosine_topk_bruteforce(queries, survivors, k=10))
+    assert got == want

@@ -642,6 +642,77 @@ def compact_index(index_dir: str, max_files_per_cell: int = 8) -> None:
     _atomic_write(index_dir, _guarded_parts(index_dir, build))
 
 
+def remove_from_index(
+    ids: DataFrame, index_dir: str, id_col: str = "vec_id"
+) -> None:
+    """Hard-delete vectors from a persisted index — FAISS
+    ``remove_ids``, parquet-artifact edition, and the third lifecycle
+    verb (extend / compact / REMOVE). Training pipelines need physical
+    deletion (takedowns, opt-outs, dedup-after-index): tombstones
+    would keep the bytes on disk and tax every scan with an anti-join
+    forever, so this rewrites — but only the FILES that actually
+    contain a doomed id.
+
+    Mechanics: one scan of the stored frame joined to the id set
+    discovers the affected files via ``input_file_name()`` (cost
+    O(corpus scan) worst case, but only matching FILES are
+    rewritten — cost O(affected files' rows), the merge-sink
+    file-pruning posture); every other file hard-links through the
+    same atomic two-phase swap as extend/compact, with the
+    single-writer conflict guard. Removing ids that are not in the
+    index is a TRUE no-op (no swap, inodes unchanged), so the call is
+    idempotent. Works for all three kinds (ivf / ivfpq cell trees,
+    flat pq) — rewritten files go back into their cell directory, so
+    partition pruning is unaffected.
+
+    Pinned in tests/test_index_store.py: post-remove search equals a
+    fresh search over the surviving corpus (full-probe degenerate
+    equality), untouched files keep their inodes, second remove is a
+    no-op, and removal composes with extend/compact.
+    """
+    spark = ids.sparkSession
+    _load_index(spark, index_dir, expect_kind=None, heal=True)
+    data_dir = os.path.join(index_dir, "data")
+    doomed = ids.select(F.col(id_col).cast("long").alias("_rm_id")).distinct()
+    stored = spark.read.parquet(data_dir)
+    hit_files = [
+        r["_f"]
+        for r in stored.withColumn("_f", F.input_file_name())
+        .join(doomed, stored["neighbor_id"] == doomed["_rm_id"], "left_semi")
+        .select("_f")
+        .distinct()
+        .collect()
+    ]
+    if not hit_files:
+        return
+    from urllib.parse import unquote, urlparse
+
+    by_dir: dict[str, list[str]] = {}
+    for uri in hit_files:
+        p = unquote(urlparse(uri).path)
+        by_dir.setdefault(os.path.dirname(p), []).append(p)
+
+    def build(tmp: str) -> None:
+        _link_tree(index_dir, tmp)
+        for d, files in by_dir.items():
+            rel = os.path.relpath(d, data_dir)
+            out = os.path.join(tmp, "data") if rel == "." else os.path.join(
+                tmp, "data", rel
+            )
+            for p in files:
+                base = os.path.basename(p)
+                for name in (base, f".{base}.crc"):
+                    linked = os.path.join(out, name)
+                    if os.path.exists(linked):
+                        os.remove(linked)
+            survivors = spark.read.parquet(*sorted(files)).join(
+                doomed, F.col("neighbor_id") == F.col("_rm_id"), "left_anti"
+            )
+            _stage_files(survivors.coalesce(1), out)
+
+    _atomic_write(index_dir, _guarded_parts(index_dir, build))
+
+
 def index_extend_sink(
     stream: DataFrame,
     index_dir: str,

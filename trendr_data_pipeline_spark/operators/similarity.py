@@ -52,14 +52,21 @@ def cosine_topk_bruteforce(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    where: Column | None = None,
 ) -> DataFrame:
     """Exact cosine top-k of ``corpus`` for each row of ``queries``.
 
     Returns (query_id, neighbor_id, cosine_sim, rk). Self-matches are
     excluded. Ties broken by neighbor id (determinism, reference W4
-    discipline)."""
+    discipline). ``where`` (a predicate over corpus columns)
+    restricts the searchable set BEFORE scoring — filtered search,
+    the vector-DB pre-filter: top-k among the rows that satisfy the
+    predicate, never a post-cut of an unfiltered top-k (which loses
+    results whenever < k of the unfiltered winners match)."""
     from ..io import spread
 
+    if where is not None:
+        corpus = corpus.filter(where)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = spread(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = (
@@ -157,6 +164,7 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     train_sample: int = 4096,
+    where: Column | None = None,
 ) -> DataFrame:
     """IVF-style ANN: a spherical k-means coarse quantizer trained
     DRIVER-SIDE on a hash-ordered sample of ≤``train_sample`` vectors
@@ -171,7 +179,17 @@ def ivf_topk(
     Training is a numpy Lloyd loop on the driver — milliseconds, no
     MLlib job, deterministic for a given corpus + seed; in a serving
     setup the centroids are trained once and reused across query
-    batches."""
+    batches.
+
+    ``where`` (predicate over corpus columns) gives FILTERED ANN,
+    the vector-DB pre-filter semantics: the quantizer still trains
+    on the UNFILTERED sample (the index doesn't change per query
+    predicate — the FAISS selector model), but only matching rows
+    are assigned/scanned, so the top-k is exact over the filtered
+    set at full probe and recall degrades with nprobe exactly as in
+    the unfiltered case. Pre-filter, not post-cut: a post-cut
+    returns < k rows whenever the unfiltered winners are mostly
+    non-matching."""
     import numpy as np
 
     sample = (
@@ -183,6 +201,8 @@ def ivf_topk(
     X = np.array([r["v"] for r in sample], dtype=np.float64)
     centroids = _spherical_kmeans(X, nlist=nlist, seed=seed)
 
+    if where is not None:
+        corpus = corpus.filter(where)
     assign_udf = _nearest_cells(centroids, nprobe=1)
     assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -412,3 +412,66 @@ def x24_ivfpq_fast_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return ivfpq_topk(queries, emb, k=10, nlist=16, nprobe=4, m=8, ksub=16, candidates=100)
+
+
+#: brute-force filtered top-k twin: the m01 oracle with the corpus
+#: restricted to label = 1 BEFORE scoring (pre-filter semantics)
+_ORACLE_FILTERED_TOPK = """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id % 100 = 0
+    ), c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE label = 1
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               ROUND(list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)
+                 AS cosine_sim
+        FROM q JOIN c ON query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, neighbor_id ASC) AS rk
+        FROM scored
+    ) WHERE rk <= 10
+"""
+
+
+@register(
+    "t11_filtered_ann",
+    f"""
+    SELECT 'exact' AS method, * FROM ({_ORACLE_FILTERED_TOPK})
+    UNION ALL
+    SELECT 'ivf_full' AS method, * FROM ({_ORACLE_FILTERED_TOPK})
+    """,
+    doc="""Filtered ANN (⊕, r7 — the vector-DB metadata-constrained
+    search: top-k among only the corpus rows satisfying a predicate,
+    here label = 1). PRE-filter semantics: the predicate restricts
+    the searchable set before scoring, never a post-cut of an
+    unfiltered top-k. Two legs under a ``method`` label, both
+    hash-gated against the same filtered brute-force SQL: the exact
+    path, and the IVF path at full probe (nprobe == nlist — the m03
+    degenerate-exact device, here proving the FILTERED scan: the
+    quantizer trains unfiltered, assignment/scan see only matching
+    rows, and full probe makes that exactly the filtered brute
+    force). Production-nprobe recall and the neighbors-satisfy-
+    predicate invariant are pinned in pytest.""",
+)
+def t11_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    pred = F.col("label") == 1
+    exact = cosine_topk_bruteforce(queries, emb, k=10, where=pred).select(
+        F.lit("exact").alias("method"), "query_id", "neighbor_id", "cosine_sim", "rk"
+    )
+    ivf_full = ivf_topk(
+        queries, emb, k=10, nlist=16, nprobe=16, where=pred
+    ).select(
+        F.lit("ivf_full").alias("method"), "query_id", "neighbor_id", "cosine_sim", "rk"
+    )
+    return exact.unionByName(ivf_full)
