@@ -785,3 +785,57 @@ def test_remove_composes_with_extend_and_compact(spark, tmp_path):
     )
     want = _rows(cosine_topk_bruteforce(queries, survivors, k=10))
     assert got == want
+
+
+def test_filtered_search_on_persisted_indexes(spark, tmp_path):
+    """⊕M7 on the warm path: filter_ids restricts all three persisted
+    artifacts' searches with pre-filter semantics — at degenerate
+    settings (full probe / full candidates) each equals the filtered
+    brute force, and every neighbor satisfies the predicate."""
+    from trendr_data_pipeline_spark.operators.index_store import (
+        ivfpq_topk_index,
+        write_ivfpq_index,
+    )
+    from trendr_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    pred = F.col("label") == 1
+    allowed = emb.filter(pred).select("vec_id")
+    allowed_set = {r["vec_id"] for r in allowed.collect()}
+    want = _rows(cosine_topk_bruteforce(queries, emb, k=10, where=pred))
+
+    ivf_dir = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, ivf_dir, nlist=8, seed=42)
+    got_ivf = _rows(
+        ivf_topk_index(queries, ivf_dir, k=10, nprobe=8, filter_ids=allowed).select(
+            "query_id", "neighbor_id", "cosine_sim", "rk"
+        )
+    )
+    assert got_ivf == want
+
+    pq_dir = str(tmp_path / "pq_idx")
+    write_pq_index(emb, pq_dir, m=8, ksub=16, seed=42)
+    got_pq = _rows(
+        pq_topk_index(queries, emb, pq_dir, k=10, candidates=10**9, filter_ids=allowed)
+    )
+    assert got_pq == want
+
+    ivfpq_dir = str(tmp_path / "ivfpq_idx")
+    write_ivfpq_index(emb, ivfpq_dir, nlist=8, m=8, ksub=16, seed=42)
+    got_ivfpq = _rows(
+        ivfpq_topk_index(
+            queries, emb, ivfpq_dir, k=10, nprobe=8, candidates=10**9,
+            filter_ids=allowed,
+        )
+    )
+    assert got_ivfpq == want
+
+    # production settings: results may be approximate but must still
+    # satisfy the predicate (the filter is pre-scan, not post-cut)
+    approx = ivf_topk_index(
+        queries, ivf_dir, k=10, nprobe=3, filter_ids=allowed
+    ).collect()
+    assert approx and all(r["neighbor_id"] in allowed_set for r in approx)

@@ -125,6 +125,22 @@ def write_ivf_index(
     _atomic_write(out_dir, parts)
 
 
+def _apply_id_filter(
+    stored: DataFrame, filter_ids: DataFrame | None, id_col: str
+) -> DataFrame:
+    """Filtered-search device for persisted indexes (⊕M7 on the warm
+    path): the artifact stores no metadata columns, so the caller
+    evaluates its predicate on the source-of-truth table and passes
+    the allowed ids — one LEFT SEMI join prunes the stored scan
+    INSIDE the already-partition-pruned probed cells. AQE broadcasts
+    the id frame when selective; at low selectivity it degrades to a
+    keyed join, never a post-cut of the result."""
+    if filter_ids is None:
+        return stored
+    ids = filter_ids.select(F.col(id_col).cast("long").alias("_ok_id")).distinct()
+    return stored.join(ids, stored["neighbor_id"] == ids["_ok_id"], "left_semi")
+
+
 def ivf_topk_index(
     queries: DataFrame,
     index_dir: str,
@@ -132,13 +148,18 @@ def ivf_topk_index(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Query a persisted IVF index: read centroids (tiny), prune the
     partitioned data scan to the probed cells, exact-rescore. No
-    training, no encode — the warm-path cost is the candidate scan."""
+    training, no encode — the warm-path cost is the candidate scan.
+    ``filter_ids`` restricts the searchable set (pre-filter, see
+    :func:`_apply_id_filter`)."""
     spark = queries.sparkSession
     root, _meta, centroids, _books = _load_index(spark, index_dir, "ivf")
-    assigned = spark.read.parquet(os.path.join(root, "data"))
+    assigned = _apply_id_filter(
+        spark.read.parquet(os.path.join(root, "data")), filter_ids, id_col
+    )
     return _ivf_search(queries, assigned, centroids, k, nprobe, id_col, vec_col)
 
 
@@ -191,15 +212,20 @@ def pq_topk_index(
     candidates: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Query a persisted PQ index: codebooks from ``model/`` (m·ksub
     rows), ADC over the persisted codes, exact rescore against the
     raw ``corpus`` vectors (the index stores only the compressed
     codes; the rescore join is the same broadcast-candidate shape as
-    :func:`~.similarity.pq_topk`)."""
+    :func:`~.similarity.pq_topk`). ``filter_ids`` restricts the
+    searchable set BEFORE the ADC cut (pre-filter: the candidate
+    budget is spent on matching rows only)."""
     spark = queries.sparkSession
     root, _meta, _centroids, books = _load_index(spark, index_dir, "pq")
-    coded = spark.read.parquet(os.path.join(root, "data"))
+    coded = _apply_id_filter(
+        spark.read.parquet(os.path.join(root, "data")), filter_ids, id_col
+    )
     return _pq_adc_rescore(queries, corpus, books, coded, k, candidates, id_col, vec_col)
 
 
@@ -267,13 +293,16 @@ def ivfpq_topk_index(
     candidates: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Query a persisted IVFPQ index: centroids + codebooks from
     ``model/`` (tiny), then the ADC scan reads ONLY the probed cells'
     partitions — the union of every query's probe set prunes the
     parquet scan itself (PartitionFilters), on top of the per-query
     -inf mask inside the scan. Exact rescore against the raw
-    ``corpus`` as usual."""
+    ``corpus`` as usual. ``filter_ids`` restricts the searchable set
+    before the ADC cut (pre-filter; composes with the partition
+    pruning — the semi-join runs inside the probed cells only)."""
     import numpy as np
 
     from .similarity import _pq_adc_rescore
@@ -298,8 +327,12 @@ def ivfpq_topk_index(
             for c in row
         }
     )
-    coded = spark.read.parquet(os.path.join(root, "data")).filter(
-        F.col("cell").isin(probed)
+    coded = _apply_id_filter(
+        spark.read.parquet(os.path.join(root, "data")).filter(
+            F.col("cell").isin(probed)
+        ),
+        filter_ids,
+        id_col,
     )
     return _pq_adc_rescore(
         queries, corpus, books, coded, k, candidates, id_col, vec_col,
