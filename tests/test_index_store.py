@@ -839,3 +839,59 @@ def test_filtered_search_on_persisted_indexes(spark, tmp_path):
         queries, ivf_dir, k=10, nprobe=3, filter_ids=allowed
     ).collect()
     assert approx and all(r["neighbor_id"] in allowed_set for r in approx)
+
+
+def test_index_remove_sink_streaming_takedowns(spark, tmp_path):
+    """Deletion-request stream applied through foreachBatch: two
+    waves with an OVERLAPPING id (the replay shape — re-removal is a
+    structural no-op), final index equals the brute force over the
+    survivors at full probe, and a third empty-effect wave leaves
+    every inode unchanged."""
+    from trendr_data_pipeline_spark.operators.index_store import (
+        index_remove_sink,
+    )
+    from trendr_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    idx = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, idx, nlist=4, seed=42)
+
+    d = tmp_path / "waves"
+    d.mkdir()
+    from tests.fixtures import stage_stream_file
+
+    ids_schema = "vec_id long"
+    w1 = spark.createDataFrame([(1,), (2,)], ids_schema)
+    w2 = spark.createDataFrame([(2,), (3,)], ids_schema)  # 2 again: no-op half
+    stage_stream_file(spark, str(d), "w1", w1)
+    stream = spark.readStream.schema(w1.schema).parquet(str(d))
+    q = index_remove_sink(stream, idx, str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+        stage_stream_file(spark, str(d), "w2", w2)
+        q.processAllAvailable()
+        before = _inodes(idx)
+        # wave of ids already gone / never present: TRUE no-op
+        stage_stream_file(
+            spark, str(d), "w3",
+            spark.createDataFrame([(1,), (10**9,)], ids_schema),
+        )
+        q.processAllAvailable()
+        assert _inodes(idx) == before
+    finally:
+        q.stop()
+    survivors = emb.filter(~F.col("vec_id").isin([1, 2, 3]))
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    got = _rows(
+        ivf_topk_index(queries, idx, k=10, nprobe=4).select(
+            "query_id", "neighbor_id"
+        )
+    )
+    want = _rows(
+        cosine_topk_bruteforce(queries, survivors, k=10).select(
+            "query_id", "neighbor_id"
+        )
+    )
+    assert got == want

@@ -846,3 +846,34 @@ def ivf_extend_sink(
         stream, index_dir, checkpoint_dir, kind="ivf",
         id_col=id_col, vec_col=vec_col,
     )
+
+
+def index_remove_sink(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+):
+    """Streaming takedowns: apply a deletion-request stream (rows
+    carrying ``id_col``) to a persisted index via
+    :func:`remove_from_index`, one micro-batch at a time — the CDC
+    shape of the takedown/opt-out pipeline. Replay safety comes for
+    FREE from removal's semantics: re-removing an already-removed id
+    is a structural no-op (no files match → no swap), so a batch
+    replayed after a crash converges to the same artifact — no
+    stored-id anti-join needed, unlike the extend sink. Works for
+    any index kind. Single-writer like all index maintenance: do not
+    run concurrently with an extend sink on the same artifact (the
+    conflict guard turns a race into a loud RuntimeError)."""
+
+    def do_remove(batch: DataFrame, batch_id: int) -> None:
+        ids = batch.select(id_col).dropDuplicates([id_col]).localCheckpoint()
+        if ids.take(1):
+            remove_from_index(ids, index_dir, id_col=id_col)
+
+    return (
+        stream.writeStream.foreachBatch(do_remove)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
