@@ -1023,3 +1023,77 @@ def test_filtered_ann_prefilter_semantics(spark):
     ivf_set = {(r["query_id"], r["neighbor_id"]) for r in ivf}
     recall = len(exact_set & ivf_set) / len(exact_set)
     assert recall >= 0.4, f"filtered IVF recall too low: {recall}"
+
+
+def test_containment_pairs_python_oracle_and_asymmetry(spark):
+    """Python brute-force parity, plus the reason the operator exists:
+    a short doc quoted whole inside a much larger one must score
+    containment 1.0 while its Jaccard stays below any dedup
+    threshold."""
+    import random
+
+    from trendr_data_pipeline_spark.operators.dedup import containment_pairs
+
+    random.seed(77)
+    texts = {}
+    for i in range(30):
+        texts[i] = " ".join(random.choice("abcdefghijklmnop") for _ in range(random.randrange(3, 25)))
+    # doc 100 = doc 0's text embedded in a long host document with a
+    # disjoint-ish vocabulary tail
+    texts[100] = texts[0] + " " + " ".join(f"z{j}" for j in range(60))
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+
+    got = {
+        (r.id_a, r.id_b): (r.contained_id, r.containment)
+        for r in containment_pairs(df, threshold=0.9).collect()
+    }
+    sets = {i: set(t.lower().split()) for i, t in texts.items()}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                small = min(len(sets[a]), len(sets[b]))
+                c = inter / small
+                if c >= 0.9:
+                    if len(sets[a]) < len(sets[b]):
+                        cid = a
+                    elif len(sets[b]) < len(sets[a]):
+                        cid = b
+                    else:
+                        cid = min(a, b)
+                    want[(a, b)] = (cid, round(c, 6))
+    assert set(got) == set(want)
+    for k, (cid, c) in want.items():
+        assert got[k][0] == cid
+        assert abs(got[k][1] - c) < 1e-9
+
+    # the asymmetric case: full containment, low Jaccard
+    assert got[(0, 100)][0] == 0 and got[(0, 100)][1] == 1.0
+    j = len(sets[0] & sets[100]) / len(sets[0] | sets[100])
+    assert j < 0.3, "fixture must make Jaccard miss this pair"
+
+
+def test_containment_pairs_df_cap_equivalence(spark):
+    """With a df_cap that satisfies the provable bound
+    (ceil(t*s_min) > #hot), the capped plan's output must equal the
+    uncapped plan's exactly."""
+    import random
+
+    from trendr_data_pipeline_spark.operators.dedup import containment_pairs
+
+    random.seed(78)
+    rows = []
+    for i in range(60):
+        # every doc gets the two hot tokens + a rare-token body
+        body = " ".join(f"w{random.randrange(40)}" for _ in range(random.randrange(8, 20)))
+        rows.append((i, f"hota hotb {body}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = {
+        tuple(r) for r in containment_pairs(df, threshold=0.6).collect()
+    }
+    capped = {
+        tuple(r) for r in containment_pairs(df, threshold=0.6, df_cap=45).collect()
+    }
+    assert plain == capped
+    assert plain

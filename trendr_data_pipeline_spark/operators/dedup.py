@@ -476,6 +476,94 @@ def jaccard_topk_join(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int | None = None,
+) -> DataFrame:
+    """All pairs where the SMALLER token set is ≥ ``threshold``
+    contained in the other: c = |A∩B| / min(|A|,|B|) — the asymmetric
+    near-dup family Jaccard structurally misses (a doc quoted whole
+    inside a much larger doc has J = |A|/|B| ≈ 0 but containment 1.0;
+    the Broder 1997 "containment" resemblance twin, and the reason
+    web-dedup pipelines screen quote-expansion pairs separately).
+
+    Plan: the d02 count-based inverted index — ONE distinct-token
+    explode, token-keyed self-equi-join (id_a < id_b), per-pair
+    shared count, containment from the counts. Deliberately NO
+    size-compatibility prune: unlike Jaccard, containment does not
+    bound the size ratio — those wide-ratio pairs are the signal.
+    ``df_cap`` is the same provably-exact hot-token stop list as
+    :func:`jaccard_topk_join` (hot tokens leave the join; per-doc
+    hot arrays restore the exact intersection; a qualifying pair
+    shares ≥ ceil(t·min_size) tokens, so one is cold whenever
+    ceil(t·s_min) > #hot).
+
+    Returns (id_a, id_b, contained_id, containment) with
+    id_a < id_b; ``contained_id`` is the smaller side (min id on
+    size ties)."""
+    t = docs.select(
+        F.col(id_col).alias("id"), token_set(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") > 0)
+    e = t.select("id", F.size("toks").alias("sz"), F.explode("toks").alias("token"))
+    hot_arrays = None
+    if df_cap is not None:
+        from pyspark import StorageLevel
+
+        # the token stream feeds freq, the hot-array leg and both join
+        # sides — materialize once (the d02 posture)
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
+        freq = e.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        hot = F.broadcast(freq.filter(F.col("df") > df_cap).select("token"))
+        hot_arrays = (
+            e.join(hot, "token")
+            .groupBy("id")
+            .agg(F.collect_set("token").alias("hot_toks"))
+        )
+        e = e.join(hot, "token", "left_anti")
+    a = e.select(
+        F.col("id").alias("id_a"), F.col("sz").alias("size_a"), "token"
+    )
+    b = e.select(
+        F.col("id").alias("id_b"), F.col("sz").alias("size_b"), "token"
+    )
+    shared = (
+        a.join(b, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if hot_arrays is not None:
+        ha = hot_arrays.select(F.col("id").alias("id_a"), F.col("hot_toks").alias("hot_a"))
+        hb = hot_arrays.select(F.col("id").alias("id_b"), F.col("hot_toks").alias("hot_b"))
+        shared = (
+            shared.join(ha, "id_a", "left")
+            .join(hb, "id_b", "left")
+            .withColumn(
+                "inter",
+                F.col("inter")
+                + F.coalesce(F.size(F.array_intersect("hot_a", "hot_b")), F.lit(0)),
+            )
+        )
+    cont = F.col("inter") * 1.0 / F.least("size_a", "size_b")
+    contained = (
+        F.when(F.col("size_a") < F.col("size_b"), F.col("id_a"))
+        .when(F.col("size_b") < F.col("size_a"), F.col("id_b"))
+        .otherwise(F.least("id_a", "id_b"))
+    )
+    return (
+        shared.filter(cont >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            contained.alias("contained_id"),
+            F.round(cont, 6).alias("containment"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

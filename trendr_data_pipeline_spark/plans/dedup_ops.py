@@ -604,3 +604,43 @@ def t07_fingerprint_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_match_pairs(
         read_table(spark, sf_dir, "documents"), k=3, w=4, min_shared=2, df_cap=50
     )
+
+
+@register(
+    "t12_containment_pairs",
+    f"""
+    WITH t AS (
+        SELECT doc_id AS id, {_SQL_TOKSET} AS toks FROM documents
+        WHERE doc_id % 10 = 0 AND len({_SQL_TOKSET}) > 0
+    ),
+    p AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               len(a.toks) AS size_a, len(b.toks) AS size_b,
+               len(list_intersect(a.toks, b.toks)) AS inter
+        FROM t a JOIN t b ON a.id < b.id
+    )
+    SELECT id_a, id_b,
+           CASE WHEN size_a < size_b THEN id_a
+                WHEN size_b < size_a THEN id_b
+                ELSE LEAST(id_a, id_b) END AS contained_id,
+           ROUND(inter * 1.0 / LEAST(size_a, size_b), 6) AS containment
+    FROM p WHERE inter * 1.0 / LEAST(size_a, size_b) >= 0.9
+    """,
+    doc="""Containment near-dup pairs (⊕, r7 — Broder's containment
+    resemblance, the asymmetric family Jaccard structurally misses:
+    a doc quoted whole inside a much larger one has J ≈ |A|/|B| but
+    containment 1.0, which is why web-dedup pipelines screen
+    quote-expansion pairs separately). c = |A∩B| / min(|A|,|B|) ≥
+    0.9 over a 1-in-10 document slice (this fixture's 31-word
+    vocabulary makes most small sets subsets of larger ones —
+    corpus-wide output would be ~10% of ALL pairs, a fixture
+    artifact, not an operator property). Count-based inverted-index
+    self-join, NO size-compatibility prune (wide-ratio pairs are the
+    signal); the df_cap stop-list leg and its exactness bound are
+    pytest-pinned.""",
+)
+def t12_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import containment_pairs
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return containment_pairs(docs, threshold=0.9)
