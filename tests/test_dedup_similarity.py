@@ -1097,3 +1097,18 @@ def test_containment_pairs_df_cap_equivalence(spark):
     }
     assert plain == capped
     assert plain
+
+
+def test_containment_df_cap_check_raises_when_bound_fails(spark):
+    """The adversarial case the review fixture exposed: a corpus
+    where qualifying pairs share ONLY hot tokens. With
+    df_cap_check=True the call must refuse instead of silently
+    returning an empty (wrong) result."""
+    import pytest
+
+    from trendr_data_pipeline_spark.operators.dedup import containment_pairs
+
+    rows = [(i, "x y") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="not provably exact"):
+        containment_pairs(df, threshold=0.9, df_cap=5, df_cap_check=True).collect()

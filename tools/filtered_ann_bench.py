@@ -48,7 +48,8 @@ def main() -> int:
         ("vec_id % 10 = 0", F.col("vec_id") % 10 == 0),
         ("vec_id % 20 = 0", F.col("vec_id") % 20 == 0),
     ]
-    print(f"{'predicate':>16} {'sel':>6} {'recall@4':>9} {'recall@8':>9}")
+    # both columns are recall@10; 4/8 are the nprobe settings
+    print(f"{'predicate':>16} {'sel':>6} {'r10@np4':>9} {'r10@np8':>9}")
     for name, pred in preds:
         sel = (emb.filter(pred).count() / n) if pred is not None else 1.0
         truth = {

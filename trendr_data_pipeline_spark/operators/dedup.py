@@ -482,6 +482,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     df_cap: int | None = None,
+    df_cap_check: bool = False,
 ) -> DataFrame:
     """All pairs where the SMALLER token set is ≥ ``threshold``
     contained in the other: c = |A∩B| / min(|A|,|B|) — the asymmetric
@@ -499,7 +500,11 @@ def containment_pairs(
     :func:`jaccard_topk_join` (hot tokens leave the join; per-doc
     hot arrays restore the exact intersection; a qualifying pair
     shares ≥ ceil(t·min_size) tokens, so one is cold whenever
-    ceil(t·s_min) > #hot).
+    ceil(t·s_min) > #hot). The bound is EASIER to violate here than
+    in Jaccard — containment's whole point is small contained docs,
+    i.e. small s_min — so ``df_cap_check=True`` verifies it at
+    runtime (two tiny jobs, the jaccard_topk_join guard) and raises
+    instead of silently dropping every all-hot-token pair.
 
     Returns (id_a, id_b, contained_id, containment) with
     id_a < id_b; ``contained_id`` is the smaller side (min id on
@@ -516,6 +521,19 @@ def containment_pairs(
         # sides — materialize once (the d02 posture)
         e = e.persist(StorageLevel.MEMORY_AND_DISK)
         freq = e.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        if df_cap_check:
+            import math
+
+            n_hot = freq.filter(F.col("df") > df_cap).count()
+            s_min = e.agg(F.min("sz")).first()[0]
+            if s_min is not None and math.ceil(threshold * s_min) <= n_hot:
+                raise ValueError(
+                    f"df_cap={df_cap} not provably exact for containment: "
+                    f"{n_hot} hot tokens vs ceil({threshold}·{s_min}) = "
+                    f"{math.ceil(threshold * s_min)} guaranteed shared "
+                    f"tokens — a small contained doc could share only hot "
+                    f"tokens; raise df_cap"
+                )
         hot = F.broadcast(freq.filter(F.col("df") > df_cap).select("token"))
         hot_arrays = (
             e.join(hot, "token")

@@ -163,14 +163,19 @@ def chunk_documents(
     from ..functions.text import tokens
 
     overlap = chunk_size - stride
-    ws = tokens(F.lower(F.col(text_col)))
-    n = F.size(ws)
-    starts = F.sequence(
-        F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)), F.lit(stride)
-    )
-    t = docs.select(
-        F.col(id_col), ws.alias("ws"), F.explode(starts).alias("start_pos")
+    # bind the token array BEFORE the generator: referencing the
+    # tokenize tree in the sequence bound would re-tokenize each row
+    # a second time inside the Generate node (the winnowing
+    # lambda-binding lesson, same cure)
+    bound = docs.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("ws")
     ).where(F.size("ws") >= 1)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("ws") - F.lit(overlap), F.lit(1)),
+        F.lit(stride),
+    )
+    t = bound.select(id_col, "ws", F.explode(starts).alias("start_pos"))
     chunk = F.slice(F.col("ws"), F.col("start_pos"), chunk_size)
     return t.select(
         id_col,

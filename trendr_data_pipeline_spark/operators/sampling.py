@@ -213,15 +213,13 @@ def dsir_log_weights(
     """
     spark = docs.sparkSession
     from ..functions.text import tokens
+    from .vectorize import _bucket
 
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), F.col("tok"))), 1, 8), 16, 10
-    )
     toks = docs.select(
         F.col(id_col),
         target.alias("_is_target"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
-    ).withColumn("bucket", F.pmod(h.cast("bigint"), F.lit(dim)))
+    ).withColumn("bucket", _bucket(F.col("tok"), dim, salt=salt))
 
     # ≤ dim rows, materialized eagerly: the totals agg and the model
     # join below both read it — without this the whole bucket-count

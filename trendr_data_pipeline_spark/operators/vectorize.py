@@ -24,10 +24,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _bucket(tok: F.Column, dim: int) -> F.Column:
+def _bucket(tok: F.Column, dim: int, salt: str = "fh") -> F.Column:
     """md5-derived bucket in [0, dim) — DuckDB twin:
-    ``('0x' || substr(md5('fh' || tok), 1, 8))::BIGINT % dim``."""
-    h = F.conv(F.substring(F.md5(F.concat(F.lit("fh"), tok)), 1, 8), 16, 10)
+    ``('0x' || substr(md5('<salt>' || tok), 1, 8))::BIGINT % dim``.
+    Single home of the engine-parity-critical hashing device; other
+    feature spaces (DSIR's ``'ir'``) pass their own salt instead of
+    re-implementing the expression."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), tok)), 1, 8), 16, 10)
     return F.pmod(h.cast("bigint"), F.lit(dim))
 
 
