@@ -272,3 +272,41 @@ def test_chunk_documents_property_random_geometry(spark):
             assert covered == set(range(1, n + 1))
             if n <= chunk_size:
                 assert len(chunks) == 1
+
+
+def test_chunk_documents_is_streaming_compatible(spark, tmp_path):
+    """chunk_documents is a stateless projection, so the SAME
+    function must run unchanged on a structured stream (the
+    preprocessing-at-ingest shape) and emit exactly the batch
+    output across multi-wave arrival."""
+    from tests.fixtures import stage_stream_file
+    from trendr_data_pipeline_spark.operators.packing import chunk_documents
+
+    random.seed(112)
+    texts = [
+        (i, " ".join(f"w{random.randrange(9)}" for _ in range(random.randrange(1, 130))))
+        for i in range(40)
+    ]
+    batch_df = spark.createDataFrame(texts, "doc_id long, text string")
+    want = sorted(tuple(r) for r in chunk_documents(batch_df, 64, 48).collect())
+
+    d = tmp_path / "waves"
+    d.mkdir()
+    stage_stream_file(spark, str(d), "w1", batch_df.filter(F.col("doc_id") < 20))
+    stream = spark.readStream.schema(batch_df.schema).parquet(str(d))
+    q = (
+        chunk_documents(stream, 64, 48)
+        .writeStream.format("memory")
+        .queryName("chunk_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        stage_stream_file(spark, str(d), "w2", batch_df.filter(F.col("doc_id") >= 20))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM chunk_stream").collect())
+    assert got == want
