@@ -1112,3 +1112,36 @@ def test_containment_df_cap_check_raises_when_bound_fails(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     with pytest.raises(ValueError, match="not provably exact"):
         containment_pairs(df, threshold=0.9, df_cap=5, df_cap_check=True).collect()
+
+
+def test_filtered_ann_pq_and_ivfpq_paths(spark):
+    """where= on the compressed cold paths: with the candidate cut
+    wide open (ADC admits every matching row) and full probe, both
+    reduce to the exact rescore over the FILTERED corpus — equal to
+    the filtered brute force regardless of codebook quality."""
+    from trendr_data_pipeline_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    pred = F.col("label") == 1
+    want = sorted(
+        tuple(r) for r in cosine_topk_bruteforce(queries, emb, k=10, where=pred).collect()
+    )
+    got_pq = sorted(
+        tuple(r)
+        for r in pq_topk(
+            queries, emb, k=10, m=8, ksub=16, candidates=10**9, where=pred
+        ).collect()
+    )
+    assert got_pq == want
+    got_ivfpq = sorted(
+        tuple(r)
+        for r in ivfpq_topk(
+            queries, emb, k=10, nlist=8, nprobe=8, m=8, ksub=16,
+            candidates=10**9, where=pred,
+        ).collect()
+    )
+    assert got_ivfpq == want

@@ -649,6 +649,7 @@ def pq_topk(
     candidates: int = 50,
     seed: int = 42,
     train_sample: int = 4096,
+    where: Column | None = None,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011, "Product
     quantization for nearest neighbor search", public — the FAISS
@@ -680,10 +681,16 @@ def pq_topk(
 
     The gate (x11) runs the degenerate-exact configuration (see
     :func:`_pq_train`); the production setting (x12) is benched with
-    a pytest-pinned recall floor vs the m01 brute force."""
+    a pytest-pinned recall floor vs the m01 brute force.
+
+    ``where`` gives filtered search (⊕M7): codebooks still train on
+    the unfiltered sample (the FAISS selector model — the index is
+    predicate-independent), only matching rows are encoded/scanned,
+    and the candidate budget is spent on matching rows only."""
     books = _pq_train_on(corpus, m, ksub, seed, train_sample, id_col, vec_col)
     encode = _pq_encode(books)
-    coded = corpus.select(
+    scan = corpus.filter(where) if where is not None else corpus
+    coded = scan.select(
         F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("codes")
     )
     return _pq_adc_rescore(queries, corpus, books, coded, k, candidates, id_col, vec_col)
@@ -878,6 +885,7 @@ def ivfpq_topk(
     candidates: int = 50,
     seed: int = 42,
     train_sample: int = 4096,
+    where: Column | None = None,
 ) -> DataFrame:
     """IVF+PQ combined ANN (the FAISS ``IVFPQ`` production shape,
     Jégou et al. 2011 §V: inverted file for candidate pruning, product
@@ -915,7 +923,13 @@ def ivfpq_topk(
         corpus, nlist, m, ksub, seed, train_sample, id_col, vec_col
     )
     assign_encode = _assign_and_encode_residual(centroids, books)
-    coded = corpus.select(
+    # filtered search (⊕M7): train unfiltered, encode/scan only
+    # matching rows — the pq_topk/ivf_topk posture
+    if where is not None:
+        corpus_scan = corpus.filter(where)
+    else:
+        corpus_scan = corpus
+    coded = corpus_scan.select(
         F.col(id_col).alias("neighbor_id"),
         assign_encode(F.col(vec_col)).alias("ce"),
     ).select("neighbor_id", F.col("ce.cell").alias("cell"), F.col("ce.codes").alias("codes"))
