@@ -1145,3 +1145,51 @@ def test_filtered_ann_pq_and_ivfpq_paths(spark):
         ).collect()
     )
     assert got_ivfpq == want
+
+
+def test_containment_pairs_randomized_oracle(spark):
+    """Randomized corpora (varying vocab size, doc lengths, embedded
+    full-quote docs) vs the Python brute force — one Spark round trip
+    per corpus, several corpora (the chunk-geometry batching
+    pattern: hypothesis's per-example Spark cost is the bottleneck,
+    so sweep seeds instead)."""
+    import random
+
+    from trendr_data_pipeline_spark.operators.dedup import containment_pairs
+
+    for seed in (101, 202, 303):
+        rng = random.Random(seed)
+        vocab = [f"v{j}" for j in range(rng.randrange(8, 60))]
+        texts = {}
+        for i in range(rng.randrange(20, 45)):
+            texts[i] = " ".join(
+                rng.choice(vocab) for _ in range(rng.randrange(1, 30))
+            )
+        # a couple of embedded-quote docs
+        for host in range(2):
+            src = rng.randrange(len(texts))
+            texts[1000 + host] = (
+                texts[src] + " " + " ".join(rng.choice(vocab) for _ in range(40))
+            )
+        thr = rng.choice([0.7, 0.8, 0.9, 1.0])
+        df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+        got = {
+            (r.id_a, r.id_b): (r.contained_id, r.containment)
+            for r in containment_pairs(df, threshold=thr).collect()
+        }
+        sets = {i: set(t.lower().split()) for i, t in texts.items()}
+        want = {}
+        for a in sets:
+            for b in sets:
+                if a < b and sets[a] and sets[b]:
+                    inter = len(sets[a] & sets[b])
+                    small = min(len(sets[a]), len(sets[b]))
+                    if inter / small >= thr:
+                        if len(sets[a]) != len(sets[b]):
+                            cid = a if len(sets[a]) < len(sets[b]) else b
+                        else:
+                            cid = min(a, b)
+                        want[(a, b)] = (cid, round(inter / small, 6))
+        assert got.keys() == want.keys(), (seed, thr)
+        for p, (cid, c) in want.items():
+            assert got[p][0] == cid and abs(got[p][1] - c) < 1e-9, (seed, p)
