@@ -87,3 +87,26 @@ def test_cache_upsert_keeps_newest(spark):
     merged = FS.cache_upsert(old, new)
     rows = merged.collect()
     assert len(rows) == 1 and rows[0]["response"] == "v2"
+
+
+def test_snapshot_diff_classification(spark):
+    """added/removed/modified/unchanged classification, Python
+    oracle, and the unchanged-rows-not-emitted contract."""
+    from trendr_data_pipeline_spark.operators.ingestion import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B!"), (4, "d"), (5, "e")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {2: "modified", 3: "removed", 5: "added"}
+    # unchanged ids (1, 4) absent
+    rows = snapshot_diff(old, new).collect()
+    assert {r.doc_id for r in rows} == {2, 3, 5}
+    # hashes populated on the sides that exist
+    by = {r.doc_id: r for r in rows}
+    assert by[5].old_hash is None and by[5].new_hash is not None
+    assert by[3].new_hash is None and by[3].old_hash is not None
+    assert by[2].old_hash != by[2].new_hash

@@ -225,3 +225,44 @@ def places_payload_to_poi(
         F.col("user_ratings_total").cast("long").alias("reviews_count"),
         as_of.alias("last_ingested_from_google_at"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Dataset-version diff — the audit twin of the upsert family:
+    classify every id across two corpus snapshots as ``added`` /
+    ``removed`` / ``modified`` (content hash changed), the
+    regression-detection step a training pipeline runs between
+    dataset releases (the Delta/LakeFS data-versioning practice,
+    done as a plain relational op). ``unchanged`` rows are NOT
+    emitted: the diff of two 100 TB snapshots is dominated by
+    unchanged ids, and the interesting output is the delta.
+
+    Scale shape: content compare is md5 (computed inline here; a
+    production snapshot store would persist the hash column and skip
+    re-reading content), then ONE full-outer equi-join on the id —
+    a single co-partitioned shuffle — and the classification is a
+    pure projection. Output: (id, status, old_hash, new_hash),
+    status ∈ {added, removed, modified}.
+    """
+    o = old.select(
+        F.col(id_col).alias("_id"), F.md5(F.col(content_col)).alias("old_hash")
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"), F.md5(F.col(content_col)).alias("new_hash")
+    )
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("modified"))
+    )
+    return (
+        o.join(n, "_id", "full_outer")
+        .withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(F.col("_id").alias(id_col), "status", "old_hash", "new_hash")
+    )

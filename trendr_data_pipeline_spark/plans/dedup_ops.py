@@ -644,3 +644,59 @@ def t12_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     return containment_pairs(docs, threshold=0.9)
+
+
+@register(
+    "t13_snapshot_diff",
+    """
+    WITH v2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' rev' ELSE text END AS text
+        FROM documents WHERE doc_id % 11 <> 0
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id, text
+        FROM documents WHERE doc_id % 13 = 0
+    ), o AS (
+        SELECT doc_id AS id, md5(text) AS old_hash FROM documents
+    ), n AS (
+        SELECT doc_id AS id, md5(text) AS new_hash FROM v2
+    )
+    SELECT COALESCE(o.id, n.id) AS doc_id,
+           CASE WHEN old_hash IS NULL THEN 'added'
+                WHEN new_hash IS NULL THEN 'removed'
+                WHEN old_hash <> new_hash THEN 'modified' END AS status,
+           old_hash, new_hash
+    FROM o FULL OUTER JOIN n ON o.id = n.id
+    WHERE (old_hash IS NULL) OR (new_hash IS NULL) OR (old_hash <> new_hash)
+    """,
+    doc="""Dataset-version diff (⊕, r7 — the audit step between two
+    corpus releases, the Delta/LakeFS data-versioning practice as a
+    relational op): every id classified added / removed / modified
+    by content hash; unchanged ids NOT emitted (two 100 TB snapshots
+    are dominated by them — the delta is the deliverable). The v2
+    snapshot is derived deterministically from the same table in
+    both engines (drop %11, revise %7, add re-ided %13 copies), so
+    the oracle needs no second fixture. One md5 projection per side
+    + ONE full-outer equi-join (a single co-partitioned shuffle).""",
+)
+def t13_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ingestion import snapshot_diff
+
+    docs = read_table(spark, sf_dir, "documents")
+    v2 = (
+        docs.filter(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" rev"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return snapshot_diff(docs, v2)
