@@ -1165,9 +1165,12 @@ def test_containment_pairs_randomized_oracle(spark):
             texts[i] = " ".join(
                 rng.choice(vocab) for _ in range(rng.randrange(1, 30))
             )
-        # a couple of embedded-quote docs
+        # a couple of embedded-quote docs (src drawn from the ORIGINAL
+        # id range — len(texts) grows as hosts are inserted and would
+        # eventually draw a nonexistent key)
+        n_orig = len(texts)
         for host in range(2):
-            src = rng.randrange(len(texts))
+            src = rng.randrange(n_orig)
             texts[1000 + host] = (
                 texts[src] + " " + " ".join(rng.choice(vocab) for _ in range(40))
             )

@@ -110,3 +110,19 @@ def test_snapshot_diff_classification(spark):
     assert by[5].old_hash is None and by[5].new_hash is not None
     assert by[3].new_hash is None and by[3].old_hash is not None
     assert by[2].old_hash != by[2].new_hash
+
+
+def test_snapshot_diff_null_content(spark):
+    """NULL content must not be mistaken for absence (md5(NULL) is
+    NULL): NULL→value and value→NULL are modifications, NULL→NULL is
+    unchanged — the review-reproduced misclassification."""
+    from trendr_data_pipeline_spark.operators.ingestion import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, None), (4, "gone")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "y"), (2, None), (3, None), (5, None)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "modified", 2: "modified", 4: "removed", 5: "added"}

@@ -249,16 +249,28 @@ def snapshot_diff(
     pure projection. Output: (id, status, old_hash, new_hash),
     status ∈ {added, removed, modified}.
     """
+    # existence is carried as an explicit flag, NOT inferred from
+    # hash nullness: md5(NULL) = NULL, so a NULL-content row present
+    # in both snapshots would otherwise classify as added/removed
+    # (review finding, reproduced). Hash comparison is null-safe for
+    # the same reason (NULL→value and value→NULL are modifications;
+    # NULL→NULL is unchanged).
     o = old.select(
-        F.col(id_col).alias("_id"), F.md5(F.col(content_col)).alias("old_hash")
+        F.col(id_col).alias("_id"),
+        F.md5(F.col(content_col)).alias("old_hash"),
+        F.lit(True).alias("_in_old"),
     )
     n = new.select(
-        F.col(id_col).alias("_id"), F.md5(F.col(content_col)).alias("new_hash")
+        F.col(id_col).alias("_id"),
+        F.md5(F.col(content_col)).alias("new_hash"),
+        F.lit(True).alias("_in_new"),
     )
     status = (
-        F.when(F.col("old_hash").isNull(), F.lit("added"))
-        .when(F.col("new_hash").isNull(), F.lit("removed"))
-        .when(F.col("old_hash") != F.col("new_hash"), F.lit("modified"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("old_hash").eqNullSafe(F.col("new_hash")), F.lit("modified")
+        )
     )
     return (
         o.join(n, "_id", "full_outer")

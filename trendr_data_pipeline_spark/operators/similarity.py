@@ -693,7 +693,10 @@ def pq_topk(
     coded = scan.select(
         F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("codes")
     )
-    return _pq_adc_rescore(queries, corpus, books, coded, k, candidates, id_col, vec_col)
+    # rescore against the FILTERED frame too: candidate ids are a
+    # subset of the filtered rows, so this is result-identical and
+    # keeps the predicate pushed into the second corpus scan
+    return _pq_adc_rescore(queries, scan, books, coded, k, candidates, id_col, vec_col)
 
 
 def _pq_train_on(
@@ -933,9 +936,12 @@ def ivfpq_topk(
         F.col(id_col).alias("neighbor_id"),
         assign_encode(F.col(vec_col)).alias("ce"),
     ).select("neighbor_id", F.col("ce.cell").alias("cell"), F.col("ce.codes").alias("codes"))
+    # rescore against the filtered frame (result-identical — the
+    # candidates are a subset of it — and the predicate stays pushed
+    # into the second corpus scan)
     return _pq_adc_rescore(
         queries,
-        corpus,
+        corpus_scan,
         books,
         coded,
         k,
