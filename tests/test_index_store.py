@@ -895,3 +895,44 @@ def test_index_remove_sink_streaming_takedowns(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_remove_all_ids_leaves_searchable_empty_index(spark, tmp_path):
+    """Removing EVERY id is a valid (if drastic) takedown: the data
+    tree keeps (empty) parquet files so schema inference and the
+    warm search still work — 0 rows returned, no crash — and a
+    subsequent extend repopulates the same artifact."""
+    from trendr_data_pipeline_spark.operators.index_store import (
+        extend_ivf_index,
+        remove_from_index,
+    )
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    idx = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, idx, nlist=4, seed=42)
+    remove_from_index(emb.select("vec_id"), idx)
+    assert ivf_topk_index(queries, idx, k=5, nprobe=4).count() == 0
+    extend_ivf_index(emb.filter(F.col("vec_id") < 50), idx)
+    got = ivf_topk_index(queries, idx, k=5, nprobe=4)
+    assert got.count() > 0
+    assert all(r["neighbor_id"] < 50 for r in got.collect())
+
+
+def test_remove_heals_died_mid_swap(spark, tmp_path):
+    """Removal is an index writer like extend/compact: it must
+    recover a died-mid-swap (.old-only) artifact before its first
+    read instead of crash-looping."""
+    from trendr_data_pipeline_spark.operators.index_store import (
+        remove_from_index,
+    )
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    idx = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, idx, nlist=4, seed=42)
+    os.rename(idx, idx + ".old")  # simulate died-mid-swap
+    doomed = spark.createDataFrame([(1,), (2,)], "vec_id long")
+    remove_from_index(doomed, idx)
+    assert os.path.isdir(idx) and not os.path.exists(idx + ".old")
+    stored = spark.read.parquet(os.path.join(idx, "data")).select("neighbor_id")
+    assert stored.count() == emb.count() - 2
