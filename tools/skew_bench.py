@@ -113,6 +113,45 @@ def bench_df_cap(spark, n_docs: int) -> dict:
     }
 
 
+def bench_containment_cap(spark, n_docs: int) -> dict:
+    """Workload 3 (r7): df_cap on the CONTAINMENT self-join. The
+    containment form is harsher than workload 1: it is corpus×corpus
+    (not incoming×corpus) and has NO size-compatibility prune, so
+    the planted 95%-df stop token alone fans out df² pair rows.
+    Both plans must return identical pairs (asserted; only 'the' is
+    hot at this cap, and every qualifying pair shares ≥ ceil(0.9·39)
+    = 36 > 1 tokens, so the provable bound holds — df_cap_check=True
+    verifies it at runtime)."""
+    from trendr_data_pipeline_spark.operators.dedup import containment_pairs
+
+    docs = spark.read.parquet(
+        str(_materialize(spark, synth_corpus(spark, n_docs), f"skew_docs_{n_docs}"))
+    )
+
+    def run(df_cap):
+        spark.catalog.clearCache()
+        return {
+            tuple(r)
+            for r in containment_pairs(
+                docs, threshold=0.9, df_cap=df_cap,
+                df_cap_check=df_cap is not None,
+            ).collect()
+        }
+
+    uncapped_rows = run(None)
+    capped_rows = run(n_docs // 20)
+    assert capped_rows == uncapped_rows, (len(capped_rows), len(uncapped_rows))
+    t_uncapped = _timed(lambda: run(None))
+    t_capped = _timed(lambda: run(n_docs // 20))
+    return {
+        "docs": n_docs,
+        "true_pairs": len(uncapped_rows),
+        "uncapped_s": t_uncapped,
+        "df_cap_s": t_capped,
+        "speedup": round(t_uncapped / t_capped, 2),
+    }
+
+
 def bench_salted(spark, n_rows: int) -> dict:
     from trendr_data_pipeline_spark.operators.skew import salted_join
 
@@ -193,6 +232,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=20000)
     ap.add_argument("--rows", type=int, default=2_000_000)
+    # containment is corpus×corpus on the hot token (df² rows, no
+    # size prune), so its uncapped leg needs a smaller corpus to
+    # finish in bench time
+    ap.add_argument("--containment-docs", type=int, default=16000)
     args = ap.parse_args()
 
     from trendr_data_pipeline_spark.session import get_spark
@@ -201,6 +244,7 @@ def main() -> int:
     out = {
         "df_cap": bench_df_cap(spark, args.docs),
         "salted_join": bench_salted(spark, args.rows),
+        "containment_cap": bench_containment_cap(spark, args.containment_docs),
     }
     print(json.dumps(out))
     return 0
