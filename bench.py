@@ -24,10 +24,13 @@ totals compare like with like.
 
 The JSON also carries ``renames``: the name map this round's cap
 rotation applied (old → new), so round-over-round comparisons join on
-it instead of a hand-built table (r5 verdict item 8). The rotation is
-RETIRED as of r7 — the attestation loop closed in r6, every
-oracle-bearing query has been driver-signed — so ``renames`` is
-permanently ``{}`` and the registry names are final (COVERAGE.md).
+it instead of a hand-built table (r5 verdict item 8). r7 declared the
+names final, but the eight r7 gates (t06-t13) sorted PAST the 50-name
+window and so were never driver-signed; the r7 verdict's top ask was
+one more rotation (the r5 playbook). r8 therefore renames t06-t13 →
+c26-c33 (into the window) and z-pushes eight r7-driver-signed names
+out (``RENAMES_R8`` below). After the driver signs c26-c33, the names
+freeze again.
 
 Output size (r6 verdict item 6): the driver records only the LAST
 2000 characters of stdout and parses one JSON line out of them; since
@@ -55,6 +58,28 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+# r8 cap rotation (old name → new name); queries and oracles are
+# byte-identical — only the registry key changed so the eight r7
+# gates sort inside the driver's 50-name correctness window.
+RENAMES_R8 = {
+    "t06_winnowing_fingerprints": "c26_winnowing_fingerprints",
+    "t07_fingerprint_matches": "c27_fingerprint_matches",
+    "t08_bigram_perplexity": "c28_bigram_perplexity",
+    "t09_doc_chunks": "c29_doc_chunks",
+    "t10_importance_weights": "c30_importance_weights",
+    "t11_filtered_ann": "c31_filtered_ann",
+    "t12_containment_pairs": "c32_containment_pairs",
+    "t13_snapshot_diff": "c33_snapshot_diff",
+    "a01_pivot_priority_counts": "za01_pivot_priority_counts",
+    "a02_cube_region_segment": "za02_cube_region_segment",
+    "a03_status_share_by_nation": "za03_status_share_by_nation",
+    "a04_grouping_sets": "za04_grouping_sets",
+    "q04_returned_orders_by_priority": "zq04_returned_orders_by_priority",
+    "q05_customers_without_orders": "zq05_customers_without_orders",
+    "q08_set_ops_customers": "zq08_set_ops_customers",
+    "e07_props_extraction": "ze07_props_extraction",
+}
 
 
 def parse_sf(sf_dir: str) -> float:
@@ -117,8 +142,7 @@ def main() -> None:
         "sf": parse_sf(SF_DIR),
         "harness_queries": harness,
         "operator_total": operator_total,
-        # the cap rotation is retired (r7): registry names are FINAL
-        "renames": {},
+        "renames": RENAMES_R8,
     }
     # full-name record for humans and the judge (the driver's stdout
     # window is 2000 chars — see module docstring)
@@ -126,6 +150,11 @@ def main() -> None:
         json.dump(record, f, indent=1)
     compact = dict(record)
     compact["queries"] = {n.split("_", 1)[0]: t for n, t in timings.items()}
+    # keep the printed line inside the driver's 2000-char stdout
+    # window: ID-prefix rename map here, full names in the local file
+    compact["renames"] = {
+        o.split("_", 1)[0]: n.split("_", 1)[0] for o, n in RENAMES_R8.items()
+    }
     # the frozen names have unique id prefixes; a future name reusing
     # one would silently drop a timing from the compact map — fail loud
     assert len(compact["queries"]) == len(timings), "duplicate id prefix"

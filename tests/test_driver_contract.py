@@ -71,16 +71,17 @@ def test_query_schemas_stable_across_sf(spark):
 
 def test_cap_window_holds_only_oracle_queries():
     """The driver records correctness for only the FIRST 50 sorted
-    query names (established r3, COVERAGE.md). Guard the r6 FINAL
-    rotation invariant: every name inside that window must carry a
-    DuckDB oracle — a future registration sorting into the window
-    without an oracle (or pushing an oracle-bearing name out) would
-    silently shrink the driver-signed surface. r6's window closes the
-    attestation loop: c05/c18 (streaming replays), c24 (IVFPQ) and
-    c25 (span removal) — the last never-driver-signed oracles — sort
-    inside, while everything displaced (s08, t01-t05, the x-series)
-    was driver-signed in r4 or r5 under the names BENCH's ``renames``
-    map records."""
+    query names (established r3, COVERAGE.md). Guard the r8 rotation
+    invariant: every name inside that window must carry a DuckDB
+    oracle — a future registration sorting into the window without an
+    oracle (or pushing an oracle-bearing name out) would silently
+    shrink the driver-signed surface. r8's window rotates the eight
+    never-driver-signed r7 gates inside (c26-c33: winnowing, MOSS
+    pairs, bigram-ppl, chunking, DSIR, filtered ANN, containment,
+    snapshot diff) by z-pushing eight r7-driver-signed names out
+    (za01-za04, zq04/zq05/zq08, ze07 — all hash-green in
+    CORRECTNESS_r07.json under their old names; BENCH's ``renames``
+    map records the mapping)."""
     import __spark_entry__ as e
 
     names = sorted(e.queries().keys())
@@ -92,6 +93,9 @@ def test_cap_window_holds_only_oracle_queries():
         "rename them past the cap (x/z prefix) or add an oracle"
     )
     # and the window boundary is where COVERAGE.md documents it
-    assert in_cap[0].startswith("a01") and in_cap[-1].startswith("s06"), in_cap[-1]
-    for must_sign in ("c05_", "c18_", "c24_", "c25_"):
+    assert in_cap[0].startswith("c05") and in_cap[-1].startswith("s06"), in_cap[-1]
+    for must_sign in (
+        "c05_", "c18_", "c24_", "c25_",
+        "c26_", "c27_", "c28_", "c29_", "c30_", "c31_", "c32_", "c33_",
+    ):
         assert any(n.startswith(must_sign) for n in in_cap), must_sign

@@ -16,7 +16,7 @@ _PRIORITY_COLS = ["p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_l
 
 
 @register(
-    "a01_pivot_priority_counts",
+    "za01_pivot_priority_counts",
     f"""
     SELECT o_orderstatus,
            {", ".join(f"COUNT(CASE WHEN o_orderpriority = '{p}' THEN 1 END) AS {c}"
@@ -37,7 +37,7 @@ def a01_pivot_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a02_cube_region_segment",
+    "za02_cube_region_segment",
     f"""
     SELECT COALESCE(r_name, 'ALL') AS region_name,
            COALESCE(c_mktsegment, 'ALL') AS segment,
@@ -71,7 +71,7 @@ def a02_cube_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a03_status_share_by_nation",
+    "za03_status_share_by_nation",
     """
     WITH c AS (
         SELECT n.n_name AS nation_name, o.o_orderstatus, COUNT(*) AS n
@@ -116,7 +116,7 @@ def a03_status_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a04_grouping_sets",
+    "za04_grouping_sets",
     f"""
     SELECT COALESCE(r_name, 'ALL') AS region_name,
            COALESCE(c_mktsegment, 'ALL') AS segment,

@@ -560,7 +560,7 @@ _SQL_WINNOW_FPS = f"""
 
 
 @register(
-    "t06_winnowing_fingerprints",
+    "c26_winnowing_fingerprints",
     f"WITH {_SQL_WINNOW_FPS} SELECT doc_id, fp FROM fps",
     doc="""Winnowing document fingerprints (⊕, Schleimer/Wilkerson/
     Aiken SIGMOD'03, the MOSS sketch): per document, the set of
@@ -578,7 +578,7 @@ def t06_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "t07_fingerprint_matches",
+    "c27_fingerprint_matches",
     f"""
     WITH {_SQL_WINNOW_FPS}, rare AS (
         SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50
@@ -607,7 +607,7 @@ def t07_fingerprint_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "t12_containment_pairs",
+    "c32_containment_pairs",
     f"""
     WITH t AS (
         SELECT doc_id AS id, {_SQL_TOKSET} AS toks FROM documents
@@ -647,7 +647,7 @@ def t12_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "t13_snapshot_diff",
+    "c33_snapshot_diff",
     """
     WITH v2 AS (
         SELECT doc_id,

@@ -258,7 +258,7 @@ def e06_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "e07_props_extraction",
+    "ze07_props_extraction",
     """
     SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
            COUNT(*) AS n,

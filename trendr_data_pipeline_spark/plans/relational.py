@@ -158,7 +158,7 @@ def q03_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q04_returned_orders_by_priority",
+    "zq04_returned_orders_by_priority",
     """
     SELECT o.o_orderpriority, COUNT(*) AS n_orders
     FROM orders o
@@ -186,7 +186,7 @@ def q04_returned_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
-    "q05_customers_without_orders",
+    "zq05_customers_without_orders",
     """
     SELECT n.n_name AS nation_name, COUNT(*) AS n_customers
     FROM customer c
@@ -282,7 +282,7 @@ def q07_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q08_set_ops_customers",
+    "zq08_set_ops_customers",
     """
     WITH buyers_95 AS (
         SELECT DISTINCT o_custkey AS custkey FROM orders

@@ -441,7 +441,7 @@ _ORACLE_FILTERED_TOPK = """
 
 
 @register(
-    "t11_filtered_ann",
+    "c31_filtered_ann",
     f"""
     SELECT 'exact' AS method, * FROM ({_ORACLE_FILTERED_TOPK})
     UNION ALL

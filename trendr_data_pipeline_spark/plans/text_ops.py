@@ -1231,7 +1231,7 @@ _SQL_BIGRAM_PPL = f"""
 
 
 @register(
-    "t08_bigram_perplexity",
+    "c28_bigram_perplexity",
     _SQL_BIGRAM_PPL,
     doc="""Interpolated bigram-LM perplexity + CCNet head/middle/tail
     band (⊕, r7): p(w₂|w₁) = 0.7·MLE_bigram + 0.3·MLE_unigram over
@@ -1348,7 +1348,7 @@ def bigram_perplexity(
 
 
 @register(
-    "t09_doc_chunks",
+    "c29_doc_chunks",
     f"""
     WITH t AS (
         SELECT doc_id, {_SQL_TOKS} AS ws FROM documents
@@ -1380,7 +1380,7 @@ def t09_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "t10_importance_weights",
+    "c30_importance_weights",
     f"""
     WITH t AS (
         SELECT doc_id, lang = 'en' AS is_t, UNNEST({_SQL_TOKS}) AS tok
