@@ -3,6 +3,11 @@ pushdown (PushedFilters / ReadSchema pruning), join strategies, and
 whole-stage-codegen coverage. The per-operator scale notes live in
 SCALING.md; this tool is the evidence.
 
+Also flags UNPARTITIONED windows (``WindowExec`` with an empty
+partition spec — the "move all data to a single partition" shape that
+kills at 100×) and asserts them against the documented allowlist of
+deliberately bounded frames below; exits non-zero on a violation.
+
 Usage: python tools/plan_audit.py [sf_dir] [query ...]
 """
 
@@ -15,6 +20,60 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
+# Queries allowed to carry a global (unpartitioned) window, each with
+# a written cardinality bound (SCALING.md): the single-partition frame
+# holds |buckets| / |top-k| / |histogram| rows, never |corpus|.
+GLOBAL_WINDOW_ALLOWLIST = {
+    "c23_corpus_pipeline": "bucket-total base rows (packing.py:75), |quality buckets|",
+    "x04_sequence_packing": "bucket-total base rows (packing.py:75)",
+    "x06_budget_selection": "bucket-total base rows (packing.py:75)",
+    "x22_zipf_stats": "top-50 tokens only (TakeOrderedAndProject feeds it)",
+}
+
+
+def _first_spec_arg(s: str, start: int) -> str:
+    """First top-level argument of the ``windowspecdefinition(`` that
+    opens at ``start`` (index of the char after the open paren)."""
+    depth = 0
+    for i in range(start, len(s)):
+        c = s[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                return s[start:i]
+            depth -= 1
+        elif c == "," and depth == 0:
+            return s[start:i]
+    return s[start:]
+
+
+def count_global_windows(plan: str) -> int:
+    """Window nodes whose spec has NO partition columns. Bracket-group
+    counting on the Arguments line is ambiguous (a partitioned
+    order-less window prints the same number of groups as a global
+    ordered one), so inspect each ``windowspecdefinition(...)``: its
+    argument list is ``partitionCols..., orderCols..., frame`` where
+    order columns carry ``ASC``/``DESC`` and the frame is
+    ``specifiedwindowframe(...)`` — a spec whose FIRST argument is an
+    order column or the frame itself has no partition columns."""
+    n = 0
+    for line in plan.splitlines():
+        s = line.strip()
+        if not (s.startswith("Arguments:") and "windowspecdefinition(" in s):
+            continue
+        node_global = False
+        for m in re.finditer(r"windowspecdefinition\(", s):
+            first = _first_spec_arg(s, m.end())
+            if (
+                first.startswith("specifiedwindowframe(")
+                or " ASC" in first
+                or " DESC" in first
+            ):
+                node_global = True
+        n += int(node_global)
+    return n
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -24,6 +83,7 @@ def main() -> int:
     from trendr_data_pipeline_spark.session import get_spark
 
     spark = get_spark("plan-audit")
+    violations: list[str] = []
     for name, q in sorted(all_queries().items()):
         if only and name not in only:
             continue
@@ -55,11 +115,25 @@ def main() -> int:
         wsc = len(set(re.findall(r"\[codegen id : (\d+)\]", plan)))
         schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
         widest = max((s.count(",") + 1 for s in schemas), default=0)
+        gwin = count_global_windows(plan)
+        if gwin and name not in GLOBAL_WINDOW_ALLOWLIST:
+            violations.append(name)
         print(
             f"{name}: scans={n_scans} pushedFilters={pushed} "
             f"joins[bhj={bhj} smj={smj} shj={shj} bnl={bnl}] "
             f"exchanges={exch} codegen={wsc} widestScan={widest}cols"
+            f" globalWindows={gwin}"
+            + (" ALLOWED" if gwin and name in GLOBAL_WINDOW_ALLOWLIST else "")
+            + (" VIOLATION" if gwin and name not in GLOBAL_WINDOW_ALLOWLIST else "")
         )
+    if violations:
+        print(
+            f"GLOBAL-WINDOW VIOLATIONS ({len(violations)}): {violations} — "
+            "either repartition the window (two-phase bucket prefix, "
+            "packing.global_running_offsets) or document the cardinality "
+            "bound and add the query to GLOBAL_WINDOW_ALLOWLIST"
+        )
+        return 1
     return 0
 
 
