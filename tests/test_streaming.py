@@ -551,16 +551,29 @@ def _wave_dir(tmp_path):
 
 
 def _write_wave(spark, d, i, rows):
-    spark.createDataFrame(rows, "k string, ts timestamp, v double").coalesce(
-        1
-    ).write.parquet(f"{d}/wave{i}")
-    # file streams discover files, not dirs — flatten
+    """Stage a wave file into the watched dir ``d`` ATOMICALLY.
+
+    Writing the parquet directly under ``d`` races the stream's
+    directory listing: the writer's ``wave{i}/`` scratch dir (with its
+    ``_temporary`` children) is visible mid-write and vanishes during
+    the flatten, and the file source's recursive listing then throws
+    FileNotFoundException on the half-gone path (observed flaking
+    ``test_partitioned_merge_sink_null_keys`` in full-suite runs, r7
+    verdict item 3). Write to a SIBLING scratch dir outside the
+    watched tree, then ``os.rename`` the single part file in — rename
+    within one filesystem is atomic, so the listing only ever sees a
+    complete file or nothing."""
     import glob as g
+    import os
     import shutil as sh
 
-    for f in g.glob(f"{d}/wave{i}/*.parquet"):
-        sh.move(f, f"{d}/wave{i}.parquet")
-    sh.rmtree(f"{d}/wave{i}")
+    scratch = f"{d}.__stage_wave{i}"
+    spark.createDataFrame(rows, "k string, ts timestamp, v double").coalesce(
+        1
+    ).write.parquet(scratch)
+    (part,) = g.glob(f"{scratch}/*.parquet")
+    os.rename(part, f"{d}/wave{i}.parquet")
+    sh.rmtree(scratch)
 
 
 def _kv_stream(spark, d):
