@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SMOKE_SF
@@ -839,6 +840,60 @@ def test_filtered_search_on_persisted_indexes(spark, tmp_path):
         queries, ivf_dir, k=10, nprobe=3, filter_ids=allowed
     ).collect()
     assert approx and all(r["neighbor_id"] in allowed_set for r in approx)
+
+
+def test_filter_ids_non_numeric_raises_not_empty(spark, tmp_path):
+    """ADVICE r7: a filter id the long-cast NULLs out must raise at
+    execution, not silently vanish from the semi-join (which would
+    return zero candidates and read as 'no survivors')."""
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    ivf_dir = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, ivf_dir, nlist=4, seed=42)
+    bad = spark.createDataFrame([("7",), ("not-an-id",)], "vec_id string")
+    with pytest.raises(Exception, match="non-numeric"):
+        ivf_topk_index(queries, ivf_dir, k=5, nprobe=4, filter_ids=bad).collect()
+    # numeric strings are fine — the cast is lossless for them
+    ok = spark.createDataFrame([("7",), ("14",)], "vec_id string")
+    got = ivf_topk_index(queries, ivf_dir, k=5, nprobe=4, filter_ids=ok).collect()
+    assert got and all(r["neighbor_id"] in (7, 14) for r in got)
+
+
+def test_filtered_search_composes_with_lifecycle(spark, tmp_path):
+    """r7 verdict item 7: the lifecycle verbs and filtered search are
+    tested separately — compose them. Build on a base slice, EXTEND
+    with new rows, REMOVE a mix of base and new ids, then run a
+    FILTERED search (filter_ids) at full probe; the result must
+    hash-equal the filtered brute force over the survivors."""
+    from trendr_data_pipeline_spark.operators.index_store import (
+        extend_ivf_index,
+        remove_from_index,
+    )
+    from trendr_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    idx = str(tmp_path / "ivf_idx")
+    write_ivf_index(base, idx, nlist=8, seed=42)
+    extend_ivf_index(new, idx)
+    doomed_ids = [1, 2, 5, 10]  # base ids and extended ids
+    remove_from_index(
+        spark.createDataFrame([(i,) for i in doomed_ids], "vec_id long"), idx
+    )
+    pred = F.col("label") == 1
+    survivors = emb.filter(~F.col("vec_id").isin(doomed_ids))
+    allowed = emb.filter(pred).select("vec_id")  # filter may name removed ids
+    got = _rows(
+        ivf_topk_index(queries, idx, k=10, nprobe=8, filter_ids=allowed).select(
+            "query_id", "neighbor_id", "cosine_sim", "rk"
+        )
+    )
+    want = _rows(cosine_topk_bruteforce(queries, survivors, k=10, where=pred))
+    assert got == want
 
 
 def test_index_remove_sink_streaming_takedowns(spark, tmp_path):

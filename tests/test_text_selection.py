@@ -75,6 +75,27 @@ def test_bigram_perplexity_python_oracle(spark):
         assert r.band == band
 
 
+def test_bigram_perplexity_wide_histogram_fallback(spark, monkeypatch):
+    """r7 verdict item 5: the tertile cumulative sum's
+    single-partition bound is now GUARDED, not asserted. Force the
+    two-phase fallback by shrinking the threshold on a wide-ppl
+    corpus (every doc a distinct random text → distinct ppls beyond
+    the bound) and pin hash-equality with the single-partition path."""
+    from trendr_data_pipeline_spark.plans import text_ops
+
+    random.seed(43)
+    texts = [
+        " ".join(random.choice("abcdefghij") for _ in range(random.randrange(5, 60)))
+        for _ in range(80)
+    ]
+    docs = _docs(spark, [(i, t, "en") for i, t in enumerate(texts)])
+    base = {tuple(r) for r in text_ops.bigram_perplexity(docs).collect()}
+    monkeypatch.setattr(text_ops, "_PPL_HIST_SINGLE_PARTITION_MAX", 4)
+    fb = {tuple(r) for r in text_ops.bigram_perplexity(docs).collect()}
+    assert len({r[3] for r in base}) > 4  # the fallback actually engaged
+    assert fb == base
+
+
 def test_bigram_perplexity_uniform_corpus_degenerate(spark):
     """All-identical docs: every bigram is deterministic given its
     context, so ppl is identical for every doc and the value-level

@@ -482,7 +482,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     df_cap: int | None = None,
-    df_cap_check: bool = False,
+    df_cap_check: bool = True,
 ) -> DataFrame:
     """All pairs where the SMALLER token set is ≥ ``threshold``
     contained in the other: c = |A∩B| / min(|A|,|B|) — the asymmetric
@@ -502,9 +502,10 @@ def containment_pairs(
     shares ≥ ceil(t·min_size) tokens, so one is cold whenever
     ceil(t·s_min) > #hot). The bound is EASIER to violate here than
     in Jaccard — containment's whole point is small contained docs,
-    i.e. small s_min — so ``df_cap_check=True`` verifies it at
-    runtime (two tiny jobs, the jaccard_topk_join guard) and raises
-    instead of silently dropping every all-hot-token pair.
+    i.e. small s_min — so ``df_cap_check`` defaults to TRUE here
+    (unlike jaccard_topk_join): the guard is two tiny jobs, and a
+    caller must explicitly waive it to accept silently dropping
+    all-hot-token pairs.
 
     Returns (id_a, id_b, contained_id, containment) with
     id_a < id_b; ``contained_id`` is the smaller side (min id on
@@ -518,7 +519,12 @@ def containment_pairs(
         from pyspark import StorageLevel
 
         # the token stream feeds freq, the hot-array leg and both join
-        # sides — materialize once (the d02 posture)
+        # sides — materialize once (the d02 posture). Same lifetime
+        # contract as jaccard_topk_join's persist: a lazy builder
+        # cannot unpersist before its result materializes, so the
+        # cache lives until the session's next clearCache — callers
+        # running many queries in one session should clearCache
+        # between them.
         e = e.persist(StorageLevel.MEMORY_AND_DISK)
         freq = e.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
         if df_cap_check:

@@ -134,10 +134,36 @@ def _apply_id_filter(
     the allowed ids — one LEFT SEMI join prunes the stored scan
     INSIDE the already-partition-pruned probed cells. AQE broadcasts
     the id frame when selective; at low selectivity it degrades to a
-    keyed join, never a post-cut of the result."""
+    keyed join, never a post-cut of the result.
+
+    The stored ``neighbor_id`` is a long; filter ids are cast to
+    match, and a value the cast cannot represent (a non-numeric id)
+    raises at execution instead of silently vanishing from the
+    semi-join (which would return zero candidates and read as "no
+    survivors"). ``try_cast`` + explicit raise keeps the behavior
+    identical whether the session runs ANSI on (plain cast throws)
+    or off (plain cast NULLs) — the guard is a per-row projection
+    inside the same plan, no extra job."""
     if filter_ids is None:
         return stored
-    ids = filter_ids.select(F.col(id_col).cast("long").alias("_ok_id")).distinct()
+    orig = F.col(id_col)
+    casted = orig.try_cast("long")
+    ids = filter_ids.select(
+        F.when(
+            orig.isNotNull() & casted.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"filter_ids.{id_col} must be castable to the index's "
+                        "long neighbor_id; got non-numeric value: "
+                    ),
+                    orig.cast("string"),
+                )
+            ).cast("long"),
+        )
+        .otherwise(casted)
+        .alias("_ok_id")
+    ).distinct()
     return stored.join(ids, stored["neighbor_id"] == ids["_ok_id"], "left_semi")
 
 

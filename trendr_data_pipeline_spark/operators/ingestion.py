@@ -248,6 +248,16 @@ def snapshot_diff(
     a single co-partitioned shuffle — and the classification is a
     pure projection. Output: (id, status, old_hash, new_hash),
     status ∈ {added, removed, modified}.
+
+    PRECONDITION: ``id_col`` is unique within each snapshot (the
+    defining property of a snapshot — one content state per id per
+    version). Duplicate ids would fan out through the full-outer
+    join and emit one row per old×new combination, including
+    contradictory statuses for the same id; run the exact-dedup
+    operator (d01) first if the input cannot guarantee it. Not
+    asserted here — a count-distinct guard would add two full-table
+    aggregations to every diff to re-check what the snapshot writer
+    already enforces.
     """
     # existence is carried as an explicit flag, NOT inferred from
     # hash nullness: md5(NULL) = NULL, so a NULL-content row present

