@@ -1314,3 +1314,181 @@ def test_token_bucket_multibatch_matches_greedy_replay_oracle(spark, tmp_path):
         q.stop()
     got = {r["event_id"] for r in spark.sql("select * from tb_replay").collect()}
     assert got == expect == {2, 3, 10}, (got, expect)
+
+
+# ---------------------------------------------------------------------------
+# SS8 — cadence orchestration (streaming/cadence.py)
+# ---------------------------------------------------------------------------
+
+
+def _cadence(name="j", **kw):
+    from trendr_data_pipeline_spark.streaming.cadence import CadenceJob
+
+    calls = []
+    job = CadenceJob(name, lambda: calls.append(name), **kw)
+    return job, calls
+
+
+def test_cadence_daily_at_slot_and_idempotent_reticks(tmp_path):
+    """The reference's daily-at jobs (monitoring_system.py:266-279):
+    not due before the slot, due once at/after it, re-ticks within
+    the same day are no-ops, due again the next day."""
+    import datetime as dt
+
+    from trendr_data_pipeline_spark.streaming.cadence import run_due_jobs
+
+    job, calls = _cadence("full", daily_at="02:00")
+    d = str(tmp_path)
+    tz = dt.timezone.utc
+    t0 = dt.datetime(2026, 8, 15, 1, 59, tzinfo=tz)
+    # first tick EVER runs (startup behavior), even before the slot
+    assert run_due_jobs([job], d, now=t0) == ["full"]
+    # pre-slot and post-run re-ticks: no-ops
+    for minute in (2, 30, 59):
+        assert run_due_jobs(
+            [job], d, now=dt.datetime(2026, 8, 15, 1, minute, tzinfo=tz)
+        ) == []
+    assert run_due_jobs(
+        [job], d, now=dt.datetime(2026, 8, 15, 2, 0, tzinfo=tz)
+    ) == ["full"]
+    assert run_due_jobs(
+        [job], d, now=dt.datetime(2026, 8, 15, 14, 0, tzinfo=tz)
+    ) == []
+    assert run_due_jobs(
+        [job], d, now=dt.datetime(2026, 8, 16, 2, 1, tzinfo=tz)
+    ) == ["full"]
+    assert calls == ["full"] * 3
+
+
+def test_cadence_catchup_after_downtime_runs_once(tmp_path):
+    """A tick arriving hours after the slot (scheduler was down) runs
+    the job ONCE, not once per missed slot and not zero times."""
+    import datetime as dt
+
+    from trendr_data_pipeline_spark.streaming.cadence import run_due_jobs
+
+    job, calls = _cadence("full", daily_at="02:00")
+    d = str(tmp_path)
+    tz = dt.timezone.utc
+    run_due_jobs([job], d, now=dt.datetime(2026, 8, 13, 2, 0, tzinfo=tz))
+    # down over the 8-14 and 8-15 slots; tick resumes at 09:37
+    assert run_due_jobs(
+        [job], d, now=dt.datetime(2026, 8, 15, 9, 37, tzinfo=tz)
+    ) == ["full"]
+    assert run_due_jobs(
+        [job], d, now=dt.datetime(2026, 8, 15, 9, 42, tzinfo=tz)
+    ) == []
+    assert calls == ["full"] * 2
+
+
+def test_cadence_every_seconds_and_order_and_errors(tmp_path):
+    """every-N jobs fire on elapsed time; same-tick jobs run in
+    registration order (reference fires same-instant jobs that way);
+    a failing job is recorded and does NOT stop later jobs, and its
+    last_run still advances (a crashing daily job must not retry
+    every minute)."""
+    import datetime as dt
+
+    import pytest
+
+    from trendr_data_pipeline_spark.streaming.cadence import (
+        CadenceJob,
+        load_cadence_state,
+        run_due_jobs,
+    )
+
+    d = str(tmp_path)
+    tz = dt.timezone.utc
+    calls = []
+
+    def boom():
+        calls.append("boom")
+        raise RuntimeError("api quota exhausted")
+
+    jobs = [
+        CadenceJob("health", lambda: calls.append("health"), every_seconds=300),
+        CadenceJob("flaky", boom, every_seconds=300),
+        CadenceJob("tail", lambda: calls.append("tail"), every_seconds=300),
+    ]
+    t0 = dt.datetime(2026, 8, 15, 12, 0, tzinfo=tz)
+    assert run_due_jobs(jobs, d, now=t0) == ["health", "flaky", "tail"]
+    assert calls == ["health", "boom", "tail"]  # order kept, loop survived
+    st = load_cadence_state(d)
+    assert st["flaky"]["last_status"] == "error"
+    assert "api quota exhausted" in st["flaky"]["last_error"]
+    assert st["health"]["last_status"] == "ok"
+    # 4 minutes later: nothing due (error job did NOT reset its clock)
+    assert run_due_jobs(jobs, d, now=t0 + dt.timedelta(seconds=240)) == []
+    # 5 minutes later: all due again; reraise surfaces the failure
+    with pytest.raises(RuntimeError, match="quota"):
+        run_due_jobs(jobs, d, now=t0 + dt.timedelta(seconds=600), reraise=True)
+    assert calls == ["health", "boom", "tail"] * 2  # tail STILL ran first
+
+
+def test_cadence_job_validation():
+    import pytest
+
+    from trendr_data_pipeline_spark.streaming.cadence import (
+        CadenceJob,
+        run_due_jobs,
+    )
+
+    with pytest.raises(ValueError, match="exactly one"):
+        CadenceJob("j", lambda: None)
+    with pytest.raises(ValueError, match="exactly one"):
+        CadenceJob("j", lambda: None, daily_at="02:00", every_seconds=60)
+    with pytest.raises(ValueError, match="bad daily_at"):
+        CadenceJob("j", lambda: None, daily_at="25:00")
+    with pytest.raises(ValueError, match="duplicate"):
+        run_due_jobs(
+            [
+                CadenceJob("j", lambda: None, every_seconds=1),
+                CadenceJob("j", lambda: None, every_seconds=1),
+            ],
+            "/tmp/unused",
+            now=None,  # never reached
+        )
+
+
+def test_cadence_drives_available_now_stream(spark, tmp_path):
+    """The composed SS8 shape: the job body runs a file-source stream
+    one Trigger.AvailableNow cycle into a parquet sink. Tick 1
+    processes wave 1; tick 2 (next due slot) processes ONLY wave 2 —
+    the stream checkpoint carries exactly-once across scheduler
+    ticks, which is the property that makes cron + AvailableNow
+    equivalent to the reference's resident loop."""
+    import datetime as dt
+
+    from trendr_data_pipeline_spark.streaming.cadence import (
+        CadenceJob,
+        run_due_jobs,
+    )
+
+    src = _wave_dir(tmp_path)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "cadence")
+
+    def ingest():
+        q = (
+            _kv_stream(spark, src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    job = CadenceJob("ingest", ingest, daily_at="02:00")
+    tz = dt.timezone.utc
+    t0 = dt.datetime(2026, 8, 15, 0, 0, tzinfo=tz)
+    _write_wave(spark, src, 1, [("a", t0, 1.0), ("b", t0, 2.0)])
+    assert run_due_jobs([job], state, now=dt.datetime(2026, 8, 15, 2, 0, tzinfo=tz))
+    assert {r["k"] for r in spark.read.parquet(out).collect()} == {"a", "b"}
+    _write_wave(spark, src, 2, [("c", t0, 3.0)])
+    # same-day re-tick: no stream cycle runs at all
+    assert run_due_jobs([job], state, now=dt.datetime(2026, 8, 15, 3, 0, tzinfo=tz)) == []
+    assert {r["k"] for r in spark.read.parquet(out).collect()} == {"a", "b"}
+    assert run_due_jobs([job], state, now=dt.datetime(2026, 8, 16, 2, 0, tzinfo=tz))
+    assert {r["k"] for r in spark.read.parquet(out).collect()} == {"a", "b", "c"}
