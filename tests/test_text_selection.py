@@ -180,3 +180,64 @@ def test_dsir_model_table_is_broadcast(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_split_assign_stable_and_weighted(spark):
+    """The split is a pure function of (salt, key): growing the corpus
+    never reassigns an existing doc, fractions approximate the
+    weights, and validation rejects bad weight sets."""
+    import pytest
+
+    from trendr_data_pipeline_spark.operators.sampling import split_assign
+
+    base = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    grown = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in split_assign(base).collect()}
+    b = {r["doc_id"]: r["split"] for r in split_assign(grown).collect()}
+    assert all(b[k] == v for k, v in a.items())  # growth never reassigns
+    from collections import Counter
+
+    c = Counter(b.values())
+    assert abs(c["train"] / 4000 - 0.8) < 0.03
+    assert abs(c["val"] / 4000 - 0.1) < 0.02
+    assert abs(c["test"] / 4000 - 0.1) < 0.02
+    # custom weights + validation
+    w = {r["split"] for r in split_assign(base, {"a": 0.5, "b": 0.5}).collect()}
+    assert w == {"a", "b"}
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_assign(base, {"a": 0.5, "b": 0.6})
+    with pytest.raises(ValueError, match="two splits"):
+        split_assign(base, {"a": 1.0})
+
+
+def test_stratified_sample_exact_k_and_deterministic(spark):
+    """min(k, |group|) per group, identical set across runs, and the
+    selected ids are exactly the k smallest by (hash, id) — the
+    Python oracle recomputed with hashlib."""
+    import hashlib
+
+    from trendr_data_pipeline_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 3 else "fr") for i in range(200)] + [
+        (1000 + i, "tiny") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = stratified_sample(df, group_col="lang", k=5).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(by_lang["en"]) == len(by_lang["fr"]) == 5
+    assert len(by_lang["tiny"]) == 3  # min(k, |group|)
+
+    def horder(i):
+        return int(hashlib.md5(f"strat{i}".encode()).hexdigest()[:8], 16)
+
+    for lang in ("en", "fr", "tiny"):
+        ids = [i for i, lg in rows if lg == lang]
+        want = set(sorted(ids, key=lambda i: (horder(i), i))[:5])
+        assert by_lang[lang] == want
+    again = {
+        (r["lang"], r["doc_id"])
+        for r in stratified_sample(df, group_col="lang", k=5).collect()
+    }
+    assert again == {(r["lang"], r["doc_id"]) for r in got}

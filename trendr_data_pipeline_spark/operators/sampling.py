@@ -271,3 +271,80 @@ def dsir_log_weights(
         )
         .select(id_col, "n_tok", F.round("log_w", 6).alias("log_w"))
     )
+
+
+def hash_order(key: Column, salt: str = "strat") -> Column:
+    """Deterministic pseudo-random ORDER key: the first 8 hex chars
+    of md5(salt || key) as a bigint. The integer form (no /2^32
+    division) is the safest cross-engine ordering device — identical
+    in DuckDB as ``('0x' || substr(md5('<salt>' || CAST(k AS
+    VARCHAR)), 1, 8))::BIGINT``."""
+    h = F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8)
+    return F.conv(h, 16, 10).cast("bigint")
+
+
+def split_assign(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment — the step every
+    training pipeline runs before anything else, done as a pure
+    function of (salt, key) so the assignment is STABLE under reruns,
+    retries, engine changes and corpus growth (a doc keeps its split
+    forever; new docs distribute at the weights). ``weights`` maps
+    split name → fraction in insertion order (must sum to 1 within
+    1e-9); default 80/10/10.
+
+    Scale shape: one codegen'd projection over the input — no
+    shuffle, no RNG, no driver state. NULL keys take the LAST split
+    on both engines (Spark: NULL comparisons make every WHEN branch
+    false; DuckDB: CASE WHEN NULL falls to ELSE) — document-grain
+    pipelines should treat NULL ids upstream.
+    """
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {sum(weights.values())}")
+    if len(weights) < 2:
+        raise ValueError("need at least two splits")
+    frac = hash_fraction(F.col(key_col), salt)
+    names = list(weights)
+    expr = None
+    acc = 0.0
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = frac < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(out_col, expr.otherwise(names[-1]))
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str = "lang",
+    k: int = 20,
+    key_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic stratified sample: exactly min(k, |group|) rows
+    per group, chosen by the md5 hash order of the key (uniform over
+    the group, stable across reruns and engines — the evaluation-set
+    / debugging-slice construction step). Ties (hash collisions)
+    break on the key itself, so the selected SET is a pure function
+    of (salt, group, keys).
+
+    Scale shape: ONE exchange on ``group_col`` + a rank inside each
+    group — the same cost as any per-group top-k (W1/q03 family).
+    Skewed groups hold the usual per-group-window caveat: the window
+    sorts |group| rows in one task's spill-able sort, not the whole
+    corpus."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_order(F.col(key_col), salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )

@@ -1462,3 +1462,60 @@ def t10_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_log_weights(
         read_table(spark, sf_dir, "documents"), target=F.col("lang") == "en", dim=64
     )
+
+
+@register(
+    "t14_split_assign",
+    """
+    SELECT doc_id, lang,
+           CASE
+             WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  / 4294967296.0 < 0.8 THEN 'train'
+             WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  / 4294967296.0 < 0.9 THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+    doc="""Deterministic train/val/test split assignment (⊕, r8):
+    split = cumulative-range lookup of md5-hash-fraction(doc_id) —
+    stable under reruns, retries, engine changes and corpus growth
+    (a doc keeps its split forever). One codegen'd projection, zero
+    shuffles; the same hash_fraction device x10's mixture gate
+    proved cross-engine-exact.""",
+)
+def t14_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import split_assign
+
+    return split_assign(
+        read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    )
+
+
+@register(
+    "t15_stratified_sample",
+    """
+    SELECT doc_id, lang, rk FROM (
+        SELECT doc_id, lang,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY ('0x' || substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT ASC,
+                            doc_id ASC
+               ) AS BIGINT) AS rk
+        FROM documents
+    ) WHERE rk <= 20
+    """,
+    doc="""Deterministic stratified sample (⊕, r8): exactly
+    min(20, |group|) docs per language, chosen by md5 hash order of
+    the doc id with key tie-break — the evaluation-set construction
+    step, stable across engines. ONE exchange on the group key (the
+    W1/q03 per-group top-k family).""",
+)
+def t15_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import stratified_sample
+
+    return stratified_sample(
+        read_table(spark, sf_dir, "documents").select("doc_id", "lang"),
+        group_col="lang",
+        k=20,
+    )
