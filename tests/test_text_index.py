@@ -1,0 +1,168 @@
+"""Persisted MinHash-LSH text index: probe parity with the in-memory
+LSH join, O(new)-extend with inode preservation, replay-safe
+streaming ingestion — the text twin of test_index_store.py."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SMOKE_SF
+from trendr_data_pipeline_spark.io import read_table
+from trendr_data_pipeline_spark.operators.text_index import (
+    extend_minhash_index,
+    minhash_extend_sink,
+    minhash_probe,
+    write_minhash_index,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _inodes(d):
+    out = {}
+    for root, _dirs, files in os.walk(d):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, d)] = os.stat(p).st_ino
+    return out
+
+
+def test_probe_matches_inmemory_lsh_join(spark, tmp_path):
+    """Index the full corpus, probe the %10 slice: identical results
+    to the d03 registry query (the in-memory subset-form LSH join) —
+    same candidates, same exact verification, same top-k, and no
+    self-pairs."""
+    from trendr_data_pipeline_spark.operators.dedup import minhash_lsh_topk_join
+
+    docs = read_table(spark, SMOKE_SF, "documents")
+    idx = str(tmp_path / "mh_idx")
+    write_minhash_index(docs, idx)
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    got = _rows(minhash_probe(incoming, idx, threshold=0.8, k=20))
+    want = _rows(
+        minhash_lsh_topk_join(F.col("doc_id") % 10 == 0, docs, threshold=0.8, k=20)
+    )
+    assert got == want and got
+    assert all(a != b for a, b, _j, _rk in got)
+
+
+def test_extend_equals_full_rebuild_and_preserves_inodes(spark, tmp_path):
+    """index(A) + extend(B) answers every probe exactly like
+    index(A ∪ B), and the extend rewrote nothing: every pre-existing
+    parquet file survives as the same inode."""
+    docs = read_table(spark, SMOKE_SF, "documents")
+    a = docs.filter(F.col("doc_id") % 3 != 0)
+    b = docs.filter(F.col("doc_id") % 3 == 0)
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+
+    grown = str(tmp_path / "grown")
+    write_minhash_index(a, grown)
+    before = _inodes(grown)
+    extend_minhash_index(b, grown)
+    after = _inodes(grown)
+    assert set(before) <= set(after)
+    assert all(after[f] == ino for f, ino in before.items())  # zero rewrites
+
+    full = str(tmp_path / "full")
+    write_minhash_index(docs, full)
+    got = _rows(minhash_probe(incoming, grown, threshold=0.8, k=20))
+    want = _rows(minhash_probe(incoming, full, threshold=0.8, k=20))
+    assert got == want and got
+
+
+def test_extend_skip_existing_is_replay_idempotent(spark, tmp_path):
+    """Re-extending with an already-indexed batch adds NO postings
+    (the property that makes the streaming sink replay-safe)."""
+    docs = read_table(spark, SMOKE_SF, "documents")
+    a = docs.filter(F.col("doc_id") < 300)
+    b = docs.filter((F.col("doc_id") >= 280) & (F.col("doc_id") < 320))  # overlaps a
+    idx = str(tmp_path / "idx")
+    write_minhash_index(a, idx)
+    extend_minhash_index(b, idx, skip_existing=True)
+    n1 = spark.read.parquet(os.path.join(idx, "data", "toks")).count()
+    extend_minhash_index(b, idx, skip_existing=True)  # full replay
+    n2 = spark.read.parquet(os.path.join(idx, "data", "toks")).count()
+    assert n1 == n2
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(idx, "data", "toks"))
+        .groupBy("doc_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .collect()
+    ]
+    assert ids == []  # one toks row per doc, no duplicate postings
+
+
+def test_meta_gate_and_frozen_params(spark, tmp_path):
+    """A non-minhash dir is rejected loudly; extend reads the hash
+    family back from meta, so a non-default build still probes
+    consistently after extension."""
+    docs = read_table(spark, SMOKE_SF, "documents")
+    bogus = str(tmp_path / "bogus")
+    spark.createDataFrame([(1,)], "x int").write.parquet(os.path.join(bogus, "meta"))
+    with pytest.raises(Exception):
+        minhash_probe(docs.limit(5), bogus, threshold=0.8)
+
+    idx = str(tmp_path / "small")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    write_minhash_index(a, idx, n_hashes=64, bands=16)
+    extend_minhash_index(b, idx)  # must sign with 64/16 from meta
+    full = str(tmp_path / "small_full")
+    write_minhash_index(docs, full, n_hashes=64, bands=16)
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    assert _rows(minhash_probe(incoming, idx, threshold=0.8)) == _rows(
+        minhash_probe(incoming, full, threshold=0.8)
+    )
+
+
+def test_streaming_sink_ingests_waves_replay_safe(spark, tmp_path):
+    """Two file-source waves (with an overlapping id) flow through
+    minhash_extend_sink; the final artifact answers probes exactly
+    like a batch build over the union."""
+    docs = read_table(spark, SMOKE_SF, "documents")
+    base = docs.filter(F.col("doc_id") < 250)
+    w1 = docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 375))
+    w2 = docs.filter(F.col("doc_id") >= 370)  # 370-374 replay w1 docs
+
+    idx = str(tmp_path / "idx")
+    write_minhash_index(base, idx)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def stage(i, df):
+        tmp = str(tmp_path / f"stage{i}")
+        df.select("doc_id", "text").coalesce(1).write.parquet(tmp)
+        import glob
+        import shutil
+
+        (part,) = glob.glob(f"{tmp}/*.parquet")
+        os.rename(part, os.path.join(src, f"wave{i}.parquet"))
+        shutil.rmtree(tmp)
+
+    stage(1, w1)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = minhash_extend_sink(stream, idx, checkpoint_dir=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        stage(2, w2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    full = str(tmp_path / "full")
+    write_minhash_index(docs, full)
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    assert _rows(minhash_probe(incoming, idx, threshold=0.8)) == _rows(
+        minhash_probe(incoming, full, threshold=0.8)
+    )
+    n = spark.read.parquet(os.path.join(idx, "data", "toks")).count()
+    assert n == docs.count()  # overlap ingested once

@@ -1,0 +1,75 @@
+"""Measure the persisted-text-index value proposition: screening an
+increment against an indexed corpus (minhash_probe) vs recomputing
+the full in-memory LSH join (the d03 path) at the same SF.
+
+Usage: python tools/text_index_bench.py [sf_dir] [threshold]
+Writes nothing; prints wall times + the result-parity check. The
+SCALING.md "persisted text index" section records the output.
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    thr = float(sys.argv[2]) if len(sys.argv) > 2 else 0.8
+
+    from pyspark.sql import functions as F
+
+    from trendr_data_pipeline_spark.io import read_table
+    from trendr_data_pipeline_spark.operators.dedup import minhash_lsh_topk_join
+    from trendr_data_pipeline_spark.operators.text_index import (
+        extend_minhash_index,
+        minhash_probe,
+        write_minhash_index,
+    )
+    from trendr_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("text-index-bench")
+    docs = read_table(spark, sf_dir, "documents")
+    incoming_pred = F.col("doc_id") % 10 == 0
+    incoming = docs.filter(incoming_pred)
+    n_docs, n_in = docs.count(), incoming.count()
+    print(f"corpus={n_docs} incoming={n_in} threshold={thr}")
+
+    with tempfile.TemporaryDirectory() as d:
+        idx = f"{d}/mh_idx"
+        t0 = time.time()
+        write_minhash_index(docs, idx)
+        t_build = time.time() - t0
+        print(f"build_index: {t_build:.2f}s (one-time)")
+
+        for tag in ("cold", "warm"):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            got = {tuple(r) for r in minhash_probe(incoming, idx, thr, k=20).collect()}
+            print(f"probe_{tag}: {time.time() - t0:.2f}s ({len(got)} pairs)")
+
+        spark.catalog.clearCache()
+        t0 = time.time()
+        want = {
+            tuple(r)
+            for r in minhash_lsh_topk_join(incoming_pred, docs, thr, k=20).collect()
+        }
+        t_full = time.time() - t0
+        print(f"full_recompute (d03 path): {t_full:.2f}s ({len(want)} pairs)")
+        print(f"parity: {'OK' if got == want else 'MISMATCH'}")
+
+        # incremental day-2: extend with a 10% slice, cost vs rebuild
+        inc = docs.filter(F.col("doc_id") % 7 == 0)
+        t0 = time.time()
+        extend_minhash_index(inc.withColumn("doc_id", F.col("doc_id") + 10_000_000), idx)
+        print(f"extend_10pct: {time.time() - t0:.2f}s (vs rebuild {t_build:.2f}s)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

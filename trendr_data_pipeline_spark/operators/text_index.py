@@ -1,0 +1,271 @@
+"""Persisted MinHash-LSH text index — incremental corpus dedup.
+
+The batch near-dup joins (d02/d03/d05) recompute corpus signatures on
+every run; at 100 TB the corpus side dominates and is ~static while
+the increment (today's crawl) is small. This module persists the
+signature work as a parquet artifact so screening N new docs costs
+O(N·bands) compute plus two corpus SCANS with zero corpus shuffles —
+the text twin of the ANN index lifecycle in
+:mod:`~.index_store` (same atomic-swap/link/stage/single-writer
+discipline, same FAISS-style train-vs-add split: the hash family is
+the frozen "model", adding docs never touches existing files).
+
+Layout under ``<index_dir>/``:
+
+- ``meta/``        one row: kind='minhash', version, n_hashes, bands,
+                   tokenizer ('words' | 'shingles');
+- ``data/bands/``  (doc_id, size, band, bucket) — the LSH postings;
+- ``data/toks/``   (doc_id, toks, size) — token sets for the exact
+                   verification of candidates.
+
+Probe plan (:func:`minhash_probe`): the incoming docs are signed in
+one Arrow pass (the d03 UDF), their band rows broadcast against ONE
+scan of ``data/bands`` (size-compatibility bound applied inside the
+join, before the candidate-dedup shuffle), candidates verified
+exactly against ONE scan of ``data/toks`` — identical results to
+:func:`~.dedup.minhash_lsh_topk_join` over (incoming, corpus), pinned
+in tests/test_text_index.py, at none of its corpus-side compute.
+
+Reference scope: the reference's dedup is per-run in-memory
+(``scripts/mention_scanner/dedup.py``); the persisted/incremental
+form is a beyond-reference ⊕ operator motivated by the training-data
+pipeline brief.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import minhash_band_buckets, shingle_set, token_set
+from .index_store import (
+    _atomic_write,
+    _guarded_parts,
+    _heal_crash_residue,
+    _link_tree,
+    _reader_root,
+    _stage_files,
+)
+
+__all__ = [
+    "write_minhash_index",
+    "extend_minhash_index",
+    "minhash_probe",
+    "minhash_extend_sink",
+]
+
+_TEXT_VERSION = 1
+_TOKENIZERS = {"words": token_set, "shingles": shingle_set}
+
+
+def _sign(
+    docs: DataFrame, tokenizer: str, n_hashes: int, bands: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, toks, size, buckets) in one UDF pass — the d03
+    signature frame, computed once per write/extend/probe."""
+    tokset = _TOKENIZERS[tokenizer]
+    return (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            tokset(F.col(text_col)).alias("toks"),
+        )
+        .filter(F.size("toks") > 0)
+        .withColumn("size", F.size("toks"))
+        .withColumn("buckets", minhash_band_buckets(F.col("toks"), n_hashes, bands))
+    )
+
+
+def _band_rows(sig: DataFrame) -> DataFrame:
+    return sig.select(
+        "doc_id", "size", F.posexplode("buckets").alias("band", "bucket")
+    )
+
+
+def _tok_rows(sig: DataFrame) -> DataFrame:
+    return sig.select("doc_id", "toks", "size")
+
+
+def _load_meta(spark: SparkSession, index_dir: str, heal: bool):
+    """Gate → meta, mirroring :func:`~.index_store._load_index`'s
+    writer-heals / reader-doesn't contract."""
+    if heal:
+        _heal_crash_residue(index_dir)
+        root = index_dir
+    else:
+        root = _reader_root(index_dir)
+    meta = spark.read.parquet(os.path.join(root, "meta")).collect()[0]
+    if meta["kind"] != "minhash" or meta["version"] != _TEXT_VERSION:
+        raise ValueError(
+            f"not a minhash text index at version {_TEXT_VERSION}: {index_dir}"
+        )
+    return root, meta
+
+
+def write_minhash_index(
+    corpus: DataFrame,
+    out_dir: str,
+    n_hashes: int = 128,
+    bands: int = 32,
+    tokenizer: str = "words",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Build the artifact from scratch: one signature pass over the
+    corpus, postings + token sets written through the atomic swap."""
+    if tokenizer not in _TOKENIZERS:
+        raise ValueError(f"tokenizer must be one of {sorted(_TOKENIZERS)}")
+    spark = corpus.sparkSession
+    sig = _sign(corpus, tokenizer, n_hashes, bands, id_col, text_col)
+
+    def parts(tmp: str) -> None:
+        spark.createDataFrame(
+            [("minhash", _TEXT_VERSION, int(n_hashes), int(bands), tokenizer)],
+            "kind string, version int, n_hashes int, bands int, tokenizer string",
+        ).coalesce(1).write.parquet(os.path.join(tmp, "meta"))
+        _band_rows(sig).write.parquet(os.path.join(tmp, "data", "bands"))
+        _tok_rows(sig).write.parquet(os.path.join(tmp, "data", "toks"))
+
+    _atomic_write(out_dir, parts)
+
+
+def extend_minhash_index(
+    new_docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    skip_existing: bool = False,
+) -> None:
+    """Add documents WITHOUT touching existing files: the hash family
+    is frozen in ``meta`` (n_hashes/bands/tokenizer are read back, so
+    an extend can never fork the signature space), every current file
+    is hard-linked into the new tree, and only the new docs are
+    signed and staged — cost O(new docs). ``skip_existing=True``
+    anti-joins the incoming ids against ONE column-pruned scan of
+    ``data/toks`` first, which is what makes the streaming sink's
+    batch replay idempotent (re-adding an indexed doc is a no-op
+    instead of a duplicate posting)."""
+    spark = new_docs.sparkSession
+    _root, meta = _load_meta(spark, index_dir, heal=True)
+    sig = _sign(
+        new_docs, meta["tokenizer"], meta["n_hashes"], meta["bands"], id_col, text_col
+    )
+    if skip_existing:
+        existing = spark.read.parquet(os.path.join(index_dir, "data", "toks")).select(
+            "doc_id"
+        )
+        sig = sig.join(existing, "doc_id", "left_anti")
+    # the signature feeds two writes — materialize once, not twice
+    sig = sig.localCheckpoint(eager=True)
+
+    def build(tmp: str) -> None:
+        _link_tree(index_dir, tmp)
+        _stage_files(_band_rows(sig), os.path.join(tmp, "data", "bands"))
+        _stage_files(_tok_rows(sig), os.path.join(tmp, "data", "toks"))
+
+    _atomic_write(index_dir, _guarded_parts(index_dir, build))
+
+
+def minhash_probe(
+    incoming: DataFrame,
+    index_dir: str,
+    threshold: float,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Screen ``incoming`` against the indexed corpus: top-``k``
+    near-duplicate matches per incoming doc at Jaccard ≥ ``threshold``
+    — (id_a, id_b, jaccard, rk), id_a incoming, id_b stored. A stored
+    doc with the SAME id as an incoming doc is skipped (the
+    re-screening shape: a doc is never its own duplicate).
+
+    Scale shape: the incoming side is signed in one Arrow pass and
+    BROADCAST twice (band rows into the postings scan, token sets
+    into the verify); the stored side is two scans with zero
+    shuffles of corpus data — the only exchange keys on the
+    CANDIDATE pairs (LSH-pruned, size-bound-pruned inside the band
+    join before the distinct). Candidate recall at the threshold is
+    the d03 banding bound 1−(1−t^r)^b."""
+    spark = incoming.sparkSession
+    root, meta = _load_meta(spark, index_dir, heal=False)
+    sig = _sign(
+        incoming, meta["tokenizer"], meta["n_hashes"], meta["bands"], id_col, text_col
+    ).persist()
+    in_bands = _band_rows(sig).select(
+        F.col("doc_id").alias("id_a"),
+        F.col("size").alias("size_a"),
+        "band",
+        "bucket",
+    )
+    stored = spark.read.parquet(os.path.join(root, "data", "bands"))
+    t = float(threshold)
+    cand = (
+        stored.join(
+            F.broadcast(in_bands),
+            on=(
+                (stored["band"] == in_bands["band"])
+                & (stored["bucket"] == in_bands["bucket"])
+                & (stored["doc_id"] != in_bands["id_a"])
+                # J ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t — prune before the shuffle
+                & (stored["size"] >= F.ceil(in_bands["size_a"] * t))
+                & (stored["size"] * t <= in_bands["size_a"])
+            ),
+        )
+        .select("id_a", stored["doc_id"].alias("id_b"))
+        .distinct()
+    )
+    toks_b = spark.read.parquet(os.path.join(root, "data", "toks")).select(
+        F.col("doc_id").alias("id_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("size").alias("size_b"),
+    )
+    toks_a = sig.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("size").alias("size_a"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = F.round(
+        inter * 1.0 / (F.col("size_a") + F.col("size_b") - inter), 6
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id_a").orderBy(F.col("jaccard").desc(), F.col("id_b").asc())
+    return (
+        cand.join(toks_b, "id_b")
+        .join(F.broadcast(toks_a), "id_a")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("id_a", "id_b", "jaccard", "rk")
+    )
+
+
+def minhash_extend_sink(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming ingestion into the text index (the ⊕SS13 screen's
+    persistence half): each micro-batch extends the artifact through
+    :func:`extend_minhash_index` with ``skip_existing=True``, so a
+    replayed batch (restart-from-checkpoint delivery) re-adds nothing
+    — same replay-safety argument as ``ivf_extend_sink``."""
+
+    def handle(batch: DataFrame, _epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        extend_minhash_index(
+            batch, index_dir, id_col=id_col, text_col=text_col, skip_existing=True
+        )
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
