@@ -166,3 +166,98 @@ def test_streaming_sink_ingests_waves_replay_safe(spark, tmp_path):
     )
     n = spark.read.parquet(os.path.join(idx, "data", "toks")).count()
     assert n == docs.count()  # overlap ingested once
+
+
+def test_remove_prunes_files_and_matches_fresh_build(spark, tmp_path):
+    """Hard-deletion: post-remove probes equal a fresh build over the
+    survivors, only files containing doomed ids were rewritten (every
+    other inode survives), postings and token sets stay in agreement,
+    and removing absent ids is a true no-op."""
+    from trendr_data_pipeline_spark.operators.text_index import (
+        remove_from_minhash_index,
+    )
+
+    docs = read_table(spark, SMOKE_SF, "documents")
+    idx = str(tmp_path / "idx")
+    # multi-file artifact: write halves then extend, so removal has
+    # untouched files to preserve
+    write_minhash_index(docs.filter(F.col("doc_id") < 250), idx)
+    extend_minhash_index(docs.filter(F.col("doc_id") >= 250), idx)
+    doomed = [5, 17, 260, 261]
+    before = _inodes(idx)
+    remove_from_minhash_index(
+        spark.createDataFrame([(i,) for i in doomed], "doc_id long"), idx
+    )
+    after = _inodes(idx)
+    survivors_kept = set(before) & set(after)
+    assert survivors_kept  # some files were untouched...
+    assert any(after[f] == before[f] for f in survivors_kept)  # ...and kept inodes
+
+    toks = spark.read.parquet(os.path.join(idx, "data", "toks"))
+    bands = spark.read.parquet(os.path.join(idx, "data", "bands"))
+    assert toks.filter(F.col("doc_id").isin(doomed)).count() == 0
+    assert bands.filter(F.col("doc_id").isin(doomed)).count() == 0
+    # postings and token sets agree on the surviving id set
+    t_ids = {r["doc_id"] for r in toks.select("doc_id").distinct().collect()}
+    b_ids = {r["doc_id"] for r in bands.select("doc_id").distinct().collect()}
+    assert t_ids == b_ids
+
+    fresh = str(tmp_path / "fresh")
+    write_minhash_index(docs.filter(~F.col("doc_id").isin(doomed)), fresh)
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    assert _rows(minhash_probe(incoming, idx, threshold=0.8)) == _rows(
+        minhash_probe(incoming, fresh, threshold=0.8)
+    )
+
+    # absent ids: true no-op, inodes unchanged
+    snap = _inodes(idx)
+    remove_from_minhash_index(
+        spark.createDataFrame([(999_999,)], "doc_id long"), idx
+    )
+    assert _inodes(idx) == snap
+
+
+def test_remove_sink_streaming_takedowns(spark, tmp_path):
+    """Takedown-request stream with an overlapping id across waves
+    (the replay shape): final index equals a fresh build over the
+    survivors."""
+    from trendr_data_pipeline_spark.operators.text_index import (
+        minhash_remove_sink,
+    )
+
+    docs = read_table(spark, SMOKE_SF, "documents")
+    idx = str(tmp_path / "idx")
+    write_minhash_index(docs, idx)
+
+    src = str(tmp_path / "takedowns")
+    os.makedirs(src)
+
+    def stage(i, ids):
+        tmp = str(tmp_path / f"td{i}")
+        spark.createDataFrame([(x,) for x in ids], "doc_id long").coalesce(
+            1
+        ).write.parquet(tmp)
+        import glob
+        import shutil
+
+        (part,) = glob.glob(f"{tmp}/*.parquet")
+        os.rename(part, os.path.join(src, f"wave{i}.parquet"))
+        shutil.rmtree(tmp)
+
+    stage(1, [10, 20, 30])
+    stream = spark.readStream.schema("doc_id long").parquet(src)
+    q = minhash_remove_sink(stream, idx, checkpoint_dir=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        stage(2, [30, 40])  # 30 replays wave 1
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    doomed = [10, 20, 30, 40]
+    fresh = str(tmp_path / "fresh")
+    write_minhash_index(docs.filter(~F.col("doc_id").isin(doomed)), fresh)
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    assert _rows(minhash_probe(incoming, idx, threshold=0.8)) == _rows(
+        minhash_probe(incoming, fresh, threshold=0.8)
+    )

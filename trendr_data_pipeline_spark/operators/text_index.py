@@ -54,6 +54,8 @@ __all__ = [
     "extend_minhash_index",
     "minhash_probe",
     "minhash_extend_sink",
+    "remove_from_minhash_index",
+    "minhash_remove_sink",
 ]
 
 _TEXT_VERSION = 1
@@ -263,6 +265,83 @@ def minhash_extend_sink(
         extend_minhash_index(
             batch, index_dir, id_col=id_col, text_col=text_col, skip_existing=True
         )
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def remove_from_minhash_index(
+    ids: DataFrame, index_dir: str, id_col: str = "doc_id"
+) -> None:
+    """Hard-delete documents from the text index — takedowns/opt-outs
+    as physical deletion, the third lifecycle verb (same contract as
+    :func:`~.index_store.remove_from_index`): one discovery scan per
+    subtree finds the files that actually contain a doomed id via
+    ``input_file_name()``, ONLY those files are rewritten without the
+    doomed rows, everything else hard-links through the atomic swap.
+    Removing absent ids is a true no-op (no swap, inodes unchanged) —
+    idempotent, which keeps the takedown sink replay-safe. Both
+    subtrees are pruned in the same swap: a crash can never publish
+    an index whose postings and token sets disagree."""
+    from urllib.parse import unquote, urlparse
+
+    spark = ids.sparkSession
+    _load_meta(spark, index_dir, heal=True)
+    doomed = ids.select(F.col(id_col).cast("long").alias("_rm_id")).distinct()
+    data_dir = os.path.join(index_dir, "data")
+
+    def hit_files(sub: str) -> list[str]:
+        stored = spark.read.parquet(os.path.join(data_dir, sub))
+        return [
+            unquote(urlparse(r["_f"]).path)
+            for r in stored.withColumn("_f", F.input_file_name())
+            .join(doomed, stored["doc_id"] == doomed["_rm_id"], "left_semi")
+            .select("_f")
+            .distinct()
+            .collect()
+        ]
+
+    hits = {sub: hit_files(sub) for sub in ("bands", "toks")}
+    if not any(hits.values()):
+        return
+
+    def build(tmp: str) -> None:
+        _link_tree(index_dir, tmp)
+        for sub, files in hits.items():
+            if not files:
+                continue
+            out = os.path.join(tmp, "data", sub)
+            for p in files:
+                base = os.path.basename(p)
+                for name in (base, f".{base}.crc"):
+                    linked = os.path.join(out, name)
+                    if os.path.exists(linked):
+                        os.remove(linked)
+            survivors = spark.read.parquet(*sorted(files)).join(
+                doomed, F.col("doc_id") == F.col("_rm_id"), "left_anti"
+            )
+            _stage_files(survivors.coalesce(1), out)
+
+    _atomic_write(index_dir, _guarded_parts(index_dir, build))
+
+
+def minhash_remove_sink(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+):
+    """Streaming takedowns: each micro-batch of doomed ids is applied
+    through :func:`remove_from_minhash_index`; replay-safe because
+    re-removing an absent id is a structural no-op."""
+
+    def handle(batch: DataFrame, _epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        remove_from_minhash_index(batch, index_dir, id_col=id_col)
 
     return (
         stream.writeStream.foreachBatch(handle)
