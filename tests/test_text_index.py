@@ -261,3 +261,30 @@ def test_remove_sink_streaming_takedowns(spark, tmp_path):
     assert _rows(minhash_probe(incoming, idx, threshold=0.8)) == _rows(
         minhash_probe(incoming, fresh, threshold=0.8)
     )
+
+
+def test_compact_reduces_files_probe_identical(spark, tmp_path):
+    """Many small extends → compaction rewrites only oversized
+    subtrees; probes are byte-identical before/after and a second
+    compact is a no-op."""
+    from trendr_data_pipeline_spark.operators.text_index import (
+        compact_minhash_index,
+    )
+
+    docs = read_table(spark, SMOKE_SF, "documents")
+    idx = str(tmp_path / "idx")
+    write_minhash_index(docs.filter(F.col("doc_id") < 100), idx)
+    for lo in range(100, 500, 100):
+        extend_minhash_index(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 100)), idx
+        )
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    before = _rows(minhash_probe(incoming, idx, threshold=0.8))
+    n_before = len(_inodes(idx))
+    compact_minhash_index(idx, max_files_per_group=2)
+    n_after = len(_inodes(idx))
+    assert n_after < n_before
+    assert _rows(minhash_probe(incoming, idx, threshold=0.8)) == before
+    snap = _inodes(idx)
+    compact_minhash_index(idx, max_files_per_group=2)  # no-op
+    assert _inodes(idx) == snap

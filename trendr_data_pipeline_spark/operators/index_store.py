@@ -668,6 +668,17 @@ def compact_index(index_dir: str, max_files_per_cell: int = 8) -> None:
 
     spark = SparkSession.active()
     _load_index(spark, index_dir, expect_kind=None, heal=True)  # writer: heal + gate
+    _compact_data_tree(spark, index_dir, max_files_per_cell)
+
+
+def _compact_data_tree(
+    spark: SparkSession, index_dir: str, max_files_per_group: int
+) -> None:
+    """Gate-agnostic compaction body over ``<index_dir>/data``: shared
+    by the ANN artifacts (cell dirs / flat pq root) and the text
+    index (bands/toks subtrees) — any leaf directory with more than
+    ``max_files_per_group`` parquet files is rewritten as one file.
+    Callers run their kind gate + heal FIRST."""
     data_dir = os.path.join(index_dir, "data")
     groups: dict[str, list[str]] = {}
     for root, _dirs, files in os.walk(data_dir):
@@ -676,13 +687,11 @@ def compact_index(index_dir: str, max_files_per_cell: int = 8) -> None:
             groups[os.path.relpath(root, data_dir)] = sorted(
                 os.path.join(root, f) for f in pq_files
             )
-    oversized = {g: fs for g, fs in groups.items() if len(fs) > max_files_per_cell}
+    oversized = {g: fs for g, fs in groups.items() if len(fs) > max_files_per_group}
     if not oversized:
         return
 
     def build(tmp: str) -> None:
-        import shutil
-
         _link_tree(index_dir, tmp)
         for g, fs in oversized.items():
             out = os.path.join(tmp, "data") if g == "." else os.path.join(

@@ -56,6 +56,7 @@ __all__ = [
     "minhash_extend_sink",
     "remove_from_minhash_index",
     "minhash_remove_sink",
+    "compact_minhash_index",
 ]
 
 _TEXT_VERSION = 1
@@ -348,3 +349,21 @@ def minhash_remove_sink(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def compact_minhash_index(index_dir: str, max_files_per_group: int = 8) -> None:
+    """Small-file compaction (fourth lifecycle verb, completing
+    extend/probe/REMOVE/compact parity with the ANN artifacts): a
+    daily-extend lifecycle accumulates one file per subtree per
+    extend; any subtree holding more than ``max_files_per_group``
+    parquet files is rewritten as one file, everything else
+    hard-links through the same atomic swap. Probe results are
+    byte-identical before/after; a second call is a no-op
+    (pytest-pinned)."""
+    from pyspark.sql import SparkSession
+
+    from .index_store import _compact_data_tree
+
+    spark = SparkSession.active()
+    _load_meta(spark, index_dir, heal=True)
+    _compact_data_tree(spark, index_dir, max_files_per_group)
