@@ -193,6 +193,10 @@ def minhash_probe(
     the d03 banding bound 1−(1−t^r)^b."""
     spark = incoming.sparkSession
     root, meta = _load_meta(spark, index_dir, heal=False)
+    # the signed incoming frame feeds the band join AND the verify —
+    # persist once; same lifetime contract as the dedup joins (a lazy
+    # builder cannot unpersist before its result materializes, so the
+    # cache lives until the session's next clearCache)
     sig = _sign(
         incoming, meta["tokenizer"], meta["n_hashes"], meta["bands"], id_col, text_col
     ).persist()
