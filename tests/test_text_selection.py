@@ -241,3 +241,35 @@ def test_stratified_sample_exact_k_and_deterministic(spark):
         for r in stratified_sample(df, group_col="lang", k=5).collect()
     }
     assert again == {(r["lang"], r["doc_id"]) for r in got}
+
+
+def test_stratified_sample_fallback_and_nulls(spark):
+    """r8 scale hardening: the threshold pre-filter path and the
+    shortfall fallback select the SAME set as the plain per-group
+    rank. oversample=0-ish thresholds force the fallback for every
+    group; NULL keys rank last (selected only when a group has
+    fewer than k hashable rows)."""
+    from trendr_data_pipeline_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 3 else "fr") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    base = {
+        (r["lang"], r["doc_id"])
+        for r in stratified_sample(df, k=7).collect()
+    }
+    # force the shortfall path: oversample so small the threshold
+    # admits almost nothing, making every group re-rank fully
+    forced = {
+        (r["lang"], r["doc_id"])
+        for r in stratified_sample(df, k=7, oversample=0).collect()
+    }
+    assert forced == base and len(base) == 14
+
+    # NULL keys: a group of 3 NULL-key rows + 2 real ones at k=4 must
+    # select both real rows first, then NULLs to fill
+    rows2 = [(None, "xx"), (None, "xx"), (None, "xx"), (7, "xx"), (9, "xx")]
+    df2 = spark.createDataFrame(rows2, "doc_id long, lang string")
+    got = stratified_sample(df2, k=4).collect()
+    assert len(got) == 4
+    ranks = {r["doc_id"]: r["rk"] for r in got if r["doc_id"] is not None}
+    assert set(ranks) == {7, 9} and max(ranks.values()) <= 2

@@ -326,25 +326,81 @@ def stratified_sample(
     k: int = 20,
     key_col: str = "doc_id",
     salt: str = "strat",
+    oversample: int = 16,
 ) -> DataFrame:
     """Deterministic stratified sample: exactly min(k, |group|) rows
     per group, chosen by the md5 hash order of the key (uniform over
     the group, stable across reruns and engines — the evaluation-set
     / debugging-slice construction step). Ties (hash collisions)
     break on the key itself, so the selected SET is a pure function
-    of (salt, group, keys).
+    of (salt, group, keys). NULL hash keys rank LAST (both engines'
+    explicit nulls-last order): they are selected only when a group
+    has fewer than k hashable rows.
 
-    Scale shape: ONE exchange on ``group_col`` + a rank inside each
-    group — the same cost as any per-group top-k (W1/q03 family).
-    Skewed groups hold the usual per-group-window caveat: the window
-    sorts |group| rows in one task's spill-able sort, not the whole
-    corpus."""
+    Scale shape (r8 hardening — the naive form is the A7 class of
+    scale-killer): ``Window.partitionBy(group)`` sends each group's
+    ENTIRE row set through one task, and the natural groups here are
+    languages — billions of rows each at 100 TB. Instead, the k
+    smallest hashes are pre-filtered by a per-group THRESHOLD derived
+    from one cheap count agg: hash_order is uniform on [0, 2³²), so
+    ``thr = 2³²·(oversample·k)/|group|`` admits ~oversample·k rows
+    per group in a codegen'd filter (no shuffle), and the rank window
+    runs over THAT — ≤ ~oversample·k rows per group, never |group|.
+    Exactness is GUARDED, not assumed: a group whose admitted count
+    falls short of min(k, |group|) (hash-tail bad luck at
+    P ≲ e^{-0.56·oversample·k}, or NULL-key padding) is re-ranked by
+    the plain window over only that group's rows — the selected set
+    is provably the same k smallest (h, key) pairs either way, and
+    the t15 oracle gate pins it cross-engine."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(group_col).orderBy(
-        hash_order(F.col(key_col), salt).asc(), F.col(key_col).asc()
+    h = hash_order(F.col(key_col), salt)
+    order = [F.col("_h").asc_nulls_last(), F.col(key_col).asc_nulls_last()]
+    w = Window.partitionBy(group_col).orderBy(*order)
+
+    def ranked(frame: DataFrame) -> DataFrame:
+        return (
+            frame.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= k)
+        )
+
+    hashed = df.withColumn("_h", h)
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    full = F.lit(1 << 32).cast("long")
+    thr = (
+        F.when(F.col("_n") <= oversample * k, full)
+        .otherwise(F.ceil(full * F.lit(float(oversample * k)) / F.col("_n")))
+        .alias("_thr")
     )
-    return (
-        df.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= k)
+    thrs = counts.select(F.col(group_col).alias("_g"), F.col("_n"), thr)
+    cand = hashed.join(
+        F.broadcast(thrs), F.col(group_col).eqNullSafe(F.col("_g"))
+    ).filter(F.col("_h") < F.col("_thr"))
+    keep_cols = [*df.columns, "rk"]
+    got = ranked(cand).select(*keep_cols)
+
+    # exactness guard: any group admitted fewer than min(k, |group|)
+    # rows re-ranks over its full row set (expected EMPTY — one tiny
+    # driver fetch of group keys, never corpus rows)
+    short = (
+        got.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_got"))
+        .join(thrs, F.col(group_col).eqNullSafe(F.col("_g")), "right")
+        .filter(
+            F.coalesce(F.col("_got"), F.lit(0)) < F.least(F.lit(k), F.col("_n"))
+        )
+        .select(F.col("_g"))
     )
+    bad = [r["_g"] for r in short.collect()]
+    if not bad:
+        return got
+    bad_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(g,) for g in bad], df.select(group_col).schema
+        ).select(F.col(group_col).alias("_g"))
+    )
+    good = got.join(bad_df, F.col(group_col).eqNullSafe(F.col("_g")), "left_anti")
+    redo = ranked(
+        hashed.join(bad_df, F.col(group_col).eqNullSafe(F.col("_g")), "left_semi")
+    ).select(*keep_cols)
+    return good.unionByName(redo)
