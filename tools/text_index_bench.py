@@ -2,9 +2,14 @@
 increment against an indexed corpus (minhash_probe) vs recomputing
 the full in-memory LSH join (the d03 path) at the same SF.
 
-Usage: python tools/text_index_bench.py [sf_dir] [threshold]
-Writes nothing; prints wall times + the result-parity check. The
-SCALING.md "persisted text index" section records the output.
+Usage: python tools/text_index_bench.py [sf_dir] [threshold] [replicate]
+``replicate`` (default 1) unions ``replicate`` id-shifted copies of
+the corpus BEFORE indexing, scaling the corpus:increment ratio to
+show how the gap widens when the corpus dominates (the 100 TB
+regime: the increment stays fixed, corpus compute is what the index
+amortizes away). Writes nothing; prints wall times + the
+result-parity check. The SCALING.md "persisted text index" section
+records the output.
 """
 
 from __future__ import annotations
@@ -21,6 +26,9 @@ sys.path.insert(0, str(REPO))
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     thr = float(sys.argv[2]) if len(sys.argv) > 2 else 0.8
+    replicate = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+
+    from functools import reduce
 
     from pyspark.sql import functions as F
 
@@ -34,11 +42,32 @@ def main() -> int:
     from trendr_data_pipeline_spark.session import get_spark
 
     spark = get_spark("text-index-bench")
-    docs = read_table(spark, sf_dir, "documents")
+    base = read_table(spark, sf_dir, "documents")
+    if replicate > 1:
+        # id-shifted copies: same text distribution, bigger corpus —
+        # scales corpus compute without touching the increment
+        docs = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                base.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(i * 1_000_000)
+                )
+                for i in range(replicate)
+            ],
+        ).localCheckpoint(eager=True)
+    else:
+        docs = base
     incoming_pred = F.col("doc_id") % 10 == 0
-    incoming = docs.filter(incoming_pred)
+    incoming = docs.filter(incoming_pred) if replicate == 1 else base.filter(
+        incoming_pred
+    )
+    if replicate > 1:
+        # disjoint incoming slice: shift past every replica
+        incoming = incoming.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(replicate * 1_000_000)
+        )
     n_docs, n_in = docs.count(), incoming.count()
-    print(f"corpus={n_docs} incoming={n_in} threshold={thr}")
+    print(f"corpus={n_docs} incoming={n_in} threshold={thr} replicate={replicate}")
 
     with tempfile.TemporaryDirectory() as d:
         idx = f"{d}/mh_idx"
@@ -57,7 +86,14 @@ def main() -> int:
         t0 = time.time()
         want = {
             tuple(r)
-            for r in minhash_lsh_topk_join(incoming_pred, docs, thr, k=20).collect()
+            for r in minhash_lsh_topk_join(
+                # subset (predicate) form when incoming ⊆ corpus;
+                # two-frame form for the replicated disjoint increment
+                incoming_pred if replicate == 1 else incoming,
+                docs,
+                thr,
+                k=20,
+            ).collect()
         }
         t_full = time.time() - t0
         print(f"full_recompute (d03 path): {t_full:.2f}s ({len(want)} pairs)")
