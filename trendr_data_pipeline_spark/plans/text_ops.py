@@ -1519,3 +1519,20 @@ def t15_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_col="lang",
         k=20,
     )
+
+
+@register(
+    "t16_compression_ratio",
+    None,
+    doc="""Compression-ratio quality signal (⊕, r8; the zlib-ratio
+    curation heuristic): raw/deflate byte lengths + ratio per doc,
+    one Arrow projection, zero shuffles. No SQL oracle (DuckDB has
+    no zlib) — the driver records the rows-only check; the pytest
+    oracle is byte-exact against Python zlib (the same library the
+    UDF calls), and separation on constructed repetitive-vs-natural
+    corpora is pinned in tests/test_quality.py.""",
+)
+def t16_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import compression_metrics
+
+    return compression_metrics(read_table(spark, sf_dir, "documents"))
