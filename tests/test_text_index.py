@@ -288,3 +288,32 @@ def test_compact_reduces_files_probe_identical(spark, tmp_path):
     snap = _inodes(idx)
     compact_minhash_index(idx, max_files_per_group=2)  # no-op
     assert _inodes(idx) == snap
+
+
+def test_reader_survives_swap_window_and_writer_heals(spark, tmp_path):
+    """Died-mid-swap residue (artifact exists only as .old): a READER
+    resolves the surviving copy without mutating anything; the next
+    WRITER heals the layout and proceeds — same contract as the ANN
+    artifacts, exercised through the text-index module."""
+    import shutil
+
+    docs = read_table(spark, SMOKE_SF, "documents")
+    idx = str(tmp_path / "idx")
+    write_minhash_index(docs.filter(F.col("doc_id") < 400), idx)
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    want = _rows(minhash_probe(incoming, idx, threshold=0.8))
+
+    # simulate a writer that died between backup-out and swap-in
+    shutil.move(idx, idx + ".old")
+    assert _rows(minhash_probe(incoming, idx, threshold=0.8)) == want  # reader OK
+    assert not os.path.exists(os.path.join(idx, "meta"))  # reader didn't heal
+
+    # the next writer heals, then extends
+    extend_minhash_index(docs.filter(F.col("doc_id") >= 400), idx)
+    assert os.path.exists(os.path.join(idx, "meta"))
+    assert not os.path.isdir(idx + ".old")
+    full = str(tmp_path / "full")
+    write_minhash_index(docs, full)
+    assert _rows(minhash_probe(incoming, idx, threshold=0.8)) == _rows(
+        minhash_probe(incoming, full, threshold=0.8)
+    )
