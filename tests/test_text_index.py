@@ -317,3 +317,24 @@ def test_reader_survives_swap_window_and_writer_heals(spark, tmp_path):
     assert _rows(minhash_probe(incoming, idx, threshold=0.8)) == _rows(
         minhash_probe(incoming, full, threshold=0.8)
     )
+
+
+def test_filtered_probe_pre_filter_semantics(spark, tmp_path):
+    """filter_ids restricts the searchable corpus with PRE-filter
+    semantics: results equal a probe against an index built over only
+    the allowed docs (top-k among allowed, never a post-cut), and
+    every neighbor satisfies the predicate."""
+    docs = read_table(spark, SMOKE_SF, "documents")
+    idx = str(tmp_path / "idx")
+    write_minhash_index(docs, idx)
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    pred = F.col("doc_id") % 2 == 1  # odd-id corpus docs only
+    allowed = docs.filter(pred).select("doc_id")
+    got = _rows(
+        minhash_probe(incoming, idx, threshold=0.8, filter_ids=allowed)
+    )
+    ref = str(tmp_path / "ref")
+    write_minhash_index(docs.filter(pred), ref)
+    want = _rows(minhash_probe(incoming, ref, threshold=0.8))
+    assert got == want and got
+    assert all(b % 2 == 1 for _a, b, _j, _rk in got)

@@ -177,12 +177,20 @@ def minhash_probe(
     k: int = 20,
     id_col: str = "doc_id",
     text_col: str = "text",
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Screen ``incoming`` against the indexed corpus: top-``k``
     near-duplicate matches per incoming doc at Jaccard ≥ ``threshold``
     — (id_a, id_b, jaccard, rk), id_a incoming, id_b stored. A stored
     doc with the SAME id as an incoming doc is skipped (the
     re-screening shape: a doc is never its own duplicate).
+
+    ``filter_ids`` restricts the SEARCHABLE corpus (the ⊕M7
+    pre-filter model, e.g. screen only against same-language or
+    same-license docs): the caller evaluates its predicate on the
+    source-of-truth table and passes the allowed ids; one LEFT SEMI
+    join prunes the postings scan BEFORE banding/verify — top-k among
+    allowed docs, never a post-cut of an unfiltered top-k.
 
     Scale shape: the incoming side is signed in one Arrow pass and
     BROADCAST twice (band rows into the postings scan, token sets
@@ -207,6 +215,13 @@ def minhash_probe(
         "bucket",
     )
     stored = spark.read.parquet(os.path.join(root, "data", "bands"))
+    if filter_ids is not None:
+        allowed = filter_ids.select(
+            F.col(id_col).cast("long").alias("_ok_id")
+        ).distinct()
+        stored = stored.join(
+            allowed, stored["doc_id"] == allowed["_ok_id"], "left_semi"
+        )
     t = float(threshold)
     cand = (
         stored.join(
