@@ -79,6 +79,14 @@ RENAMES_R8 = {
     "q05_customers_without_orders": "zq05_customers_without_orders",
     "q08_set_ops_customers": "zq08_set_ops_customers",
     "e07_props_extraction": "ze07_props_extraction",
+    # second wave (same round, review finding): the two NEW r8 oracle
+    # gates initially parked outside the window as t14/t15 — rotated
+    # in as c34/c35 so their oracles get driver-signed too, z-pushing
+    # two more r7-signed names
+    "t14_split_assign": "c34_split_assign",
+    "t15_stratified_sample": "c35_stratified_sample",
+    "p03_type_allowlist": "zp03_type_allowlist",
+    "p06_frame_sampling": "zp06_frame_sampling",
 }
 
 

@@ -97,5 +97,29 @@ def test_cap_window_holds_only_oracle_queries():
     for must_sign in (
         "c05_", "c18_", "c24_", "c25_",
         "c26_", "c27_", "c28_", "c29_", "c30_", "c31_", "c32_", "c33_",
+        "c34_", "c35_",
     ):
         assert any(n.startswith(must_sign) for n in in_cap), must_sign
+    # review finding (r8): a NEW oracle-bearing registration sorting
+    # past the window would silently miss driver attestation — every
+    # oracle-bearing name outside the cap must be either z-rotated
+    # (signed under its old name) or a documented legacy name signed
+    # in r4-r6 (s08/t01-t05/x-series, COVERAGE.md rotation history)
+    legacy_signed = {
+        "s08_maxby_best_per_group", "t01_token_stats", "t02_language_id",
+        "t03_quality_score", "t05_corpus_clean", "x03_dedup_components",
+        "x04_sequence_packing", "x06_budget_selection", "x07_tfidf_topk",
+        "x08_unigram_perplexity", "x09_embedding_quantize",
+        "x10_temperature_mix", "x11_pq_topk", "x13_duplicated_spans",
+        "x14_label_centroids", "x17_quality_embedding_corr",
+        "x20_hashed_vectors", "x21_semantic_dedup", "x22_zipf_stats",
+    }
+    unsigned = [
+        n for n in names[50:]
+        if n in oracles and not n.startswith("z") and n not in legacy_signed
+    ]
+    assert not unsigned, (
+        f"oracle-bearing queries outside the driver window with no "
+        f"attestation lineage: {unsigned} — rotate them in (c-prefix) or "
+        "record their signed history"
+    )

@@ -247,8 +247,7 @@ def test_stratified_sample_fallback_and_nulls(spark):
     """r8 scale hardening: the threshold pre-filter path and the
     shortfall fallback select the SAME set as the plain per-group
     rank. oversample=0-ish thresholds force the fallback for every
-    group; NULL keys rank last (selected only when a group has
-    fewer than k hashable rows)."""
+    group; NULL-key rows are excluded outright (determinism)."""
     from trendr_data_pipeline_spark.operators.sampling import stratified_sample
 
     rows = [(i, "en" if i % 3 else "fr") for i in range(300)]
@@ -265,11 +264,11 @@ def test_stratified_sample_fallback_and_nulls(spark):
     }
     assert forced == base and len(base) == 14
 
-    # NULL keys: a group of 3 NULL-key rows + 2 real ones at k=4 must
-    # select both real rows first, then NULLs to fill
+    # NULL keys are EXCLUDED (they cannot be hash-identified, so any
+    # tie-break among them would be task-order-dependent): only the
+    # two real rows come back, deterministically
     rows2 = [(None, "xx"), (None, "xx"), (None, "xx"), (7, "xx"), (9, "xx")]
     df2 = spark.createDataFrame(rows2, "doc_id long, lang string")
     got = stratified_sample(df2, k=4).collect()
-    assert len(got) == 4
-    ranks = {r["doc_id"]: r["rk"] for r in got if r["doc_id"] is not None}
-    assert set(ranks) == {7, 9} and max(ranks.values()) <= 2
+    assert {(r["doc_id"], r["lang"]) for r in got} == {(7, "xx"), (9, "xx")}
+    assert all(r["rk"] <= 2 for r in got)

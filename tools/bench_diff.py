@@ -33,6 +33,12 @@ def main() -> int:
             continue
         rows.append((t_new / t_old, oname, nname, t_old, t_new))
     rows.sort()
+    if not rows:
+        print(
+            "no overlapping positively-timed queries between the two "
+            "artifacts (check the renames map / file pairing)"
+        )
+        return 1
     print(f"{'ratio':>6}  {'old_s':>7}  {'new_s':>7}  query")
     for ratio, oname, nname, t_old, t_new in rows:
         label = oname if oname == nname else f"{oname} -> {nname}"

@@ -8,6 +8,14 @@ partition spec — the "move all data to a single partition" shape that
 kills at 100×) and asserts them against the documented allowlist of
 deliberately bounded frames below; exits non-zero on a violation.
 
+KNOWN BLIND SPOT (review finding): a query that returns a
+``localCheckpoint`` frame explains as a LogicalRDD scan, so windows
+executed BEFORE the checkpoint are invisible here (c26/c27/c28 are
+this shape — their upstream windows are doc_id-partitioned or
+runtime-guarded, audited at dev time pre-checkpoint). The audit is a
+regression tripwire for the declarative plans, not a substitute for
+explaining a new operator's pre-checkpoint subtree when it is added.
+
 Usage: python tools/plan_audit.py [sf_dir] [query ...]
 """
 

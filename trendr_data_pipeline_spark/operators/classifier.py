@@ -249,8 +249,10 @@ def score_percentiles(scored: DataFrame) -> DataFrame:
     single-partition window runs over the ≤|buckets| bucket-total
     rows. The k-th order statistic (k = ⌊n·p⌋+1, duplicates counted)
     is the smallest score whose cumulative count reaches k — values
-    are identical to the old global-window form (r01/e06 gates pin
-    it)."""
+    are identical to the old global-window form. Pinned by
+    test_classifier's Python sorted-list oracles (NOT by the r01/e06
+    registry gates — r01 exercises classify() only and e06 is an
+    independent events-grain implementation)."""
     from .packing import global_running_offsets
 
     dist = scored.groupBy("gatto_score").agg(F.count(F.lit(1)).alias("cnt"))

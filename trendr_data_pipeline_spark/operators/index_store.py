@@ -740,33 +740,57 @@ def remove_from_index(
     """
     spark = ids.sparkSession
     _load_index(spark, index_dir, expect_kind=None, heal=True)
-    data_dir = os.path.join(index_dir, "data")
     doomed = ids.select(F.col(id_col).cast("long").alias("_rm_id")).distinct()
-    stored = spark.read.parquet(data_dir)
-    hit_files = [
-        r["_f"]
-        for r in stored.withColumn("_f", F.input_file_name())
-        .join(doomed, stored["neighbor_id"] == doomed["_rm_id"], "left_semi")
-        .select("_f")
-        .distinct()
-        .collect()
-    ]
-    if not hit_files:
-        return
+    _pruned_remove(
+        spark,
+        index_dir,
+        doomed,
+        stored_id="neighbor_id",
+        scan_roots=[os.path.join(index_dir, "data")],
+    )
+
+
+def _pruned_remove(
+    spark: SparkSession,
+    index_dir: str,
+    doomed: DataFrame,
+    stored_id: str,
+    scan_roots: list[str],
+) -> None:
+    """Gate-agnostic file-pruned removal body shared by the ANN
+    artifacts (one ``data/`` tree, cell subdirs) and the text index
+    (two subtrees) — review finding: two hand-kept copies of the
+    removal protocol would drift like the compactors did. ``doomed``
+    must be a distinct frame with one long ``_rm_id`` column; each
+    ``scan_root`` is discovery-scanned via ``input_file_name()``,
+    only files containing a doomed id are rewritten (grouped by their
+    directory so rewritten files land back in place), everything else
+    hard-links through the guarded atomic swap. No hits anywhere →
+    TRUE no-op (no swap, inodes unchanged). Callers run their kind
+    gate + heal first."""
     from urllib.parse import unquote, urlparse
 
+    hit_files: list[str] = []
+    for root in scan_roots:
+        stored = spark.read.parquet(root)
+        hit_files.extend(
+            unquote(urlparse(r["_f"]).path)
+            for r in stored.withColumn("_f", F.input_file_name())
+            .join(doomed, stored[stored_id] == doomed["_rm_id"], "left_semi")
+            .select("_f")
+            .distinct()
+            .collect()
+        )
+    if not hit_files:
+        return
     by_dir: dict[str, list[str]] = {}
-    for uri in hit_files:
-        p = unquote(urlparse(uri).path)
+    for p in hit_files:
         by_dir.setdefault(os.path.dirname(p), []).append(p)
 
     def build(tmp: str) -> None:
         _link_tree(index_dir, tmp)
         for d, files in by_dir.items():
-            rel = os.path.relpath(d, data_dir)
-            out = os.path.join(tmp, "data") if rel == "." else os.path.join(
-                tmp, "data", rel
-            )
+            out = os.path.join(tmp, os.path.relpath(d, index_dir))
             for p in files:
                 base = os.path.basename(p)
                 for name in (base, f".{base}.crc"):
@@ -774,7 +798,7 @@ def remove_from_index(
                     if os.path.exists(linked):
                         os.remove(linked)
             survivors = spark.read.parquet(*sorted(files)).join(
-                doomed, F.col("neighbor_id") == F.col("_rm_id"), "left_anti"
+                doomed, F.col(stored_id) == F.col("_rm_id"), "left_anti"
             )
             _stage_files(survivors.coalesce(1), out)
 

@@ -333,9 +333,11 @@ def stratified_sample(
     the group, stable across reruns and engines — the evaluation-set
     / debugging-slice construction step). Ties (hash collisions)
     break on the key itself, so the selected SET is a pure function
-    of (salt, group, keys). NULL hash keys rank LAST (both engines'
-    explicit nulls-last order): they are selected only when a group
-    has fewer than k hashable rows.
+    of (salt, group, keys). Rows with a NULL key are EXCLUDED
+    outright (review finding): they cannot be hash-identified, so
+    any tie-break among them would be task-order-dependent —
+    violating the determinism contract this operator exists for.
+    Sample-worthy rows need ids; give them some upstream.
 
     Scale shape (r8 hardening — the naive form is the A7 class of
     scale-killer): ``Window.partitionBy(group)`` sends each group's
@@ -354,6 +356,7 @@ def stratified_sample(
     the t15 oracle gate pins it cross-engine."""
     from pyspark.sql.window import Window
 
+    df = df.filter(F.col(key_col).isNotNull())
     h = hash_order(F.col(key_col), salt)
     order = [F.col("_h").asc_nulls_last(), F.col(key_col).asc_nulls_last()]
     w = Window.partitionBy(group_col).orderBy(*order)

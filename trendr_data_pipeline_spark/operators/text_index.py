@@ -63,6 +63,29 @@ _TEXT_VERSION = 1
 _TOKENIZERS = {"words": token_set, "shingles": shingle_set}
 
 
+def _long_id(col: F.Column, what: str) -> F.Column:
+    """Long doc id that FAILS LOUDLY on NULL or non-castable values
+    (same device as index_store._apply_id_filter, review finding): a
+    silently-NULL id would be unremovable (equality joins never match
+    NULL), invisible to probes, and re-added on every sink replay
+    (the skip_existing anti-join is null-unsafe) — the index contract
+    is a non-null long id, so violating rows raise instead of
+    corrupting the artifact."""
+    casted = col.try_cast("long")
+    return (
+        F.when(
+            casted.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{what} requires a non-null long-castable doc id; got: "),
+                    F.coalesce(col.cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        )
+        .otherwise(casted)
+    )
+
+
 def _sign(
     docs: DataFrame, tokenizer: str, n_hashes: int, bands: int, id_col: str, text_col: str
 ) -> DataFrame:
@@ -71,7 +94,7 @@ def _sign(
     tokset = _TOKENIZERS[tokenizer]
     return (
         docs.select(
-            F.col(id_col).cast("long").alias("doc_id"),
+            _long_id(F.col(id_col), "minhash index").alias("doc_id"),
             tokset(F.col(text_col)).alias("toks"),
         )
         .filter(F.size("toks") > 0)
@@ -120,7 +143,13 @@ def write_minhash_index(
     if tokenizer not in _TOKENIZERS:
         raise ValueError(f"tokenizer must be one of {sorted(_TOKENIZERS)}")
     spark = corpus.sparkSession
-    sig = _sign(corpus, tokenizer, n_hashes, bands, id_col, text_col)
+    # the signature feeds TWO write jobs (bands + toks); without the
+    # checkpoint each would recompute the full tokenize+minhash UDF
+    # pass over the corpus (review finding — the build cost doubled,
+    # contradicting the "one signature pass" contract)
+    sig = _sign(corpus, tokenizer, n_hashes, bands, id_col, text_col).localCheckpoint(
+        eager=True
+    )
 
     def parts(tmp: str) -> None:
         spark.createDataFrame(
@@ -161,6 +190,11 @@ def extend_minhash_index(
         sig = sig.join(existing, "doc_id", "left_anti")
     # the signature feeds two writes — materialize once, not twice
     sig = sig.localCheckpoint(eager=True)
+    if sig.isEmpty():
+        # nothing genuinely new (the replay shape): a true no-op —
+        # no link-tree, no swap, inodes untouched (review finding;
+        # matches remove's "absent ids = no swap" contract)
+        return
 
     def build(tmp: str) -> None:
         _link_tree(index_dir, tmp)
@@ -216,8 +250,12 @@ def minhash_probe(
     )
     stored = spark.read.parquet(os.path.join(root, "data", "bands"))
     if filter_ids is not None:
+        # loud-cast, not plain cast: a non-numeric filter id silently
+        # vanishing from the semi-join would shrink the screened
+        # corpus and report "no near-duplicates" (review finding —
+        # the _apply_id_filter contract, applied here too)
         allowed = filter_ids.select(
-            F.col(id_col).cast("long").alias("_ok_id")
+            _long_id(F.col(id_col), "minhash_probe filter_ids").alias("_ok_id")
         ).distinct()
         stored = stored.join(
             allowed, stored["doc_id"] == allowed["_ok_id"], "left_semi"
@@ -297,55 +335,29 @@ def remove_from_minhash_index(
     ids: DataFrame, index_dir: str, id_col: str = "doc_id"
 ) -> None:
     """Hard-delete documents from the text index — takedowns/opt-outs
-    as physical deletion, the third lifecycle verb (same contract as
-    :func:`~.index_store.remove_from_index`): one discovery scan per
-    subtree finds the files that actually contain a doomed id via
-    ``input_file_name()``, ONLY those files are rewritten without the
-    doomed rows, everything else hard-links through the atomic swap.
-    Removing absent ids is a true no-op (no swap, inodes unchanged) —
-    idempotent, which keeps the takedown sink replay-safe. Both
-    subtrees are pruned in the same swap: a crash can never publish
-    an index whose postings and token sets disagree."""
-    from urllib.parse import unquote, urlparse
+    as physical deletion, the third lifecycle verb. The file-pruned
+    rewrite body is SHARED with the ANN artifacts
+    (:func:`~.index_store._pruned_remove`, review finding: one copy
+    of the removal protocol): both subtrees are discovery-scanned and
+    pruned inside ONE atomic swap, so a crash can never publish an
+    index whose postings and token sets disagree; removing absent ids
+    is a true no-op (no swap, inodes unchanged) — idempotent, which
+    keeps the takedown sink replay-safe."""
+    from .index_store import _pruned_remove
 
     spark = ids.sparkSession
     _load_meta(spark, index_dir, heal=True)
-    doomed = ids.select(F.col(id_col).cast("long").alias("_rm_id")).distinct()
-    data_dir = os.path.join(index_dir, "data")
-
-    def hit_files(sub: str) -> list[str]:
-        stored = spark.read.parquet(os.path.join(data_dir, sub))
-        return [
-            unquote(urlparse(r["_f"]).path)
-            for r in stored.withColumn("_f", F.input_file_name())
-            .join(doomed, stored["doc_id"] == doomed["_rm_id"], "left_semi")
-            .select("_f")
-            .distinct()
-            .collect()
-        ]
-
-    hits = {sub: hit_files(sub) for sub in ("bands", "toks")}
-    if not any(hits.values()):
-        return
-
-    def build(tmp: str) -> None:
-        _link_tree(index_dir, tmp)
-        for sub, files in hits.items():
-            if not files:
-                continue
-            out = os.path.join(tmp, "data", sub)
-            for p in files:
-                base = os.path.basename(p)
-                for name in (base, f".{base}.crc"):
-                    linked = os.path.join(out, name)
-                    if os.path.exists(linked):
-                        os.remove(linked)
-            survivors = spark.read.parquet(*sorted(files)).join(
-                doomed, F.col("doc_id") == F.col("_rm_id"), "left_anti"
-            )
-            _stage_files(survivors.coalesce(1), out)
-
-    _atomic_write(index_dir, _guarded_parts(index_dir, build))
+    doomed = ids.select(_long_id(F.col(id_col), "remove_from_minhash_index").alias("_rm_id")).distinct()
+    _pruned_remove(
+        spark,
+        index_dir,
+        doomed,
+        stored_id="doc_id",
+        scan_roots=[
+            os.path.join(index_dir, "data", "bands"),
+            os.path.join(index_dir, "data", "toks"),
+        ],
+    )
 
 
 def minhash_remove_sink(

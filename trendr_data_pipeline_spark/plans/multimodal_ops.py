@@ -225,7 +225,7 @@ def p05_photo_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "p06_frame_sampling",
+    "zp06_frame_sampling",
     """
     SELECT doc_id AS item_id,
            octet_length(encode(text)) AS n_bytes,

@@ -222,7 +222,7 @@ def p02_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "p03_type_allowlist",
+    "zp03_type_allowlist",
     """
     WITH place AS (
         SELECT p_partkey,

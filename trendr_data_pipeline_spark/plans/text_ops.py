@@ -1465,7 +1465,7 @@ def t10_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "t14_split_assign",
+    "c34_split_assign",
     """
     SELECT doc_id, lang,
            CASE
@@ -1493,7 +1493,7 @@ def t14_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "t15_stratified_sample",
+    "c35_stratified_sample",
     """
     SELECT doc_id, lang, rk FROM (
         SELECT doc_id, lang,
