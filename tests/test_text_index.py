@@ -338,3 +338,45 @@ def test_filtered_probe_pre_filter_semantics(spark, tmp_path):
     want = _rows(minhash_probe(incoming, ref, threshold=0.8))
     assert got == want and got
     assert all(b % 2 == 1 for _a, b, _j, _rk in got)
+
+
+def test_cadence_driven_nightly_compaction(spark, tmp_path):
+    """Composition: the SS8 cadence runner drives the index
+    lifecycle — a nightly compact job fires once per slot, compacts
+    the extend-accumulated small files, and probe results are
+    byte-identical; the same-day re-tick runs nothing."""
+    import datetime as dt
+
+    from trendr_data_pipeline_spark.operators.text_index import (
+        compact_minhash_index,
+    )
+    from trendr_data_pipeline_spark.streaming.cadence import (
+        CadenceJob,
+        run_due_jobs,
+    )
+
+    docs = read_table(spark, SMOKE_SF, "documents")
+    idx = str(tmp_path / "idx")
+    write_minhash_index(docs.filter(F.col("doc_id") < 100), idx)
+    for lo in range(100, 500, 100):
+        extend_minhash_index(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 100)), idx
+        )
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    before_rows = _rows(minhash_probe(incoming, idx, threshold=0.8))
+    n_files_before = len(_inodes(idx))
+
+    job = CadenceJob(
+        "nightly_compact",
+        lambda: compact_minhash_index(idx, max_files_per_group=2),
+        daily_at="03:00",
+    )
+    state = str(tmp_path / "cadence")
+    tz = dt.timezone.utc
+    assert run_due_jobs([job], state, now=dt.datetime(2026, 8, 15, 3, 0, tzinfo=tz))
+    assert len(_inodes(idx)) < n_files_before
+    assert _rows(minhash_probe(incoming, idx, threshold=0.8)) == before_rows
+    # same-day re-tick: nothing runs, index untouched
+    snap = _inodes(idx)
+    assert run_due_jobs([job], state, now=dt.datetime(2026, 8, 15, 9, 0, tzinfo=tz)) == []
+    assert _inodes(idx) == snap

@@ -272,3 +272,53 @@ def test_stratified_sample_fallback_and_nulls(spark):
     got = stratified_sample(df2, k=4).collect()
     assert {(r["doc_id"], r["lang"]) for r in got} == {(7, "xx"), (9, "xx")}
     assert all(r["rk"] <= 2 for r in got)
+
+
+def test_stratified_sample_property_random_shapes(spark):
+    """Property: for random group sizes, k and oversample (spanning
+    the threshold/fallback boundary), the selected set equals the
+    pure-Python k-smallest-(md5, key) reference per group — the
+    pre-filter optimization must be invisible."""
+    import hashlib
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from trendr_data_pipeline_spark.operators.sampling import stratified_sample
+
+    @given(
+        sizes=st.lists(st.integers(0, 40), min_size=1, max_size=4),
+        k=st.integers(1, 8),
+        oversample=st.integers(1, 4),
+    )
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def inner(sizes, k, oversample):
+        rows, nid = [], 0
+        for gi, n in enumerate(sizes):
+            for _ in range(n):
+                rows.append((nid, f"g{gi}"))
+                nid += 1
+        if not rows:
+            return
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        got = {}
+        for r in stratified_sample(df, k=k, oversample=oversample).collect():
+            got.setdefault(r["lang"], set()).add(r["doc_id"])
+
+        def horder(i):
+            return int(hashlib.md5(f"strat{i}".encode()).hexdigest()[:8], 16)
+
+        want = {}
+        for gi, n in enumerate(sizes):
+            ids = [i for i, g in rows if g == f"g{gi}"]
+            if ids:
+                want[f"g{gi}"] = set(
+                    sorted(ids, key=lambda i: (horder(i), i))[:k]
+                )
+        assert got == want, (sizes, k, oversample)
+
+    inner()
