@@ -217,6 +217,63 @@ def bench_salted(spark, n_rows: int) -> dict:
     }
 
 
+
+def bench_stratified_threshold(spark, n_rows: int) -> dict:
+    """Workload 4 (r8): the stratified-sample giant-group shape — one
+    language holds ~all rows (the real lang distribution at corpus
+    scale). The naive per-group rank sends the WHOLE group through
+    one task's sort; the hardened path pre-filters to ~oversample·k
+    candidates with a per-group hash threshold and ranks those. Both
+    paths select the identical set (asserted here, not assumed)."""
+    from pyspark.sql import functions as F
+
+    from trendr_data_pipeline_spark.operators import sampling
+
+    # the payload column is what makes the naive shape expensive: the
+    # full row rides the group exchange into ONE task's sort, so the
+    # giant group moves |group|·row_width bytes through a single
+    # reducer — the hardened path moves ~oversample·k rows instead
+    df = (
+        spark.range(n_rows)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 100 == 0, F.concat(F.lit("g"), F.col("id") % 7))
+            .otherwise(F.lit("giant"))
+            .alias("lang"),
+            F.repeat(F.concat(F.lit("x"), F.col("id").cast("string")), 48).alias(
+                "payload"
+            ),
+        )
+    )
+    pq = _materialize(spark, df, "strat_rows")
+    frame = spark.read.parquet(str(pq))
+
+    def run(oversample):
+        # select the payload too — otherwise Catalyst column-prunes
+        # it out of the whole plan and the naive window sorts narrow
+        # rows (measured: the two paths then tie; the wide-row cost
+        # is the point of this workload)
+        return {
+            (r["lang"], r["doc_id"], r["rk"], len(r["payload"]))
+            for r in sampling.stratified_sample(
+                frame, k=20, oversample=oversample
+            ).collect()
+        }
+
+    # hardened: threshold path (default oversample); naive-equivalent:
+    # oversample so large the threshold admits EVERY row, i.e. the
+    # window sorts the full giant group (the pre-r8 shape)
+    t_hard = _timed(lambda: run(16))
+    t_naive = _timed(lambda: run(1 << 40))
+    assert run(16) == run(1 << 40)
+    return {
+        "rows": n_rows,
+        "hardened_s": t_hard,
+        "naive_full_window_s": t_naive,
+        "speedup": round(t_naive / t_hard, 2),
+    }
+
+
 def _materialize(spark, df, name: str) -> Path:
     """Write the synthetic frame once so every timed leg reads the
     same parquet instead of re-deriving the generator expressions."""
@@ -245,6 +302,7 @@ def main() -> int:
         "df_cap": bench_df_cap(spark, args.docs),
         "salted_join": bench_salted(spark, args.rows),
         "containment_cap": bench_containment_cap(spark, args.containment_docs),
+        "stratified_threshold": bench_stratified_threshold(spark, args.rows),
     }
     print(json.dumps(out))
     return 0
