@@ -208,6 +208,10 @@ def test_split_assign_stable_and_weighted(spark):
         split_assign(base, {"a": 0.5, "b": 0.6})
     with pytest.raises(ValueError, match="two splits"):
         split_assign(base, {"a": 1.0})
+    # NULL keys take the LAST split on both engines (Spark: NULL
+    # comparisons falsify every WHEN; DuckDB: CASE→ELSE) — pinned
+    nul = spark.createDataFrame([(None,)], "doc_id long")
+    assert split_assign(nul).collect()[0]["split"] == "test"
 
 
 def test_stratified_sample_exact_k_and_deterministic(spark):

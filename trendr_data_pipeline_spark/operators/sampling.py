@@ -337,7 +337,11 @@ def stratified_sample(
     outright (review finding): they cannot be hash-identified, so
     any tie-break among them would be task-order-dependent —
     violating the determinism contract this operator exists for.
-    Sample-worthy rows need ids; give them some upstream.
+    Sample-worthy rows need ids; give them some upstream. For the
+    same reason, PRECONDITION: ``key_col`` is unique within each
+    group — two rows sharing a key tie on (hash, key) exactly and
+    row_number would pick arbitrarily between their payloads; run
+    exact dedup (d01) first if the input cannot guarantee it.
 
     Scale shape (r8 hardening — the naive form is the A7 class of
     scale-killer): ``Window.partitionBy(group)`` sends each group's
