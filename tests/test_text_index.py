@@ -380,3 +380,49 @@ def test_cadence_driven_nightly_compaction(spark, tmp_path):
     snap = _inodes(idx)
     assert run_due_jobs([job], state, now=dt.datetime(2026, 8, 15, 9, 0, tzinfo=tz)) == []
     assert _inodes(idx) == snap
+
+
+def test_apply_snapshot_diff_refreshes_index_incrementally(spark, tmp_path):
+    """The composed release-cycle verb: snapshot_diff(v1, v2) drives
+    remove + extend so the index matches a fresh build over v2 —
+    modified docs stop matching their OLD text and start matching
+    their NEW text, removed docs vanish, unchanged files keep their
+    inodes through both swaps."""
+    from trendr_data_pipeline_spark.operators.ingestion import snapshot_diff
+    from trendr_data_pipeline_spark.operators.text_index import (
+        apply_snapshot_diff_to_index,
+    )
+
+    docs = read_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    v1 = docs
+    modified = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "text", F.concat(F.lit("totally rewritten body "), F.col("doc_id").cast("string"))
+    )
+    v2 = (
+        docs.filter(F.col("doc_id") % 25 != 0)  # %25==0 removed (incl. %50 kept-as-modified? no: %50 ⊂ %25)
+        .unionByName(modified)  # %50==0 re-added with new text
+        .unionByName(
+            docs.filter(F.col("doc_id") % 25 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 100_000
+            )
+        )  # brand-new ids
+    )
+    idx = str(tmp_path / "idx")
+    write_minhash_index(v1, idx)
+    inodes_before = _inodes(idx)
+
+    d = snapshot_diff(v1, v2, id_col="doc_id", content_col="text")
+    counts = {r["status"]: r["n"] for r in d.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"added", "removed", "modified"}
+    apply_snapshot_diff_to_index(d, v2, idx)
+
+    fresh = str(tmp_path / "fresh")
+    write_minhash_index(v2, fresh)
+    incoming = v2.filter(F.col("doc_id") % 10 == 0)
+    got = _rows(minhash_probe(incoming, idx, threshold=0.8))
+    want = _rows(minhash_probe(incoming, fresh, threshold=0.8))
+    assert got == want and got
+    # unchanged docs' files survived both swaps as the same inodes
+    after = _inodes(idx)
+    survived = [f for f in inodes_before if f in after and after[f] == inodes_before[f]]
+    assert survived

@@ -57,6 +57,7 @@ __all__ = [
     "remove_from_minhash_index",
     "minhash_remove_sink",
     "compact_minhash_index",
+    "apply_snapshot_diff_to_index",
 ]
 
 _TEXT_VERSION = 1
@@ -398,3 +399,32 @@ def compact_minhash_index(index_dir: str, max_files_per_group: int = 8) -> None:
     spark = SparkSession.active()
     _load_meta(spark, index_dir, heal=True)
     _compact_data_tree(spark, index_dir, max_files_per_group)
+
+
+def apply_snapshot_diff_to_index(
+    diff: DataFrame,
+    new_snapshot: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental index refresh from a dataset-version diff — the
+    composed maintenance verb a corpus release cycle runs:
+    ``snapshot_diff(v1, v2)`` (⊕S17) says what changed, this applies
+    it to the near-dup artifact WITHOUT re-signing the unchanged
+    corpus. ``removed`` and ``modified`` ids are hard-deleted (a
+    modified doc's old token set must not keep matching), then
+    ``added`` and ``modified`` docs are signed and appended from
+    ``new_snapshot`` — cost O(|delta|), and unchanged docs' files
+    keep their inodes through both swaps. The result is pinned equal
+    to a fresh build over v2 (tests/test_text_index.py).
+
+    Remove-then-extend order matters for modified docs: the extend's
+    ``skip_existing`` guard is NOT used here precisely because the
+    stale row is already gone when the new version lands."""
+    spark = diff.sparkSession
+    doomed = diff.filter(F.col("status").isin("removed", "modified")).select(id_col)
+    remove_from_minhash_index(doomed, index_dir, id_col=id_col)
+    changed = diff.filter(F.col("status").isin("added", "modified")).select(id_col)
+    fresh = new_snapshot.join(changed, id_col, "left_semi")
+    extend_minhash_index(fresh, index_dir, id_col=id_col, text_col=text_col)
