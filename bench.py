@@ -87,6 +87,8 @@ RENAMES_R8 = {
     "t15_stratified_sample": "c35_stratified_sample",
     "p03_type_allowlist": "zp03_type_allowlist",
     "p06_frame_sampling": "zp06_frame_sampling",
+    # third wave: the shuffle-shards gate rotated in on creation
+    "e05_decayed_user_value": "ze05_decayed_user_value",
 }
 
 

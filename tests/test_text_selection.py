@@ -326,3 +326,35 @@ def test_stratified_sample_property_random_shapes(spark):
         assert got == want, (sizes, k, oversample)
 
     inner()
+
+
+def test_shuffle_shards_python_oracle_and_balance(spark):
+    """The (shard, pos) permutation equals the pure-Python reference
+    (independent salts for shard and order), shards are roughly
+    balanced, every key appears exactly once, and positions are
+    contiguous 1..|shard|."""
+    import hashlib
+
+    from trendr_data_pipeline_spark.operators.sampling import shuffle_shards
+
+    n = 500
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    got = [(r["doc_id"], r["shard"], r["pos"]) for r in shuffle_shards(df, n_shards=8).collect()]
+    assert len(got) == n and len({g[0] for g in got}) == n
+
+    def h(prefix, i):
+        return int(hashlib.md5(f"{prefix}{i}".encode()).hexdigest()[:8], 16)
+
+    by_shard = {}
+    for i in range(n):
+        by_shard.setdefault(h("shuf", i) % 8, []).append(i)
+    want = set()
+    for sh, ids in by_shard.items():
+        ids.sort(key=lambda i: (h("shufpos", i), i))
+        want.update((i, sh, p + 1) for p, i in enumerate(ids))
+    assert set(got) == want
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) < 2.2 * n / 8  # rough uniformity at n=500
+    for sh, ids in by_shard.items():
+        ps = sorted(p for i, s2, p in got if s2 == sh)
+        assert ps == list(range(1, len(ids) + 1))

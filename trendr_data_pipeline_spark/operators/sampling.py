@@ -411,3 +411,41 @@ def stratified_sample(
         hashed.join(bad_df, F.col(group_col).eqNullSafe(F.col("_g")), "left_semi")
     ).select(*keep_cols)
     return good.unionByName(redo)
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int = 1024,
+    key_col: str = "doc_id",
+    salt: str = "shuf",
+) -> DataFrame:
+    """Deterministic corpus shuffle into ``n_shards`` — the global
+    pre-training shuffle, done the way big corpora actually do it:
+    shard = uniform hash bucket of the key, position within the shard
+    = an INDEPENDENTLY-salted hash order (decorrelated from the shard
+    choice — reusing one hash would make within-shard order a
+    function of the bucket residue). The (shard, pos) pair is a pure
+    function of (salt, keys): reruns, engine changes and shard-level
+    retries reproduce the identical permutation, and any shard prefix
+    is an unbiased corpus sample.
+
+    Scale shape: ONE exchange on the shard id; each per-shard rank
+    window sorts ~|corpus|/n_shards rows, so the operator is bounded
+    by CONSTRUCTION — pick ``n_shards`` ≥ corpus_rows/target_shard
+    (there is no giant-group case to guard, unlike
+    :func:`stratified_sample` whose groups come from the data).
+    Rows with NULL keys are excluded (the stratified_sample
+    determinism argument). PRECONDITION: keys unique corpus-wide."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    from pyspark.sql.window import Window
+
+    df = df.filter(F.col(key_col).isNotNull())
+    shard = F.pmod(hash_order(F.col(key_col), salt), F.lit(n_shards)).alias("shard")
+    w = Window.partitionBy("shard").orderBy(
+        hash_order(F.col(key_col), salt + "pos").asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )

@@ -188,7 +188,7 @@ _TAU_DAYS = 30.0
 
 
 @register(
-    "e05_decayed_user_value",
+    "ze05_decayed_user_value",
     f"""
     SELECT user_id,
            CAST(SUM(CAST(value * exp(-(epoch_us(TIMESTAMP '{_DECAY_AS_OF}') - epoch_us(ts))

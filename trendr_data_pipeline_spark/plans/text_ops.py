@@ -1536,3 +1536,35 @@ def t16_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quality import compression_metrics
 
     return compression_metrics(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "c36_shuffle_shards",
+    """
+    SELECT doc_id, lang, shard, pos FROM (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5('shuf' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16
+                   AS shard,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY ('0x' || substr(md5('shuf' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16
+                   ORDER BY ('0x' || substr(md5('shufpos' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT ASC,
+                            doc_id ASC
+               ) AS BIGINT) AS pos
+        FROM documents
+    )
+    """,
+    doc="""Deterministic corpus shuffle into shards (⊕, r8; the
+    global pre-training shuffle): shard = md5 hash bucket, position
+    within shard = an independently-salted hash order — the
+    permutation is a pure function of (salt, keys), any shard prefix
+    an unbiased sample. ONE exchange on the shard id; per-shard sort
+    bounded by construction (corpus/n_shards). 16 shards at fixture
+    scale; Spark pmod == DuckDB % here because the hash is a
+    non-negative 32-bit value.""",
+)
+def c36_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import shuffle_shards
+
+    return shuffle_shards(
+        read_table(spark, sf_dir, "documents").select("doc_id", "lang"), n_shards=16
+    )
