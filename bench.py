@@ -87,8 +87,10 @@ RENAMES_R8 = {
     "t15_stratified_sample": "c35_stratified_sample",
     "p03_type_allowlist": "zp03_type_allowlist",
     "p06_frame_sampling": "zp06_frame_sampling",
-    # third wave: the shuffle-shards gate rotated in on creation
+    # third wave: shuffle-shards and token-entropy gates rotated in
+    # on creation
     "e05_decayed_user_value": "ze05_decayed_user_value",
+    "e04_daily_event_stats": "ze04_daily_event_stats",
 }
 
 

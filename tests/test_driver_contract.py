@@ -97,7 +97,7 @@ def test_cap_window_holds_only_oracle_queries():
     for must_sign in (
         "c05_", "c18_", "c24_", "c25_",
         "c26_", "c27_", "c28_", "c29_", "c30_", "c31_", "c32_", "c33_",
-        "c34_", "c35_", "c36_",
+        "c34_", "c35_", "c36_", "c37_",
     ):
         assert any(n.startswith(must_sign) for n in in_cap), must_sign
     # review finding (r8): a NEW oracle-bearing registration sorting

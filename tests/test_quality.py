@@ -245,3 +245,36 @@ def test_compression_metrics_zlib_exact_and_separation(spark):
     assert got[1]["compression_ratio"] > 10
     assert got[1]["compression_ratio"] > got[2]["compression_ratio"]
     assert got[2]["compression_ratio"] > got[3]["compression_ratio"]
+
+
+def test_token_entropy_hand_values_and_edges(spark):
+    """Hand-computed entropies under the gate's exact quantization
+    (9-dp terms, 6-dp decimal accumulation), uniform and degenerate
+    distributions, token-less docs absent."""
+    from decimal import Decimal
+
+    import math
+
+    from trendr_data_pipeline_spark.operators.quality import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "x x x x"), (3, "q w e r t y"), (4, "  "), (5, None),
+         (6, "Tt tT")],  # case-folded: two equal tokens
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_tok"], r["entropy"]) for r in token_entropy(df).collect()}
+    assert set(got) == {1, 2, 3, 6}
+
+    def h(counts):
+        n = sum(counts)
+        acc = Decimal(0)
+        for c in counts:
+            acc += Decimal(str(round(-(c / n) * math.log(c / n), 9))).quantize(
+                Decimal("0.000001")
+            )
+        return float(round(acc, 6))
+
+    assert got[1] == (3, h([2, 1]))
+    assert got[2] == (4, 0.0)
+    assert got[3] == (6, h([1] * 6))
+    assert got[6] == (2, 0.0)

@@ -39,6 +39,7 @@ __all__ = [
     "dedup_lines",
     "repetition_metrics",
     "compression_metrics",
+    "token_entropy",
 ]
 
 
@@ -239,4 +240,69 @@ def compression_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("z.raw_len").alias("raw_len"),
         F.col("z.compressed_len").alias("compressed_len"),
         ratio.alias("compression_ratio"),
+    )
+
+
+def token_entropy(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """⊕T22 — per-document unigram token entropy in nats:
+    H = −Σ (c/n)·ln(c/n) over the doc's own token distribution. The
+    diversity twin of the repetition filters: near-zero H flags
+    one-token spam that slips length screens, low H flags template
+    boilerplate, and unlike the zlib ratio (t16) it is EXACTLY
+    SQL-expressible, so it carries a DuckDB hash oracle.
+
+    Spark shape: document-local and SHUFFLE-FREE, like every metric
+    in this module — run lengths of the sorted token array via one
+    higher-order pass (boundaries = positions where the token
+    changes; counts = adjacent-boundary diffs), entropy terms folded
+    in the same projection. Each intermediate array is BOUND to a
+    column before any lambda references it (the
+    unbound-expression-in-lambda trap: an element_at(ts, i) whose
+    ``ts`` is an unbound expression re-evaluates the whole
+    tokenize+sort per element — the module docstring's O(n²)
+    measured failure mode). The oracle uses the textbook
+    explode → groupBy form; different plan, same result — exactly
+    what the hash gate checks. Engine-parity devices: each term
+    rounded to 9 dp (libm ln differs in the last ulp), DECIMAL(28,6)
+    accumulation with a per-step re-cast (Spark widens decimal
+    addition to (29,6), which would break the fold's accumulator
+    type), final round to 6 dp (the x08/c30 posture)."""
+    from ..functions.text import tokens as ws_tokens
+
+    bound = docs.select(
+        F.col(id_col),
+        F.array_sort(ws_tokens(F.lower(F.col(text_col)))).alias("_ts"),
+    ).filter(F.size("_ts") > 0)
+    ts, n = F.col("_ts"), F.size("_ts")
+    bound = bound.withColumn(
+        "_bounds",
+        F.concat(
+            F.filter(
+                F.sequence(F.lit(1), n),
+                lambda i: (i == 1) | (F.element_at(ts, i) != F.element_at(ts, i - 1)),
+            ),
+            F.array(n + 1),
+        ),
+    )
+    b = F.col("_bounds")
+    counts = F.zip_with(
+        F.slice(b, 1, F.size(b) - 1),
+        F.slice(b, 2, F.size(b) - 1),
+        lambda lo, hi: hi - lo,
+    )
+    bound = bound.withColumn("_counts", counts)
+    dec = "decimal(28,6)"
+    term = lambda c: F.round(-(c / n) * F.log(c / n), 9)  # noqa: E731
+    entropy = F.round(
+        F.aggregate(
+            F.col("_counts"),
+            F.lit(0).cast(dec),
+            lambda acc, c: (acc + term(c).cast(dec)).cast(dec),
+        ).cast("double"),
+        6,
+    )
+    return bound.select(
+        id_col,
+        n.cast("long").alias("n_tok"),
+        entropy.alias("entropy"),
     )

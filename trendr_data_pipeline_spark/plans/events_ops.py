@@ -157,7 +157,7 @@ def e03_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "e04_daily_event_stats",
+    "ze04_daily_event_stats",
     f"""
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
            COUNT(*) AS n_events,

@@ -1568,3 +1568,34 @@ def c36_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_shards(
         read_table(spark, sf_dir, "documents").select("doc_id", "lang"), n_shards=16
     )
+
+
+@register(
+    "c37_token_entropy",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_SQL_TOKS} AS ws FROM documents
+        WHERE len({_SQL_TOKS}) > 0
+    ), g AS (
+        SELECT doc_id, len(ws) AS n, UNNEST(ws) AS tok FROM t
+    ), c AS (
+        SELECT doc_id, n, tok, COUNT(*) AS c FROM g GROUP BY doc_id, n, tok
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
+           ROUND(CAST(SUM(CAST(ROUND(-(c * 1.0 / n) * ln(c * 1.0 / n), 9)
+                              AS DECIMAL(28,6))) AS DOUBLE), 6) AS entropy
+    FROM c GROUP BY doc_id, n
+    """,
+    doc="""Per-document unigram token entropy (⊕T22, r8): the
+    diversity twin of the repetition filters — near-zero H flags
+    one-token spam, low H template boilerplate. Spark side is
+    shuffle-free (sorted-run boundaries + a decimal fold, the
+    quality.py module posture); the oracle is the textbook
+    explode→groupBy form — different plan, same hash. Terms rounded
+    to 9 dp, DECIMAL(28,6) accumulation, final 6 dp (x08/c30
+    devices).""",
+)
+def c37_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import token_entropy
+
+    return token_entropy(read_table(spark, sf_dir, "documents"))
