@@ -991,3 +991,25 @@ def test_remove_heals_died_mid_swap(spark, tmp_path):
     assert os.path.isdir(idx) and not os.path.exists(idx + ".old")
     stored = spark.read.parquet(os.path.join(idx, "data")).select("neighbor_id")
     assert stored.count() == emb.count() - 2
+
+
+def test_remove_from_index_null_or_bad_id_raises(spark, tmp_path):
+    """ADVICE r8: a NULL or non-long-castable takedown id must FAIL
+    LOUDLY — a silently-NULL _rm_id never matches the removal join,
+    so the doc would stay in the index (the worst silent failure for
+    a takedown verb). Same _long_id device as the text index."""
+    from trendr_data_pipeline_spark.operators.index_store import remove_from_index
+
+    emb = read_table(spark, SMOKE_SF, "embeddings")
+    idx = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, idx, nlist=4, seed=42)
+    for bad in (
+        spark.createDataFrame([(None,), (1,)], "vec_id long"),
+        spark.createDataFrame([("not-an-id",)], "vec_id string"),
+    ):
+        with pytest.raises(Exception, match="non-null long-castable"):
+            remove_from_index(bad, idx)
+    # numeric strings still work — the cast is lossless for them
+    remove_from_index(spark.createDataFrame([("3",)], "vec_id string"), idx)
+    stored = spark.read.parquet(os.path.join(idx, "data"))
+    assert stored.filter(F.col("neighbor_id") == 3).count() == 0

@@ -245,6 +245,12 @@ def test_compression_metrics_zlib_exact_and_separation(spark):
     assert got[1]["compression_ratio"] > 10
     assert got[1]["compression_ratio"] > got[2]["compression_ratio"]
     assert got[2]["compression_ratio"] > got[3]["compression_ratio"]
+    # ADVICE r8: id_col is parameterized like token_entropy's
+    renamed = df.withColumnRenamed("doc_id", "uid")
+    alt = {r["uid"]: r for r in compression_metrics(renamed, id_col="uid").collect()}
+    assert {i: r["compressed_len"] for i, r in alt.items()} == {
+        i: r["compressed_len"] for i, r in got.items()
+    }
 
 
 def test_token_entropy_hand_values_and_edges(spark):

@@ -426,3 +426,36 @@ def test_apply_snapshot_diff_refreshes_index_incrementally(spark, tmp_path):
     after = _inodes(idx)
     survived = [f for f in inodes_before if f in after and after[f] == inodes_before[f]]
     assert survived
+
+
+def test_apply_snapshot_diff_is_replay_safe(spark, tmp_path):
+    """ADVICE r8: re-running the same diff (crash-resume, at-least-once
+    orchestration) must be a no-op for already-applied 'added' docs —
+    the extend runs skip_existing, so a double apply leaves the index
+    byte-equal in content to the single apply (no duplicate band/tok
+    postings, so probes emit no duplicate pairs)."""
+    from trendr_data_pipeline_spark.operators.ingestion import snapshot_diff
+    from trendr_data_pipeline_spark.operators.text_index import (
+        apply_snapshot_diff_to_index,
+    )
+
+    docs = read_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    v1 = docs.filter(F.col("doc_id") % 7 != 0)
+    v2 = docs  # the %7==0 docs are 'added'
+    idx = str(tmp_path / "idx")
+    write_minhash_index(v1, idx)
+    d = snapshot_diff(v1, v2, id_col="doc_id", content_col="text")
+    apply_snapshot_diff_to_index(d, v2, idx)
+    incoming = v2.filter(F.col("doc_id") % 10 == 0)
+    once = _rows(minhash_probe(incoming, idx, threshold=0.8))
+    # replay the SAME diff — must not re-append the added docs
+    apply_snapshot_diff_to_index(d, v2, idx)
+    twice = _rows(minhash_probe(incoming, idx, threshold=0.8))
+    assert twice == once and once
+    # stored band postings carry no duplicate (band, doc) rows
+    import os as _os
+
+    bands = spark.read.parquet(_os.path.join(idx, "data", "bands"))
+    n = bands.count()
+    nd = bands.distinct().count()
+    assert n == nd

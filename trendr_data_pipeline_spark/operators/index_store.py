@@ -737,10 +737,33 @@ def remove_from_index(
     fresh search over the surviving corpus (full-probe degenerate
     equality), untouched files keep their inodes, second remove is a
     no-op, and removal composes with extend/compact.
+
+    Doomed ids FAIL LOUDLY on NULL or non-long-castable values (the
+    text index's ``_long_id`` device): a silently-NULL ``_rm_id``
+    never matches the equality join, so the removal would no-op and
+    the doc would STAY in the index — for a takedown verb, the worst
+    possible silent failure.
     """
     spark = ids.sparkSession
     _load_index(spark, index_dir, expect_kind=None, heal=True)
-    doomed = ids.select(F.col(id_col).cast("long").alias("_rm_id")).distinct()
+    orig = F.col(id_col)
+    casted = orig.try_cast("long")
+    doomed = ids.select(
+        F.when(
+            casted.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"remove_from_index requires non-null long-castable "
+                        f"{id_col}; got: "
+                    ),
+                    F.coalesce(orig.cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        )
+        .otherwise(casted)
+        .alias("_rm_id")
+    ).distinct()
     _pruned_remove(
         spark,
         index_dir,

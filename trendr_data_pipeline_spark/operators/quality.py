@@ -195,7 +195,9 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def compression_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def compression_metrics(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Compression-ratio quality signal — the zlib-ratio heuristic
     (public curation practice, e.g. RedPajama-v2's
     ``ccnet_length``/compression quality slots and the
@@ -230,13 +232,13 @@ def compression_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
         return pd.DataFrame({"raw_len": raw, "compressed_len": comp})
 
     lens_udf = F.pandas_udf(lens, "struct<raw_len: long, compressed_len: long>")
-    out = docs.select("doc_id", lens_udf(F.col(text_col)).alias("z"))
+    out = docs.select(id_col, lens_udf(F.col(text_col)).alias("z"))
     ratio = F.when(
         F.col("z.compressed_len") > 0,
         F.round(F.col("z.raw_len") * 1.0 / F.col("z.compressed_len"), 6),
     ).otherwise(F.lit(0.0))
     return out.select(
-        "doc_id",
+        id_col,
         F.col("z.raw_len").alias("raw_len"),
         F.col("z.compressed_len").alias("compressed_len"),
         ratio.alias("compression_ratio"),

@@ -384,7 +384,10 @@ def stratified_sample(
         F.broadcast(thrs), F.col(group_col).eqNullSafe(F.col("_g"))
     ).filter(F.col("_h") < F.col("_thr"))
     keep_cols = [*df.columns, "rk"]
-    got = ranked(cand).select(*keep_cols)
+    # materialize once (review finding): the guard's collect and the
+    # returned frame would otherwise each re-run the full
+    # hash/candidate/rank job — the module's d02 persist-once posture
+    got = ranked(cand).select(*keep_cols).persist()
 
     # exactness guard: any group admitted fewer than min(k, |group|)
     # rows re-ranks over its full row set (expected EMPTY — one tiny
@@ -401,6 +404,10 @@ def stratified_sample(
     bad = [r["_g"] for r in short.collect()]
     if not bad:
         return got
+    # (hashed is deliberately NOT persisted: that would cache the
+    # whole corpus for a path that is expected never to run; the redo
+    # below recomputes the hash over the left-semi-pruned bad groups
+    # only — one bounded extra scan, once)
     bad_df = F.broadcast(
         df.sparkSession.createDataFrame(
             [(g,) for g in bad], df.select(group_col).schema

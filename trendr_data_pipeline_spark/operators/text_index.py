@@ -419,12 +419,19 @@ def apply_snapshot_diff_to_index(
     keep their inodes through both swaps. The result is pinned equal
     to a fresh build over v2 (tests/test_text_index.py).
 
-    Remove-then-extend order matters for modified docs: the extend's
-    ``skip_existing`` guard is NOT used here precisely because the
-    stale row is already gone when the new version lands."""
-    spark = diff.sparkSession
+    Remove-then-extend order matters for modified docs, and the
+    extend runs with ``skip_existing=True`` so the verb is REPLAY
+    SAFE (review finding): re-running the same diff — or resuming
+    after a crash between the remove swap and the extend swap — must
+    not re-append ``added`` docs that are already indexed (duplicate
+    band/tok rows would make probes emit duplicate pairs). Modified
+    docs still re-add because their stale rows are gone by the time
+    the anti-join evaluates; already-applied added docs are skipped.
+    Idempotency is pytest-pinned (double-apply == single-apply)."""
     doomed = diff.filter(F.col("status").isin("removed", "modified")).select(id_col)
     remove_from_minhash_index(doomed, index_dir, id_col=id_col)
     changed = diff.filter(F.col("status").isin("added", "modified")).select(id_col)
     fresh = new_snapshot.join(changed, id_col, "left_semi")
-    extend_minhash_index(fresh, index_dir, id_col=id_col, text_col=text_col)
+    extend_minhash_index(
+        fresh, index_dir, id_col=id_col, text_col=text_col, skip_existing=True
+    )
