@@ -93,6 +93,64 @@ RENAMES_R8 = {
     "e04_daily_event_stats": "ze04_daily_event_stats",
 }
 
+# ---------------------------------------------------------------------------
+# REGISTRY V1 — the name freeze (r9, verdict item 1).
+#
+# Every one of these 89 names carries a driver signature: the r8 window
+# (CORRECTNESS_r08.json) signed c05→s06, and every name outside that
+# window is either a z-rotated signed name or a documented r4-r6 legacy
+# signature (tests/test_driver_contract.py pins the lineage). Nothing is
+# left to rotate for — so the names FREEZE. Standing rule, enforced by
+# test_registry_v1_name_freeze:
+#   1. A frozen name never changes again, with ONE exception: it may be
+#      z-pushed (old → "z"+old) to admit a NEW gate into the driver's
+#      50-name window, and that push must be recorded in RENAMES_R9.
+#   2. A new oracle-bearing gate must sort INSIDE the window at
+#      creation (c-prefix) — parking it outside would skip driver
+#      attestation (the r7 t06-t13 mistake, never again).
+# Future CORRECTNESS files therefore stay longitudinally comparable:
+# r9's name set is r8's, plus deliberate insertions, each with a z-push
+# record here.
+# ---------------------------------------------------------------------------
+REGISTRY_V1_FROZEN = (
+    "c05_streaming_interval_join", "c18_streaming_momentum",
+    "c23_corpus_pipeline", "c24_ivfpq_topk", "c25_span_removal",
+    "c26_winnowing_fingerprints", "c27_fingerprint_matches",
+    "c28_bigram_perplexity", "c29_doc_chunks", "c30_importance_weights",
+    "c31_filtered_ann", "c32_containment_pairs", "c33_snapshot_diff",
+    "c34_split_assign", "c35_stratified_sample", "c36_shuffle_shards",
+    "c37_token_entropy", "d01_exact_dedup_groups", "d02_jaccard_pairs",
+    "d03_minhash_lsh_pairs", "d04_simhash_buckets", "d05_ngram_jaccard",
+    "d06_embedding_near_dup", "e01_window_suite", "e02_sessionization",
+    "e03_asof_last_purchase", "e06_value_percentiles", "e08_interval_join",
+    "e09_time_rollup", "m01_cosine_topk", "m03_ivf_topk",
+    "p02_streaming_sessions", "p04_keyword_trends", "p05_photo_quality",
+    "p07_audio_windows", "p08_streaming_daily_stats", "q01_pricing_summary",
+    "q02_revenue_by_region", "q03_top_customers_per_nation",
+    "q06_rollup_region_nation", "q07_distinct_counts", "q09_filtered_scan",
+    "r01_classifier_scores", "r02_windowed_dedup", "r03_decision_ladder",
+    "r04_novelty_scores", "s01_flexible_date_parse", "s02_url_functions",
+    "s04_haversine_bands", "s06_ttl_due_filter", "s08_maxby_best_per_group",
+    "t01_token_stats", "t02_language_id", "t03_quality_score",
+    "t05_corpus_clean", "t16_compression_ratio", "x01_mention_pipeline",
+    "x02_ivf_fast_topk", "x03_dedup_components", "x04_sequence_packing",
+    "x06_budget_selection", "x07_tfidf_topk", "x08_unigram_perplexity",
+    "x09_embedding_quantize", "x10_temperature_mix", "x11_pq_topk",
+    "x12_pq_fast_topk", "x13_duplicated_spans", "x14_label_centroids",
+    "x15_bpe_merges", "x16_quality_classifier", "x17_quality_embedding_corr",
+    "x19_bpe_tokenize", "x20_hashed_vectors", "x21_semantic_dedup",
+    "x22_zipf_stats", "x24_ivfpq_fast_topk", "za01_pivot_priority_counts",
+    "za02_cube_region_segment", "za03_status_share_by_nation",
+    "za04_grouping_sets", "ze04_daily_event_stats", "ze05_decayed_user_value",
+    "ze07_props_extraction", "zp03_type_allowlist", "zp06_frame_sampling",
+    "zq04_returned_orders_by_priority", "zq05_customers_without_orders",
+    "zq08_set_ops_customers",
+)
+
+# r9 z-push records ONLY (frozen name → "z"+name, admitting a same-round
+# NEW gate into the window). Never a substantive rename again.
+RENAMES_R9: dict[str, str] = {}
+
 
 def parse_sf(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -154,7 +212,7 @@ def main() -> None:
         "sf": parse_sf(SF_DIR),
         "harness_queries": harness,
         "operator_total": operator_total,
-        "renames": RENAMES_R8,
+        "renames": RENAMES_R9,
     }
     # full-name record for humans and the judge (the driver's stdout
     # window is 2000 chars — see module docstring)
@@ -165,7 +223,7 @@ def main() -> None:
     # keep the printed line inside the driver's 2000-char stdout
     # window: ID-prefix rename map here, full names in the local file
     compact["renames"] = {
-        o.split("_", 1)[0]: n.split("_", 1)[0] for o, n in RENAMES_R8.items()
+        o.split("_", 1)[0]: n.split("_", 1)[0] for o, n in RENAMES_R9.items()
     }
     # the frozen names have unique id prefixes; a future name reusing
     # one would silently drop a timing from the compact map — fail loud

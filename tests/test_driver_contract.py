@@ -123,3 +123,35 @@ def test_cap_window_holds_only_oracle_queries():
         f"attestation lineage: {unsigned} — rotate them in (c-prefix) or "
         "record their signed history"
     )
+
+
+def test_registry_v1_name_freeze():
+    """r8 verdict item 1 — the registry v1 NAME FREEZE. All 89 r8
+    names carry a driver signature (CORRECTNESS_r08 window + pinned
+    z/legacy lineage), so nothing is left to rotate for: a frozen
+    name never changes again, EXCEPT a z-push (old → "z"+old,
+    recorded in bench.RENAMES_R9) that admits a same-round NEW gate
+    into the driver's 50-name window. New oracle gates must register
+    inside the window at creation. This keeps CORRECTNESS files
+    longitudinally comparable from r9 on."""
+    import bench
+    import __spark_entry__ as e
+
+    assert len(bench.REGISTRY_V1_FROZEN) == 89
+    names = set(e.queries())
+    frozen = set(bench.REGISTRY_V1_FROZEN)
+    renames = bench.RENAMES_R9
+    for old, new in renames.items():
+        assert old in frozen, f"z-push of a non-frozen name: {old}"
+        assert new == "z" + old, f"substantive rename forbidden: {old} -> {new}"
+    expected = (frozen - set(renames)) | set(renames.values())
+    assert expected <= names, f"frozen names missing: {sorted(expected - names)}"
+    new_gates = sorted(names - expected)
+    oracles = e.oracle_sql()
+    window = set(sorted(names)[:50])
+    for g in new_gates:
+        assert g in window, f"new gate {g} parked outside the driver window"
+        assert g in oracles or g in window, g
+    # each insertion displaces one window slot — one z-push per new
+    # gate keeps every displaced (already-signed) name z-recorded
+    assert len(new_gates) == len(renames), (new_gates, renames)
