@@ -20,7 +20,12 @@ HARNESS — fixture staging plus synchronous memory-sink micro-batches
 — not the operator, and vary ~2× run to run (r4 verdict item 10).
 They are tagged in ``harness_queries`` and the JSON carries a second
 total, ``operator_total``, that excludes them so round-over-round
-totals compare like with like.
+totals compare like with like. c38 (r9's composed release-cycle
+gate) is tagged too: each run stages the PREVIOUS release's index
+artifact from scratch plus ~6 atomic-swap filesystem jobs — staging
+a production cycle amortizes across releases; the chain's operator
+legs are benched at full grain on their own (c33 diff, c34/c36
+splits, probe in tools/text_index_bench.py).
 
 The JSON also carries ``renames``: the name map this round's cap
 rotation applied (old → new), so round-over-round comparisons join on
@@ -149,7 +154,10 @@ REGISTRY_V1_FROZEN = (
 
 # r9 z-push records ONLY (frozen name → "z"+name, admitting a same-round
 # NEW gate into the window). Never a substantive rename again.
-RENAMES_R9: dict[str, str] = {}
+RENAMES_R9: dict[str, str] = {
+    # admits c38_release_cycle (the composed incremental release gate)
+    "s06_ttl_due_filter": "zs06_ttl_due_filter",
+}
 
 
 def parse_sf(sf_dir: str) -> float:
@@ -197,7 +205,7 @@ def main() -> None:
     harness = sorted(
         n
         for n in timings
-        if n.startswith(("c05_", "c18_", "p02_", "p08_"))
+        if n.startswith(("c05_", "c18_", "c38_", "p02_", "p08_"))
     )
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     operator_total = round(

@@ -23,3 +23,4 @@ def load_all() -> None:
     from . import pipeline_ops  # noqa: F401
     from . import multimodal_ops  # noqa: F401
     from . import corpus_pipeline  # noqa: F401
+    from . import release_ops  # noqa: F401

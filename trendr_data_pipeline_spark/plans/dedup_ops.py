@@ -646,17 +646,44 @@ def t12_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(docs, threshold=0.9)
 
 
-@register(
-    "c33_snapshot_diff",
-    """
-    WITH v2 AS (
+#: deterministic v2 snapshot derivation (drop %11, revise %7, re-add
+#: %13 under new ids) — shared by the c33 diff gate and the c38
+#: release-cycle gate so an edit here propagates to both oracles
+SQL_V2_SNAPSHOT = """
         SELECT doc_id,
                CASE WHEN doc_id % 7 = 0 THEN text || ' rev' ELSE text END AS text
         FROM documents WHERE doc_id % 11 <> 0
         UNION ALL
         SELECT doc_id + 10000000 AS doc_id, text
         FROM documents WHERE doc_id % 13 = 0
-    ), o AS (
+"""
+
+
+def v2_snapshot(docs):
+    """Spark twin of :data:`SQL_V2_SNAPSHOT` (same sharing argument).
+    ``docs`` must carry (doc_id, text)."""
+    return (
+        docs.filter(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" rev"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+            )
+        )
+    )
+
+
+@register(
+    "c33_snapshot_diff",
+    f"""
+    WITH v2 AS ({SQL_V2_SNAPSHOT}), o AS (
         SELECT doc_id AS id, md5(text) AS old_hash FROM documents
     ), n AS (
         SELECT doc_id AS id, md5(text) AS new_hash FROM v2
@@ -682,21 +709,5 @@ def t12_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t13_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ingestion import snapshot_diff
 
-    docs = read_table(spark, sf_dir, "documents")
-    v2 = (
-        docs.filter(F.col("doc_id") % 11 != 0)
-        .select(
-            "doc_id",
-            F.when(
-                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" rev"))
-            )
-            .otherwise(F.col("text"))
-            .alias("text"),
-        )
-        .unionByName(
-            docs.filter(F.col("doc_id") % 13 == 0).select(
-                (F.col("doc_id") + 10000000).alias("doc_id"), "text"
-            )
-        )
-    )
-    return snapshot_diff(docs, v2)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return snapshot_diff(docs, v2_snapshot(docs))

@@ -1,0 +1,117 @@
+"""c38 — the incremental release cycle as ONE driver-gated query.
+
+r8 verdict item 2: rounds 7-8 built and pairwise-pinned the verbs a
+corpus release runs (snapshot diff, O(delta) text-index refresh,
+probe re-screen, deterministic split/shard); this gate chains them
+into the one pipeline a real 100 TB release actually executes, and
+hash-gates the WHOLE chain against a from-scratch v2 computation
+composed from the stage gates' own SQL fragments (the c23 oracle
+device) — so the gate proves incremental == from-scratch:
+
+- v2 derivation: byte-shared with c33 (``SQL_V2_SNAPSHOT``).
+- diff CTE: c33's full-outer md5 form.
+- screen: d02/d03's exact-Jaccard brute force over the changed×v2
+  pairs (the probe is LSH+exact-verify; banding recall at θ=0.8 is
+  1−(1−0.8⁴)³² ≈ 1−5e-8 — the d03 gate's argument).
+- split: c34's md5 hash-fraction CASE.
+- shard/pos: c36's two-salt md5 form, n_shards=8.
+
+The Spark side runs the REAL artifact lifecycle: build the v1 index
+(the previous release's artifact — setup a production cycle
+amortizes), refresh it in place from the diff, probe against the
+refreshed artifact. bench.py tags this query in ``harness_queries``:
+like the streaming replays, most of its wall time is fixture staging
+(the from-scratch v1 index build plus ~6 atomic-swap jobs), not
+operator cost — the operator's O(delta) path is measured on its own
+in tools/text_index_bench.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import read_table
+from .dedup_ops import SQL_V2_SNAPSHOT, _SQL_TOKSET, v2_snapshot
+from .registry import register
+
+#: md5 hash-fraction (c34's split device) over a given id expression
+_HF = "(('0x' || substr(md5('{salt}' || CAST({id} AS VARCHAR)), 1, 8))::BIGINT)"
+
+_SQL_RELEASE = f"""
+    WITH v2 AS ({SQL_V2_SNAPSHOT}
+    ), o AS (
+        SELECT doc_id AS id, md5(text) AS old_hash FROM documents
+    ), n AS (
+        SELECT doc_id AS id, md5(text) AS new_hash FROM v2
+    ), changed AS (
+        SELECT COALESCE(o.id, n.id) AS doc_id,
+               CASE WHEN old_hash IS NULL THEN 'added' ELSE 'modified' END AS status
+        FROM o FULL OUTER JOIN n ON o.id = n.id
+        WHERE new_hash IS NOT NULL
+          AND (old_hash IS NULL OR old_hash <> new_hash)
+    ), t AS (
+        SELECT doc_id AS id, {_SQL_TOKSET} AS toks FROM v2
+        WHERE len({_SQL_TOKSET}) > 0
+    ), pairs AS (
+        SELECT c.doc_id AS id_a, b.id AS id_b
+        FROM changed c
+        JOIN t a ON a.id = c.doc_id
+        JOIN t b ON b.id <> a.id
+        WHERE ROUND(len(list_intersect(a.toks, b.toks)) * 1.0
+                    / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.8
+    ), dup AS (
+        SELECT DISTINCT p.id_a FROM pairs p
+        LEFT JOIN changed cb ON cb.doc_id = p.id_b
+        WHERE cb.doc_id IS NULL OR p.id_b < p.id_a
+    ), surv AS (
+        SELECT c.doc_id, c.status FROM changed c
+        LEFT JOIN dup d ON d.id_a = c.doc_id
+        WHERE d.id_a IS NULL
+    )
+    SELECT doc_id, status,
+           CASE WHEN {_HF.format(salt="split", id="doc_id")} / 4294967296.0 < 0.8
+                    THEN 'train'
+                WHEN {_HF.format(salt="split", id="doc_id")} / 4294967296.0 < 0.9
+                    THEN 'val'
+                ELSE 'test'
+           END AS split,
+           {_HF.format(salt="shuf", id="doc_id")} % 8 AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY {_HF.format(salt="shuf", id="doc_id")} % 8
+               ORDER BY {_HF.format(salt="shufpos", id="doc_id")} ASC, doc_id ASC
+           ) AS BIGINT) AS pos
+    FROM surv
+"""
+
+
+@register(
+    "c38_release_cycle",
+    _SQL_RELEASE,
+    doc="""END-TO-END incremental release cycle (⊕, r9 — verdict item
+    2): snapshot_diff(v1→v2, the c33 derivation) drives an O(delta)
+    refresh of the persisted MinHash text index (⊕M9), every
+    added/modified doc is re-screened against the REFRESHED artifact
+    (LSH probe + exact Jaccard verify at θ=0.8; a changed doc drops
+    iff it matches a retained doc, or a fellow changed doc with a
+    smaller id), and survivors get their deterministic split (c34)
+    and shard/pos (c36, 8 shards) coordinates. The oracle recomputes
+    everything FROM SCRATCH out of the stage gates' own SQL
+    fragments, so a hash match proves the incremental artifact path
+    equals the from-scratch build — the composition r7/r8 pinned only
+    pairwise. Covers the ⊕M9 probe's join semantics with a driver
+    signature (verdict item 5).""",
+)
+def c38_release_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.release import incremental_release_update
+    from ..operators.text_index import write_minhash_index
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = v2_snapshot(docs)
+    # the previous release's artifact — staged fresh per run so the
+    # gate is self-contained and rerun-safe (left for /tmp reaping,
+    # the pipeline_ops streaming-fixture posture)
+    idx = tempfile.mkdtemp(prefix="release_idx_")
+    write_minhash_index(docs, idx)
+    return incremental_release_update(docs, v2, idx, threshold=0.8, n_shards=8)

@@ -382,7 +382,7 @@ _S06_AS_OF = "2000-01-01 00:00:00"
 
 
 @register(
-    "s06_ttl_due_filter",
+    "zs06_ttl_due_filter",
     f"""
     WITH st AS (
         SELECT o_orderkey,
