@@ -157,6 +157,8 @@ REGISTRY_V1_FROZEN = (
 RENAMES_R9: dict[str, str] = {
     # admits c38_release_cycle (the composed incremental release gate)
     "s06_ttl_due_filter": "zs06_ttl_due_filter",
+    # admits c39_exact_substring_runs (ExactSubstr maximal runs)
+    "s04_haversine_bands": "zs04_haversine_bands",
 }
 
 

@@ -1196,3 +1196,112 @@ def test_containment_pairs_randomized_oracle(spark):
         assert got.keys() == want.keys(), (seed, thr)
         for p, (cid, c) in want.items():
             assert got[p][0] == cid and abs(got[p][1] - c) < 1e-9, (seed, p)
+
+
+def _suffix_oracle_runs(docs: dict[int, str], L: int):
+    """Pure-Python SUFFIX oracle for maximal_duplicated_runs — the
+    paper's definition computed the paper's way, independent of the
+    operator's sorted-gram shape: sort all token suffixes of the
+    corpus, take each suffix's max LCP with its sorted neighbors
+    (= its max common prefix with ANY other suffix), and mark
+    positions [i, i+lcp) covered wherever lcp >= L. Maximal covered
+    intervals are the removal runs."""
+    toks = {d: t.lower().split() for d, t in docs.items()}
+    suffixes = sorted(
+        (tuple(ws[i:]), d, i) for d, ws in toks.items() for i in range(len(ws))
+    )
+
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    covered: dict[int, set[int]] = {d: set() for d in toks}
+    for j, (s, d, i) in enumerate(suffixes):
+        m = 0
+        if j > 0:
+            m = max(m, lcp(s, suffixes[j - 1][0]))
+        if j + 1 < len(suffixes):
+            m = max(m, lcp(s, suffixes[j + 1][0]))
+        if m >= L:
+            covered[d].update(range(i, i + m))
+    runs = []
+    for d, cs in covered.items():
+        for p in sorted(cs):
+            if runs and runs[-1][0] == d and runs[-1][2] == p - 1:
+                runs[-1][2] = p
+            else:
+                runs.append([d, p, p])
+    # 1-based inclusive (start, end), matching the operator
+    return sorted((d, s + 1, e + 1, e - s + 1) for d, s, e in runs)
+
+
+def test_maximal_duplicated_runs_vs_suffix_oracle(spark):
+    """⊕D18 vs the suffix/LCP computation on a planted corpus with
+    every interesting shape: a shared 2L-1 run (merges into ONE
+    maximal run longer than any window — the case d12's fixed-window
+    emission cannot express), an intra-document repeat (occurrence
+    grain: duplicated with only ONE doc involved), two overlapping
+    spans shared with DIFFERENT partners (runs merge across partner
+    boundaries), and a unique doc (no runs)."""
+    from trendr_data_pipeline_spark.operators.dedup import maximal_duplicated_runs
+
+    L = 5
+    shared = "q w e r t y u i o"          # 9 = 2L-1 tokens, docs 1+2
+    a_half = "a1 a2 a3 a4 a5 a6"          # shared by docs 3 and 4
+    b_half = "b1 b2 b3 b4 b5 b6"          # shared by docs 3 and 5
+    docs = {
+        1: f"u1 u2 {shared} u3 u4",
+        2: f"v1 v2 v3 {shared}",
+        # doc 3: a-span and b-span OVERLAP via the glue token 'g'
+        # appearing in both partners' copies
+        3: f"{a_half} {b_half} w9",
+        4: f"x1 {a_half} b1 b2 b3 b4",     # a_half + prefix of b (overlap)
+        5: f"a3 a4 a5 a6 {b_half} y1",     # suffix of a + b_half
+        6: "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10",  # unique
+        7: "r1 r2 c1 c2 c3 c4 c5 r3 c1 c2 c3 c4 c5 r4",  # intra-doc repeat
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = sorted(tuple(r) for r in maximal_duplicated_runs(df, min_len=L).collect())
+    want = _suffix_oracle_runs(docs, L)
+    assert got == want and got
+    by_doc = {}
+    for d, s, e, n in got:
+        by_doc.setdefault(d, []).append((s, e, n))
+    # the 2L-1 shared run is ONE maximal run of 9 tokens (> any window)
+    assert by_doc[1] == [(3, 11, 9)] and by_doc[2] == [(4, 12, 9)]
+    # doc 3's two different-partner spans merge into one 12-token run
+    assert by_doc[3] == [(1, 12, 12)]
+    # intra-doc repeat: both copies covered, occurrence grain
+    assert by_doc[7] == [(3, 7, 5), (9, 13, 5)]
+    # unique doc emits nothing
+    assert 6 not in by_doc
+
+
+def test_maximal_runs_min_count_and_edges(spark):
+    """min_count=3 drops pairs-only duplication; docs shorter than
+    min_len emit nothing; min_len < 2 raises."""
+    import pytest as _pytest
+
+    from trendr_data_pipeline_spark.operators.dedup import maximal_duplicated_runs
+
+    dup2 = "p1 p2 p3 p4 p5"
+    dup3 = "t1 t2 t3 t4 t5"
+    docs = [
+        (1, f"{dup2} {dup3}"),
+        (2, f"m1 {dup2} m2"),
+        (3, f"{dup3} m3"),
+        (4, f"m4 m5 {dup3}"),
+        (5, "s1 s2 s3"),  # shorter than min_len
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got3 = sorted(
+        tuple(r) for r in maximal_duplicated_runs(df, min_len=5, min_count=3).collect()
+    )
+    # only the thrice-occurring span survives min_count=3
+    assert got3 == [(1, 6, 10, 5), (3, 1, 5, 5), (4, 3, 7, 5)]
+    with _pytest.raises(ValueError):
+        maximal_duplicated_runs(df, min_len=1)

@@ -93,7 +93,7 @@ def test_cap_window_holds_only_oracle_queries():
         "rename them past the cap (x/z prefix) or add an oracle"
     )
     # and the window boundary is where COVERAGE.md documents it
-    assert in_cap[0].startswith("c05") and in_cap[-1].startswith("s04"), in_cap[-1]
+    assert in_cap[0].startswith("c05") and in_cap[-1].startswith("s02"), in_cap[-1]
     for must_sign in (
         "c05_", "c18_", "c24_", "c25_",
         "c26_", "c27_", "c28_", "c29_", "c30_", "c31_", "c32_", "c33_",

@@ -1276,3 +1276,84 @@ def fingerprint_match_pairs(
     )
     fps.unpersist()
     return out
+
+
+def maximal_duplicated_runs(
+    docs: DataFrame,
+    min_len: int = 12,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """⊕D18 — exact-substring dedup at ExactSubstr's REAL grain (Lee
+    et al. 2022 §3.2): the paper's operator finds every maximal token
+    substring of length ≥ ``min_len`` that occurs more than once in
+    the corpus (suffix-array + LCP machinery single-node). d12/d13
+    approximate it with FIXED word-8-gram windows; this emits the
+    MAXIMAL SHARED RUNS — per document, the maximal intervals of
+    token positions covered by some ≥2-occurrence substring of
+    length ≥ min_len. Returns (id, start_pos, end_pos, run_toks),
+    positions 1-based inclusive.
+
+    Equivalence to the suffix form (the pytest suffix oracle pins
+    it): a position p lies inside a repeated substring of length ≥ L
+    iff some duplicated L-window covers p — every length-L window of
+    a repeated substring is itself repeated, and a duplicated
+    L-window IS a repeated length-L substring. So the union of
+    duplicated L-window spans equals the union of maximal repeated
+    substrings, and its connected components are the paper's removal
+    intervals. The runs themselves may exceed any single partner
+    match (two overlapping spans shared with DIFFERENT partners
+    merge) — exactly the removal semantics, and the case a fixed
+    window emission cannot express.
+
+    Two deliberate contrasts with d12/d13: duplication is counted at
+    OCCURRENCE grain (``min_count`` (doc,pos) locations, so a
+    substring repeated twice INSIDE one document is duplicated — the
+    paper's criterion; d12 counts distinct docs), and ``min_len`` is
+    the paper's configurable L, not a fixed window.
+
+    Scale shape: positional 64-bit gram hashes (one Arrow pass, the
+    d12 device); the duplicated-gram set from ONE map-side-combined
+    count on the gram key; covered positions from a gram-keyed semi
+    join + bounded explode (≤ L rows per window); run merging is the
+    gaps-and-islands window PARTITIONED BY DOC — no frame ever
+    exceeds one document's length. Nothing holds a doc×doc pair.
+    """
+    from pyspark.sql.window import Window
+
+    if min_len < 2:
+        raise ValueError("min_len must be >= 2")
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            word_ngram_hashes(F.col(text_col), min_len, positional=True)
+        ).alias("pos0", "gram"),
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), F.col("gram"))
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram", "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + min_len - 1)
+            ).alias("tokpos"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(id_col).orderBy("tokpos")
+    return (
+        covered.withColumn("grp", F.col("tokpos") - F.row_number().over(w))
+        .groupBy(id_col, "grp")
+        .agg(
+            F.min("tokpos").alias("start_pos"),
+            F.max("tokpos").alias("end_pos"),
+            F.count(F.lit(1)).cast("bigint").alias("run_toks"),
+        )
+        .select(id_col, "start_pos", "end_pos", "run_toks")
+    )

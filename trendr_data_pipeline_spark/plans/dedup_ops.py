@@ -711,3 +711,52 @@ def t13_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     return snapshot_diff(docs, v2_snapshot(docs))
+
+
+_C39_L = 12
+
+
+@register(
+    "c39_exact_substring_runs",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_SQL_TOKS_DEDUP} AS toks FROM documents
+    ), g AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(toks[i:i+{_C39_L - 1}], ' ') AS gram
+        FROM t CROSS JOIN UNNEST(range(1, greatest(len(toks) - {_C39_L - 2}, 1))) AS r(i)
+        WHERE len(toks) >= {_C39_L}
+    ), dup AS (
+        SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2
+    ), cov AS (
+        SELECT DISTINCT g.doc_id, g.pos + j AS tokpos
+        FROM g SEMI JOIN dup USING (gram)
+        CROSS JOIN UNNEST(range({_C39_L})) AS rr(j)
+    ), isl AS (
+        SELECT doc_id, tokpos,
+               tokpos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tokpos) AS grp
+        FROM cov
+    )
+    SELECT doc_id, MIN(tokpos) AS start_pos, MAX(tokpos) AS end_pos,
+           CAST(COUNT(*) AS BIGINT) AS run_toks
+    FROM isl GROUP BY doc_id, grp
+    """,
+    doc="""Exact-substring dedup at ExactSubstr's real grain (⊕D18,
+    r9 — verdict item 3): maximal token runs covered by a repeated
+    substring of length ≥ 12, per document — the removal intervals of
+    Lee et al. 2022, where d12/d13 emit fixed 8-gram windows. The
+    suffix-array definition and the duplicated-L-window union are
+    provably the same set (operator docstring); the pytest oracle
+    computes the suffix/LCP form in pure Python and the hash gate
+    pins the sorted-gram run-merging Spark shape against the same
+    logic in SQL. Duplication at OCCURRENCE grain (intra-doc repeats
+    count, the paper's criterion). Fixture runs reach 93-99 tokens —
+    ~8× the window length, so the maximal-run merge genuinely bites
+    at every SF.""",
+)
+def c39_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import maximal_duplicated_runs
+
+    return maximal_duplicated_runs(
+        read_table(spark, sf_dir, "documents"), min_len=_C39_L
+    )

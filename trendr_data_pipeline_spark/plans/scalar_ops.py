@@ -293,7 +293,7 @@ def s02_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "s04_haversine_bands",
+    "zs04_haversine_bands",
     """
     WITH pts AS (
         SELECT c_custkey, c_name,
