@@ -159,6 +159,8 @@ RENAMES_R9: dict[str, str] = {
     "s06_ttl_due_filter": "zs06_ttl_due_filter",
     # admits c39_exact_substring_runs (ExactSubstr maximal runs)
     "s04_haversine_bands": "zs04_haversine_bands",
+    # admits c40_data_card (per-source × per-split corpus data card)
+    "s02_url_functions": "zs02_url_functions",
 }
 
 

@@ -13,6 +13,8 @@ from collections import Counter
 
 from pyspark.sql import functions as F
 
+from tests.conftest import SMOKE_SF
+
 
 def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string, lang string")
@@ -358,3 +360,35 @@ def test_shuffle_shards_python_oracle_and_balance(spark):
     for sh, ids in by_shard.items():
         ps = sorted(p for i, s2, p in got if s2 == sh)
         assert ps == list(range(1, len(ids) + 1))
+
+
+def test_data_card_rollup_consistency(spark):
+    """c40's cube is internally consistent: the ALL/ALL row equals the
+    corpus totals, per-source rows sum to it, rates live in [0,1],
+    contam_rate is NULL exactly on test-split rows (no non-test
+    denominator), and the sampled near-dup flag covers only the
+    1-in-10 slice."""
+    from trendr_data_pipeline_spark.plans.data_card import corpus_data_card
+
+    rows = corpus_data_card(spark, SMOKE_SF).collect()
+    by = {(r["source"], r["split"]): r for r in rows}
+    tot = by[("ALL", "ALL")]
+    srcs = [r for r in rows if r["source"] != "ALL" and r["split"] == "ALL"]
+    assert sum(r["n_docs"] for r in srcs) == tot["n_docs"]
+    assert sum(r["n_tokens"] for r in srcs) == tot["n_tokens"]
+    splits = [r for r in rows if r["source"] == "ALL" and r["split"] != "ALL"]
+    assert sum(r["n_docs"] for r in splits) == tot["n_docs"]
+    assert {r["split"] for r in splits} == {"train", "val", "test"}
+    for r in rows:
+        for c in (
+            "exact_dup_rate", "near_dup_rate_sampled", "contam_rate",
+            "pred_en_share", "low_entropy_share",
+        ):
+            v = r[c]
+            assert v is None or 0.0 <= v <= 1.0, (r["source"], r["split"], c, v)
+        if r["split"] == "test":
+            assert r["contam_rate"] is None
+    # the signals bite on the fixture
+    assert tot["exact_dup_rate"] > 0
+    assert tot["near_dup_rate_sampled"] > 0
+    assert tot["mean_quality"] and tot["mean_entropy"]

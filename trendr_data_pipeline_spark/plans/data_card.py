@@ -1,0 +1,285 @@
+"""c40 — corpus DATA CARD rollup (r8 verdict item 4).
+
+One pass emitting the per-source × per-split release report every
+training run wants (the "datasheets for datasets" / model-card data
+section, as a relational operator): docs, tokens, exact-dup rate
+(d01's fingerprint), sampled near-dup rate (d02's exact-Jaccard
+screen on the 1-in-10 slice — the full self-screen is a 13 s query
+at sf0.1, and data cards quote sampled dup rates in practice),
+benchmark-contamination rate of the non-test splits against the TEST
+split's own 8-grams (⊕D7's machinery, self-contained — no external
+benchmark fixture needed), predicted-English share (t02's marker
+argmax), mean quality (t03's blend), and mean/low-share token
+entropy (c37). Groupings via CUBE(source, split) — (source×split),
+per-source, per-split, and the corpus total in ONE rollup exchange.
+
+Every metric column reuses an already-gated fragment, so the oracle
+composes mechanically from the stage gates' own SQL (the c23
+device — c37's entropy CTE is spliced from the registry string
+verbatim). Rates over subpopulations (sampled docs, non-test docs)
+use AVG-over-NULL-skipping CASE columns, identical in both engines.
+
+Scale shape: the card adds exactly ONE new exchange (the cube) on
+top of its component machinery — flags arrive through the
+components' own gram/fingerprint-keyed joins (never doc×doc; the
+near-dup leg is the d02 inverted index, the contamination leg the
+D7 gram semi-join), and every per-doc column is a codegen'd
+projection. Group count is bounded by |sources|×|splits| — the cube
+never sees corpus-cardinality keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import read_table
+from ._numeric import DEC, sql_davg
+from .registry import _REGISTRY, register
+from .release_ops import _HF
+from .text_ops import _MARKERS, _SQL_QUALITY, _SQL_STOP, _SQL_TOKS
+
+#: sampled near-dup slice (the d02 incoming predicate)
+_ND_MOD = 10
+_LOW_H = 2.9
+
+_SQL_TOKSET_CARD = (
+    "list_sort(list_distinct(list_filter("
+    "regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)))"
+)
+
+_SQL_SPLIT_CASE = f"""CASE
+             WHEN {_HF.format(salt="split", id="doc_id")} / 4294967296.0 < 0.8
+                 THEN 'train'
+             WHEN {_HF.format(salt="split", id="doc_id")} / 4294967296.0 < 0.9
+                 THEN 'val'
+             ELSE 'test'
+           END"""
+
+_LANG_HITS_SQL = ",\n               ".join(
+    f"len(list_filter(toks, x -> list_contains("
+    f"[{','.join(repr(m) for m in ms)}], x))) AS hits_{lang}"
+    for lang, ms in _MARKERS.items()
+)
+
+
+def _card_oracle() -> str:
+    ent = _REGISTRY["c37_token_entropy"].oracle
+    return f"""
+    WITH base AS (
+        SELECT doc_id, source,
+           {_SQL_SPLIT_CASE} AS split,
+           {_SQL_TOKS} AS toks,
+           md5(array_to_string({_SQL_TOKSET_CARD}, ' ')) AS fp
+        FROM documents
+    ), feat0 AS (
+        SELECT doc_id, source, split, fp,
+               len(toks) AS n_tok,
+               list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS tok_chars,
+               len(list_filter(toks, x -> list_contains({_SQL_STOP}, x))) AS stop_hits,
+               {_LANG_HITS_SQL},
+               toks
+        FROM base
+    ), feat AS (
+        SELECT doc_id, source, split, fp, n_tok,
+               CASE WHEN n_tok > 0 THEN ROUND({_SQL_QUALITY}, 6) END AS quality,
+               CASE WHEN greatest(hits_en, hits_fr, hits_de, hits_es, hits_zh) = 0
+                        THEN 0
+                    WHEN hits_en >= greatest(hits_fr, hits_de, hits_es, hits_zh)
+                        THEN 1
+                    ELSE 0 END AS is_en
+        FROM feat0
+    ), dupfp AS (
+        SELECT fp FROM feat GROUP BY fp HAVING COUNT(*) > 1
+    ), tk AS (
+        SELECT doc_id AS id, {_SQL_TOKSET_CARD} AS tset FROM documents
+        WHERE len({_SQL_TOKSET_CARD}) > 0
+    ), nd AS (
+        SELECT DISTINCT a.id AS doc_id FROM tk a JOIN tk b ON a.id <> b.id
+        WHERE a.id % {_ND_MOD} = 0
+          AND ROUND(len(list_intersect(a.tset, b.tset)) * 1.0
+                    / len(list_distinct(list_concat(a.tset, b.tset))), 6) >= 0.8
+    ), teg AS (
+        SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS gram
+        FROM feat0 CROSS JOIN UNNEST(range(1, greatest(len(toks) - 6, 1))) AS r(i)
+        WHERE split = 'test' AND len(toks) >= 8
+    ), chit AS (
+        SELECT DISTINCT f.doc_id
+        FROM (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+              FROM feat0
+              CROSS JOIN UNNEST(range(1, greatest(len(toks) - 6, 1))) AS r(i)
+              WHERE split <> 'test' AND len(toks) >= 8) f
+        SEMI JOIN teg USING (gram)
+    ), ent AS ({ent}
+    ), j AS (
+        SELECT f.source, f.split, f.n_tok, f.quality, f.is_en,
+               CASE WHEN dupfp.fp IS NOT NULL THEN 1 ELSE 0 END AS is_exact_dup,
+               CASE WHEN f.doc_id % {_ND_MOD} = 0
+                    THEN CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END
+               END AS nd_flag,
+               CASE WHEN f.split <> 'test'
+                    THEN CASE WHEN chit.doc_id IS NOT NULL THEN 1 ELSE 0 END
+               END AS contam_flag,
+               ent.entropy,
+               CASE WHEN ent.entropy IS NOT NULL
+                    THEN CASE WHEN ent.entropy < {_LOW_H} THEN 1 ELSE 0 END
+               END AS low_h_flag
+        FROM feat f
+        LEFT JOIN dupfp ON f.fp = dupfp.fp
+        LEFT JOIN nd ON f.doc_id = nd.doc_id
+        LEFT JOIN chit ON f.doc_id = chit.doc_id
+        LEFT JOIN ent ON f.doc_id = ent.doc_id
+    )
+    SELECT COALESCE(source, 'ALL') AS source,
+           COALESCE(split, 'ALL') AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           ROUND(AVG(is_exact_dup), 6) AS exact_dup_rate,
+           ROUND(AVG(nd_flag), 6) AS near_dup_rate_sampled,
+           ROUND(AVG(contam_flag), 6) AS contam_rate,
+           ROUND(AVG(is_en), 6) AS pred_en_share,
+           ROUND({sql_davg("quality")}, 6) AS mean_quality,
+           ROUND({sql_davg("entropy")}, 6) AS mean_entropy,
+           ROUND(AVG(low_h_flag), 6) AS low_entropy_share
+    FROM j GROUP BY CUBE(source, split)
+    """
+
+
+def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (
+        bow_fingerprint,
+        jaccard_topk_join,
+        ngram_contamination_flags,
+        tokens as _tokens,
+    )
+    from ..operators.quality import token_entropy
+    from ..operators.sampling import split_assign
+    from .text_ops import (
+        _quality_expr,
+        _stop_array,
+        lang_hit_columns,
+        predicted_lang_expr,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+
+    toks = _tokens(F.lower(F.col("text")))
+    base = split_assign(docs.select("doc_id", "source", "text"))
+    feat0 = lang_hit_columns(
+        base.select(
+            "doc_id",
+            "source",
+            "split",
+            bow_fingerprint(F.col("text")).alias("fp"),
+            toks.alias("toks"),
+        )
+    )
+    n_tok = F.size(F.col("toks"))
+    tok_chars = F.aggregate(
+        F.transform(F.col("toks"), lambda x: F.length(x)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    stop_hits = F.size(
+        F.filter(F.col("toks"), lambda x: F.array_contains(_stop_array(), x))
+    )
+    feat = feat0.select(
+        "doc_id",
+        "source",
+        "split",
+        "fp",
+        n_tok.alias("n_tok"),
+        F.when(
+            n_tok > 0,
+            F.round(_quality_expr(n_tok, tok_chars, stop_hits), 6),
+        ).alias("quality"),
+        (predicted_lang_expr() == "en").cast("int").alias("is_en"),
+    )
+    dupfp = (
+        feat.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_nfp"))
+        .filter(F.col("_nfp") > 1)
+        .select("fp", F.lit(1).alias("_dup"))
+    )
+    nd_ids = (
+        jaccard_topk_join(
+            docs.filter(F.col("doc_id") % _ND_MOD == 0), docs, threshold=0.8, k=1
+        )
+        .select(F.col("id_a").alias("doc_id"), F.lit(1).alias("_nd"))
+        .distinct()
+    )
+    contam = ngram_contamination_flags(
+        base.filter(F.col("split") != "test"),
+        base.filter(F.col("split") == "test"),
+        n=8,
+    ).select("doc_id", F.col("is_contaminated").cast("int").alias("_ct"))
+    ent = token_entropy(docs).select("doc_id", "entropy")
+    j = (
+        feat.join(F.broadcast(dupfp), "fp", "left")
+        .join(nd_ids, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .join(ent, "doc_id", "left")
+        .select(
+            "source",
+            "split",
+            "n_tok",
+            "quality",
+            "is_en",
+            F.coalesce(F.col("_dup"), F.lit(0)).alias("is_exact_dup"),
+            F.when(
+                F.col("doc_id") % _ND_MOD == 0, F.coalesce(F.col("_nd"), F.lit(0))
+            ).alias("nd_flag"),
+            F.when(F.col("split") != "test", F.col("_ct")).alias("contam_flag"),
+            "entropy",
+            F.when(
+                F.col("entropy").isNotNull(),
+                (F.col("entropy") < _LOW_H).cast("int"),
+            ).alias("low_h_flag"),
+        )
+    )
+
+    def _davg(c: str) -> F.Column:
+        return (F.sum(F.col(c).cast(DEC)).cast("double") / F.count(c))
+
+    return (
+        j.cube("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.round(F.avg("is_exact_dup"), 6).alias("exact_dup_rate"),
+            F.round(F.avg("nd_flag"), 6).alias("near_dup_rate_sampled"),
+            F.round(F.avg("contam_flag"), 6).alias("contam_rate"),
+            F.round(F.avg("is_en"), 6).alias("pred_en_share"),
+            F.round(_davg("quality"), 6).alias("mean_quality"),
+            F.round(_davg("entropy"), 6).alias("mean_entropy"),
+            F.round(F.avg("low_h_flag"), 6).alias("low_entropy_share"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+            F.coalesce(F.col("split"), F.lit("ALL")).alias("split"),
+            "n_docs",
+            "n_tokens",
+            "exact_dup_rate",
+            "near_dup_rate_sampled",
+            "contam_rate",
+            "pred_en_share",
+            "mean_quality",
+            "mean_entropy",
+            "low_entropy_share",
+        )
+    )
+
+
+register(
+    "c40_data_card",
+    _card_oracle(),
+    doc="""Corpus DATA CARD rollup (⊕, r9 — verdict item 4): the
+    per-source × per-split release report, CUBE over (source, split)
+    in one rollup exchange. Metrics reuse gated machinery verbatim —
+    d01 fingerprints, d02's inverted-index Jaccard screen (sampled
+    1-in-10, documented), D7 gram contamination of train/val against
+    the TEST split, t02 language argmax, t03 quality, c37 entropy
+    (its oracle CTE spliced from the registry string — the c23
+    composition device). Decimal-accumulated means, rate columns as
+    NULL-skipping CASE averages (subpopulation denominators), all
+    rounded 6 dp.""",
+)(corpus_data_card)

@@ -142,7 +142,7 @@ _SQL_CATALOG_VALUES = ", ".join(
 
 
 @register(
-    "s02_url_functions",
+    "zs02_url_functions",
     f"""
     WITH cat(source_id, base_url, type, authority_weight) AS (
         VALUES {_SQL_CATALOG_VALUES}

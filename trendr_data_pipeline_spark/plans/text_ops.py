@@ -147,6 +147,32 @@ _MARKERS: dict[str, list[str]] = {
 _LANG_ORDER = ["en", "fr", "de", "es", "zh"]
 
 
+def lang_hit_columns(frame: DataFrame, toks_col: str = "toks") -> DataFrame:
+    """Append per-language marker-hit counts (``hits_<lang>``) to a
+    frame carrying a token-array column — shared by t02 and the c40
+    data card so both run the SAME language-ID machinery."""
+    for lang, markers in _MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        frame = frame.withColumn(
+            f"hits_{lang}",
+            F.size(F.filter(F.col(toks_col), lambda x: F.array_contains(arr, x))),
+        )
+    return frame
+
+
+def predicted_lang_expr() -> F.Column:
+    """Argmax over the ``hits_<lang>`` columns with fixed precedence
+    (deterministic ties) — evaluate on a frame produced by
+    :func:`lang_hit_columns`."""
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in _LANG_ORDER])
+    pred = F.when(best == 0, F.lit("unknown"))
+    for i, lang in enumerate(_LANG_ORDER[:-1]):
+        rest_cols = [F.col(f"hits_{x}") for x in _LANG_ORDER[i + 1 :]]
+        rest = rest_cols[0] if len(rest_cols) == 1 else F.greatest(*rest_cols)
+        pred = pred.when(F.col(f"hits_{lang}") >= rest, F.lit(lang))
+    return pred.otherwise(F.lit(_LANG_ORDER[-1]))
+
+
 @register(
     "t02_language_id",
     f"""
@@ -184,21 +210,9 @@ def t02_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled ``lang`` column."""
     docs = read_table(spark, sf_dir, "documents")
     toks = tokens(F.lower(F.col("text")))
-    t = docs.select("lang", toks.alias("toks"))
-    for lang, markers in _MARKERS.items():
-        arr = F.array(*[F.lit(m) for m in markers])
-        t = t.withColumn(
-            f"hits_{lang}", F.size(F.filter(F.col("toks"), lambda x: F.array_contains(arr, x)))
-        )
-    best = F.greatest(*[F.col(f"hits_{lang}") for lang in _LANG_ORDER])
-    pred = F.when(best == 0, F.lit("unknown"))
-    for i, lang in enumerate(_LANG_ORDER[:-1]):
-        rest_cols = [F.col(f"hits_{x}") for x in _LANG_ORDER[i + 1 :]]
-        rest = rest_cols[0] if len(rest_cols) == 1 else F.greatest(*rest_cols)
-        pred = pred.when(F.col(f"hits_{lang}") >= rest, F.lit(lang))
-    pred = pred.otherwise(F.lit(_LANG_ORDER[-1]))
+    t = lang_hit_columns(docs.select("lang", toks.alias("toks")))
     return (
-        t.withColumn("predicted_lang", pred)
+        t.withColumn("predicted_lang", predicted_lang_expr())
         .groupBy("lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
