@@ -1492,3 +1492,140 @@ def test_cadence_drives_available_now_stream(spark, tmp_path):
     assert {r["k"] for r in spark.read.parquet(out).collect()} == {"a", "b"}
     assert run_due_jobs([job], state, now=dt.datetime(2026, 8, 16, 2, 0, tzinfo=tz))
     assert {r["k"] for r in spark.read.parquet(out).collect()} == {"a", "b", "c"}
+
+
+def test_nightly_ops_recipe_two_days_with_missed_slot(spark, tmp_path):
+    """r8 verdict item 7 — run_due_jobs wired to the REAL jobs as the
+    documented nightly-ops recipe, on the reference's 02:00/14:00/
+    18:00 cadence (monitoring_system.py:63-71) against a tmp-dir
+    lake, through two simulated days including a missed slot:
+
+    - 02:00 ``compact_minhash_index`` (text-index small-file upkeep);
+    - 14:00 partitioned-merge maintenance (an AvailableNow drive of
+      the bucketed MERGE sink over the staged wave dir, resuming the
+      SAME checkpoint each night);
+    - 18:00 quota rollup (A14's batch twin: per-day/event-type
+      counts+sums, idempotent overwrite).
+
+    Asserts: the first tick runs everything (startup rule), each slot
+    fires exactly once (re-ticks are no-ops), the missed 18:00 slot
+    catches up ONCE hours later, and after two days the lake is
+    CORRECT — compacted index probes equal a fresh build, the merge
+    target reflects the latest wave, the rollup equals the batch
+    truth."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from trendr_data_pipeline_spark.io import read_table
+    from trendr_data_pipeline_spark.operators.text_index import (
+        compact_minhash_index,
+        extend_minhash_index,
+        minhash_probe,
+        write_minhash_index,
+    )
+    from trendr_data_pipeline_spark.streaming.cadence import CadenceJob, run_due_jobs
+    from trendr_data_pipeline_spark.streaming.jobs import (
+        partitioned_merge_sink,
+        read_merge_target,
+    )
+
+    docs = read_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "mh_idx")
+    write_minhash_index(docs.filter(F.col("doc_id") % 3 == 0), idx)
+
+    waves = _wave_dir(tmp_path)
+    target = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ck")
+    quota_out = str(tmp_path / "quota")
+    state = str(tmp_path / "cadence")
+    events = read_table(spark, SMOKE_SF, "events")
+    t0 = dt.datetime(2025, 3, 1)
+    _write_wave(spark, waves, 1, [(f"k{i}", t0, float(i)) for i in range(30)])
+
+    runs = {"compact": 0, "merge": 0, "quota": 0}
+
+    def compact_job():
+        runs["compact"] += 1
+        compact_minhash_index(idx, max_files_per_group=2)
+
+    def merge_job():
+        runs["merge"] += 1
+        q = partitioned_merge_sink(
+            _kv_stream(spark, waves), target, key="k", version_col="ts",
+            checkpoint_dir=ckpt, buckets=4,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def quota_job():
+        runs["quota"] += 1
+        (
+            events.groupBy(
+                F.to_date("ts").alias("day"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(28,6)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .write.mode("overwrite")
+            .parquet(quota_out)
+        )
+
+    jobs = [
+        CadenceJob("nightly_compact", compact_job, daily_at="02:00"),
+        CadenceJob("merge_maintenance", merge_job, daily_at="14:00"),
+        CadenceJob("quota_rollup", quota_job, daily_at="18:00"),
+    ]
+    day1 = dt.datetime(2026, 3, 1)
+
+    def tick(hh, mm, day=day1):
+        return run_due_jobs(jobs, state, now=day.replace(hour=hh, minute=mm))
+
+    # first tick: never-ran startup → everything fires once
+    assert tick(1, 0) == ["nightly_compact", "merge_maintenance", "quota_rollup"]
+    # grow the index so the 02:00 compaction has real work
+    for rem in (1, 2):
+        extend_minhash_index(docs.filter(F.col("doc_id") % 3 == rem), idx)
+    assert tick(2, 5) == ["nightly_compact"]
+    assert tick(2, 6) == []  # re-tick inside the slot: no-op
+    # stage tonight's upsert wave, then the 14:00 maintenance applies it
+    _write_wave(spark, waves, 2, [("k7", t0 + dt.timedelta(days=1), 777.0)])
+    assert tick(14, 3) == ["merge_maintenance"]
+    got = {r["k"]: r["v"] for r in read_merge_target(spark, target).collect()}
+    assert got["k7"] == 777.0 and got["k3"] == 3.0
+    # the 18:00 slot is MISSED (scheduler down); a late tick catches
+    # up exactly once
+    assert tick(22, 47) == ["quota_rollup"]
+    assert tick(23, 0) == []
+    # ---- day 2 ----
+    day2 = day1 + dt.timedelta(days=1)
+    assert tick(2, 1, day2) == ["nightly_compact"]
+    assert tick(2, 2, day2) == []
+    assert runs == {"compact": 3, "merge": 2, "quota": 2}
+    # lake correctness after the cycle: compacted index == fresh build
+    fresh = str(tmp_path / "fresh")
+    write_minhash_index(docs, fresh)
+    probes = docs.filter(F.col("doc_id") % 10 == 0)
+    got_p = sorted(tuple(r) for r in minhash_probe(probes, idx, threshold=0.8).collect())
+    want_p = sorted(tuple(r) for r in minhash_probe(probes, fresh, threshold=0.8).collect())
+    assert got_p == want_p and got_p
+    # rollup equals the batch truth
+    want_q = {
+        (r["day"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in events.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_value"),
+        )
+        .collect()
+    }
+    got_q = {
+        (r["day"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(quota_out).collect()
+    }
+    assert got_q == want_q

@@ -24,6 +24,16 @@ An external ``* * * * *`` cron entry calling this tick reproduces the
 reference's loop exactly (it polled every 60 s); the tick itself is
 idempotent within a schedule slot — re-invocations between due times
 are no-ops, which is what makes at-least-once cron delivery safe.
+
+The documented NIGHTLY-OPS RECIPE (r9) wires this to the real
+maintenance jobs on the reference's 02:00/14:00/18:00 cadence
+(monitoring_system.py:63-71): text-index compaction
+(``compact_minhash_index``), partitioned-merge maintenance (an
+AvailableNow drive of the bucketed MERGE sink resuming its
+checkpoint), and the A14 quota rollup (idempotent overwrite) —
+exercised end-to-end through two simulated days including a missed
+slot in tests/test_streaming.py::
+test_nightly_ops_recipe_two_days_with_missed_slot.
 """
 
 from __future__ import annotations
