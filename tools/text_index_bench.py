@@ -10,6 +10,21 @@ regime: the increment stays fixed, corpus compute is what the index
 amortizes away). Writes nothing; prints wall times + the
 result-parity check. The SCALING.md "persisted text index" section
 records the output.
+
+Second mode (r9, verdict item 6) — the REALISTIC skew regime::
+
+    python tools/text_index_bench.py synthetic [scale ...]
+
+Replication keeps near-dup density artificially high (every replica
+is an exact dup, so candidate volume grows WITH the corpus and
+compresses the ratio). The synthetic mode instead generates a corpus
+of hash-unique documents (cross-doc Jaccard ≈ 0 — near-dup density
+≪ 1/doc, the deduplicated-production-corpus shape), scales IT by
+``scale`` while holding the increment constant at 500 docs (with 50
+planted near-dups so parity is checkable), and prints
+probe-vs-recompute at each scale. Signing the corpus dominates the
+recompute path, so the ratio should GROW with corpus size — the
+claim SCALING.md's "skewed corpus:increment" row records.
 """
 
 from __future__ import annotations
@@ -23,7 +38,107 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 
+def _synthetic_docs(spark, n: int, salt: str, id_offset: int = 0):
+    """n hash-unique docs, 40 tokens each drawn from a 16^6 token
+    space — cross-doc Jaccard ≈ 0, generated JVM-side (no driver
+    loop, no fixture writes)."""
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        (F.col("id") + id_offset).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(39)),
+                lambda j: F.concat(
+                    F.lit("w"),
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(salt),
+                                F.col("id").cast("string"),
+                                F.lit("-"),
+                                j.cast("string"),
+                            )
+                        ),
+                        1,
+                        6,
+                    ),
+                ),
+            ),
+        ).alias("text"),
+    )
+
+
+def synthetic_mode(scales: list[int]) -> int:
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from trendr_data_pipeline_spark.operators.dedup import minhash_lsh_topk_join
+    from trendr_data_pipeline_spark.operators.text_index import (
+        minhash_probe,
+        write_minhash_index,
+    )
+    from trendr_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("text-index-bench-syn")
+    base_n, inc_n, planted = 5_000, 500, 50
+    thr = 0.8
+    print(f"synthetic mode: base={base_n} increment={inc_n} planted={planted} thr={thr}")
+    for scale in scales:
+        n = base_n * scale
+        corpus = _synthetic_docs(spark, n, "c").localCheckpoint(eager=True)
+        # constant increment: 450 unique docs + 50 one-token-perturbed
+        # near-dups of corpus docs (J = 39/41 ≈ 0.95 ≥ thr)
+        uniq = _synthetic_docs(spark, inc_n - planted, "i", id_offset=100_000_000)
+        near = (
+            corpus.filter(F.col("doc_id") % (n // planted) == 0)
+            .limit(planted)
+            .select(
+                (F.col("doc_id") + 200_000_000).alias("doc_id"),
+                F.concat(
+                    F.expr(
+                        "substring(text, 1, length(text) - 7)"
+                    ),
+                    F.lit(" zz9end"),
+                ).alias("text"),
+            )
+        )
+        incoming = uniq.unionByName(near).localCheckpoint(eager=True)
+        with tempfile.TemporaryDirectory() as d:
+            idx = f"{d}/mh_idx"
+            t0 = time.time()
+            write_minhash_index(corpus, idx)
+            t_build = time.time() - t0
+            spark.catalog.clearCache()
+            t0 = time.time()
+            got = {
+                tuple(r) for r in minhash_probe(incoming, idx, thr, k=20).collect()
+            }
+            t_probe = time.time() - t0
+            spark.catalog.clearCache()
+            t0 = time.time()
+            want = {
+                tuple(r)
+                for r in minhash_lsh_topk_join(incoming, corpus, thr, k=20).collect()
+            }
+            t_full = time.time() - t0
+            ratio = t_full / t_probe if t_probe > 0 else float("inf")
+            print(
+                f"scale={scale:>3} corpus={n:>7} build={t_build:6.2f}s "
+                f"probe={t_probe:6.2f}s recompute={t_full:6.2f}s "
+                f"ratio={ratio:5.2f}x pairs={len(got)} "
+                f"parity={'OK' if got == want else 'MISMATCH'}"
+            )
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "synthetic":
+        scales = [int(x) for x in sys.argv[2:]] or [1, 4, 16]
+        return synthetic_mode(scales)
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     thr = float(sys.argv[2]) if len(sys.argv) > 2 else 0.8
     replicate = int(sys.argv[3]) if len(sys.argv) > 3 else 1
