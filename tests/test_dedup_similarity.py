@@ -1305,3 +1305,33 @@ def test_maximal_runs_min_count_and_edges(spark):
     assert got3 == [(1, 6, 10, 5), (3, 1, 5, 5), (4, 3, 7, 5)]
     with _pytest.raises(ValueError):
         maximal_duplicated_runs(df, min_len=1)
+
+
+def test_maximal_runs_property_random_corpora(spark):
+    """Property fuzz: ⊕D18 equals the pure-Python suffix/LCP oracle on
+    random tiny corpora over a 3-token alphabet — the densest-overlap
+    regime, where run merging, occurrence-grain duplication and
+    boundary truncation all interact."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from trendr_data_pipeline_spark.operators.dedup import maximal_duplicated_runs
+
+    word = st.sampled_from(["aa", "bb", "cc"])
+    doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+    @given(texts=st.lists(doc, min_size=1, max_size=5), L=st.integers(2, 4))
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def inner(texts, L):
+        docs = {i: t for i, t in enumerate(texts)}
+        df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+        got = sorted(
+            tuple(r) for r in maximal_duplicated_runs(df, min_len=L).collect()
+        )
+        assert got == _suffix_oracle_runs(docs, L), (texts, L)
+
+    inner()

@@ -215,7 +215,7 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     ent = token_entropy(docs).select("doc_id", "entropy")
     j = (
         feat.join(F.broadcast(dupfp), "fp", "left")
-        .join(nd_ids, "doc_id", "left")
+        .join(F.broadcast(nd_ids), "doc_id", "left")
         .join(contam, "doc_id", "left")
         .join(ent, "doc_id", "left")
         .select(
