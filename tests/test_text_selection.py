@@ -392,3 +392,66 @@ def test_data_card_rollup_consistency(spark):
     assert tot["exact_dup_rate"] > 0
     assert tot["near_dup_rate_sampled"] > 0
     assert tot["mean_quality"] and tot["mean_entropy"]
+
+
+def test_write_training_shards_layout_order_and_rerun(spark, tmp_path):
+    """⊕D17's materialization: out_dir/shard=N/ dirs, rows readable in
+    position order file-by-file (part files pos-range-disjoint, order
+    preserved within each), content equals shuffle_shards exactly,
+    and an overwrite rerun reproduces identical content (the
+    permutation is a pure function of salt+keys)."""
+    import os
+
+    from trendr_data_pipeline_spark.io import read_table
+    from trendr_data_pipeline_spark.operators.sampling import (
+        shuffle_shards,
+        write_training_shards,
+    )
+
+    docs = read_table(spark, SMOKE_SF, "documents").select("doc_id", "lang")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=8, max_records_per_file=16)
+    want = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shuffle_shards(docs, n_shards=8).select("doc_id", "shard", "pos").collect()
+    }
+
+    def read_back():
+        got = set()
+        shard_dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+        assert len(shard_dirs) == 8
+        for d in shard_dirs:
+            shard = int(d.split("=")[1])
+            files = sorted(
+                f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")
+            )
+            # read file-by-file: order within a file + range-disjoint
+            # files == the shard's position order
+            import pyarrow.parquet as pq
+
+            ranges = []
+            for f in files:
+                t = pq.read_table(os.path.join(out, d, f))
+                poses = t.column("pos").to_pylist()
+                ids = t.column("doc_id").to_pylist()
+                assert poses == sorted(poses), (d, f)
+                ranges.append((min(poses), max(poses)))
+                got.update((i, shard, p) for i, p in zip(ids, poses))
+            # files are pos-range-disjoint, so sorted-by-name read
+            # order can be made a full replay by range sort
+            ranges.sort()
+            flat = [b for r in ranges for b in r]
+            assert flat == sorted(flat), (d, ranges)
+        return got
+
+    got1 = read_back()
+    assert got1 == want and got1
+    # some shard really split into multiple range-disjoint files
+    multi = [
+        d for d in os.listdir(out) if d.startswith("shard=")
+        and sum(1 for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")) > 1
+    ]
+    assert multi, "maxRecordsPerFile never split a shard"
+    # rerun-safe: overwrite reproduces the identical permutation
+    write_training_shards(docs, out, n_shards=8, max_records_per_file=16)
+    assert read_back() == want

@@ -456,3 +456,41 @@ def shuffle_shards(
         df.withColumn("shard", shard)
         .withColumn("pos", F.row_number().over(w).cast("long"))
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int = 1024,
+    key_col: str = "doc_id",
+    salt: str = "shuf",
+    max_records_per_file: int = 1 << 20,
+) -> None:
+    """Materialize :func:`shuffle_shards`' permutation as the layout a
+    training loader actually consumes: ``out_dir/shard=N/`` with rows
+    stored IN POSITION ORDER (parquet preserves row order within a
+    file, and the part files are pos-range-disjoint, so reading a
+    shard dir file-by-file replays the permutation; any prefix is an
+    unbiased corpus sample — the ⊕D17 contract, made physical).
+
+    Scale shape: the (shard, pos) projection, then ONE exchange
+    keyed on the shard id (``repartition(n_shards, shard)`` — every
+    shard's rows land in one task; hash collisions may co-locate a
+    few shards, which ``partitionBy`` then splits back into their
+    own directories), an in-task (shard, pos) sort (bounded by
+    construction: ~|corpus|/n_shards rows per shard), and a
+    ``maxRecordsPerFile``-bounded write. No driver-side loops, no
+    second shuffle: the sort reuses the exchange's partitioning.
+
+    Rerun-safe the deterministic way: the permutation is a pure
+    function of (salt, keys), so mode=overwrite rebuilds byte-equal
+    content (pytest-pinned read-back order + set equality)."""
+    sharded = shuffle_shards(df, n_shards=n_shards, key_col=key_col, salt=salt)
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )

@@ -213,8 +213,11 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=8,
     ).select("doc_id", F.col("is_contaminated").cast("int").alias("_ct"))
     ent = token_entropy(docs).select("doc_id", "entropy")
+    # dupfp is CORPUS-grain (every duplicated fingerprint) — no forced
+    # broadcast; AQE promotes it when small, shuffles on fp when not.
+    # nd_ids is bounded by the 1-in-10 sample → broadcast is safe.
     j = (
-        feat.join(F.broadcast(dupfp), "fp", "left")
+        feat.join(dupfp, "fp", "left")
         .join(F.broadcast(nd_ids), "doc_id", "left")
         .join(contam, "doc_id", "left")
         .join(ent, "doc_id", "left")
