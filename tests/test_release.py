@@ -73,3 +73,51 @@ def test_release_screen_semantics(spark, tmp_path):
     out = incremental_release_update(v1, v2, idx, threshold=0.8, n_shards=4)
     got = {r["doc_id"]: r["status"] for r in out.collect()}
     assert got == {5: "added", 7: "added", 2: "modified"}
+
+
+def test_diff_and_release_oracles_null_content_parity(spark, tmp_path):
+    """r9 review finding: md5(NULL) = NULL, so an oracle inferring
+    existence from hash nullness misclassifies NULL-content docs. The
+    fixture has no NULL texts, so the gate alone cannot catch a
+    regression here — this pins Spark vs the REGISTERED oracle
+    strings on a synthetic documents table WITH NULL texts, for both
+    c33 (diff) and c38 (release cycle)."""
+    import duckdb
+
+    from trendr_data_pipeline_spark.plans.registry import all_queries
+
+    rows = [
+        (i, None if i % 5 == 0 else f"body text number {i} with words")
+        for i in range(80)
+    ]
+    d = tmp_path / "synth"
+    d.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(d / "documents.parquet"))
+
+    qs = all_queries()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    for name in ("c33_snapshot_diff", "c38_release_cycle"):
+        got = sorted(
+            tuple(r) for r in qs[name].fn(spark, str(d)).collect()
+        )
+        want = sorted(tuple(r) for r in con.sql(qs[name].oracle).fetchall())
+        assert got == want and got, name
+        if name == "c33_snapshot_diff":
+            # NULL-content transitions classify correctly: NULL→NULL
+            # revision is UNCHANGED (absent), a re-added NULL doc is
+            # 'added' with a NULL hash
+            st = {r[0]: r[1] for r in got}
+            null_readds = [
+                i + 10_000_000 for i in range(80) if i % 13 == 0 and i % 5 == 0
+            ]
+            assert null_readds and all(st[x] == "added" for x in null_readds)
+            null_revised = [
+                i for i in range(80)
+                if i % 5 == 0 and i % 7 == 0 and i % 11 != 0 and i % 13 != 0
+            ]
+            assert null_revised and all(x not in st for x in null_revised)

@@ -125,6 +125,29 @@ def write_ivf_index(
     _atomic_write(out_dir, parts)
 
 
+def loud_long_id(col: F.Column, what: str) -> F.Column:
+    """Long id that FAILS LOUDLY on NULL or non-castable values — the
+    SINGLE home of the guard (review finding: three hand-kept copies
+    would drift like the compactors did). A silently-NULL id never
+    matches an equality join, so a removal would no-op, a probe go
+    blind, a sink replay re-add — the index contract is a non-null
+    long id, and violating rows raise instead of corrupting the
+    artifact. ``try_cast`` keeps behavior identical under ANSI on/off."""
+    casted = col.try_cast("long")
+    return (
+        F.when(
+            casted.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{what} requires a non-null long-castable doc id; got: "),
+                    F.coalesce(col.cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        )
+        .otherwise(casted)
+    )
+
+
 def _apply_id_filter(
     stored: DataFrame, filter_ids: DataFrame | None, id_col: str
 ) -> DataFrame:
@@ -738,31 +761,16 @@ def remove_from_index(
     equality), untouched files keep their inodes, second remove is a
     no-op, and removal composes with extend/compact.
 
-    Doomed ids FAIL LOUDLY on NULL or non-long-castable values (the
-    text index's ``_long_id`` device): a silently-NULL ``_rm_id``
-    never matches the equality join, so the removal would no-op and
-    the doc would STAY in the index — for a takedown verb, the worst
-    possible silent failure.
+    Doomed ids FAIL LOUDLY on NULL or non-long-castable values
+    (:func:`loud_long_id`): a silently-NULL ``_rm_id`` never matches
+    the equality join, so the removal would no-op and the doc would
+    STAY in the index — for a takedown verb, the worst possible
+    silent failure.
     """
     spark = ids.sparkSession
     _load_index(spark, index_dir, expect_kind=None, heal=True)
-    orig = F.col(id_col)
-    casted = orig.try_cast("long")
     doomed = ids.select(
-        F.when(
-            casted.isNull(),
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        f"remove_from_index requires non-null long-castable "
-                        f"{id_col}; got: "
-                    ),
-                    F.coalesce(orig.cast("string"), F.lit("NULL")),
-                )
-            ).cast("long"),
-        )
-        .otherwise(casted)
-        .alias("_rm_id")
+        loud_long_id(F.col(id_col), "remove_from_index").alias("_rm_id")
     ).distinct()
     _pruned_remove(
         spark,

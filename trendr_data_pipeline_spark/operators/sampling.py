@@ -469,9 +469,11 @@ def write_training_shards(
     """Materialize :func:`shuffle_shards`' permutation as the layout a
     training loader actually consumes: ``out_dir/shard=N/`` with rows
     stored IN POSITION ORDER (parquet preserves row order within a
-    file, and the part files are pos-range-disjoint, so reading a
-    shard dir file-by-file replays the permutation; any prefix is an
-    unbiased corpus sample — the ⊕D17 contract, made physical).
+    file, and the part files are pos-range-disjoint, so a loader that
+    orders a shard's files by their pos ranges — NOT by filename,
+    whose ``c999``/``c1000`` counters sort lexicographically — replays
+    the permutation exactly; any prefix is an unbiased corpus sample,
+    the ⊕D17 contract made physical).
 
     Scale shape: the (shard, pos) projection, then ONE exchange
     keyed on the shard id (``repartition(n_shards, shard)`` — every

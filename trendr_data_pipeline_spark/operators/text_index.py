@@ -65,26 +65,12 @@ _TOKENIZERS = {"words": token_set, "shingles": shingle_set}
 
 
 def _long_id(col: F.Column, what: str) -> F.Column:
-    """Long doc id that FAILS LOUDLY on NULL or non-castable values
-    (same device as index_store._apply_id_filter, review finding): a
-    silently-NULL id would be unremovable (equality joins never match
-    NULL), invisible to probes, and re-added on every sink replay
-    (the skip_existing anti-join is null-unsafe) — the index contract
-    is a non-null long id, so violating rows raise instead of
-    corrupting the artifact."""
-    casted = col.try_cast("long")
-    return (
-        F.when(
-            casted.isNull(),
-            F.raise_error(
-                F.concat(
-                    F.lit(f"{what} requires a non-null long-castable doc id; got: "),
-                    F.coalesce(col.cast("string"), F.lit("NULL")),
-                )
-            ).cast("long"),
-        )
-        .otherwise(casted)
-    )
+    """Alias for the SHARED loud-cast guard (r9 review finding: three
+    hand-kept copies of the device would drift like the compactors
+    did) — see :func:`index_store.loud_long_id` for the contract."""
+    from .index_store import loud_long_id
+
+    return loud_long_id(col, what)
 
 
 def _sign(

@@ -34,26 +34,21 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..io import read_table
 from ._numeric import DEC, sql_davg
+from .dedup_ops import _SQL_TOKSET
 from .registry import _REGISTRY, register
-from .release_ops import _HF
+from .release_ops import SQL_SPLIT_CASE
 from .text_ops import _MARKERS, _SQL_QUALITY, _SQL_STOP, _SQL_TOKS
 
 #: sampled near-dup slice (the d02 incoming predicate)
 _ND_MOD = 10
 _LOW_H = 2.9
 
-_SQL_TOKSET_CARD = (
-    "list_sort(list_distinct(list_filter("
-    "regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)))"
-)
-
-_SQL_SPLIT_CASE = f"""CASE
-             WHEN {_HF.format(salt="split", id="doc_id")} / 4294967296.0 < 0.8
-                 THEN 'train'
-             WHEN {_HF.format(salt="split", id="doc_id")} / 4294967296.0 < 0.9
-                 THEN 'val'
-             ELSE 'test'
-           END"""
+# the card's dup legs claim to reuse d01/d02 machinery VERBATIM — so
+# the token-set fragment and the split CASE are imported, not
+# re-declared (review finding: a byte-copy silently keeps a stale
+# tokenizer if dedup_ops ever adjusts its _SQL_TOKSET)
+_SQL_TOKSET_CARD = _SQL_TOKSET
+_SQL_SPLIT_CASE = SQL_SPLIT_CASE
 
 _LANG_HITS_SQL = ",\n               ".join(
     f"len(list_filter(toks, x -> list_contains("
@@ -182,6 +177,11 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_hits = F.size(
         F.filter(F.col("toks"), lambda x: F.array_contains(_stop_array(), x))
     )
+    # feat feeds TWO consumers — its own fingerprint aggregate (a
+    # self-join) and the final metric join — so the tokenize/md5/lang
+    # pipeline is materialized once (review finding; the d02/release
+    # persist-once posture, lifetime ends at the session's next
+    # clearCache)
     feat = feat0.select(
         "doc_id",
         "source",
@@ -193,7 +193,7 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_quality_expr(n_tok, tok_chars, stop_hits), 6),
         ).alias("quality"),
         (predicted_lang_expr() == "en").cast("int").alias("is_en"),
-    )
+    ).persist()
     dupfp = (
         feat.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_nfp"))
@@ -213,12 +213,14 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=8,
     ).select("doc_id", F.col("is_contaminated").cast("int").alias("_ct"))
     ent = token_entropy(docs).select("doc_id", "entropy")
-    # dupfp is CORPUS-grain (every duplicated fingerprint) — no forced
-    # broadcast; AQE promotes it when small, shuffles on fp when not.
-    # nd_ids is bounded by the 1-in-10 sample → broadcast is safe.
+    # dupfp and nd_ids are both corpus-FRACTION frames (every
+    # duplicated fingerprint / every sampled doc with a near-dup) —
+    # no forced broadcasts; AQE promotes them when small and degrades
+    # to keyed joins when not (review finding: a forced broadcast of
+    # either would OOM the driver at the 100 TB posture)
     j = (
         feat.join(dupfp, "fp", "left")
-        .join(F.broadcast(nd_ids), "doc_id", "left")
+        .join(nd_ids, "doc_id", "left")
         .join(contam, "doc_id", "left")
         .join(ent, "doc_id", "left")
         .select(

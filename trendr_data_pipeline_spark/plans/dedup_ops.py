@@ -684,17 +684,17 @@ def v2_snapshot(docs):
     "c33_snapshot_diff",
     f"""
     WITH v2 AS ({SQL_V2_SNAPSHOT}), o AS (
-        SELECT doc_id AS id, md5(text) AS old_hash FROM documents
+        SELECT doc_id AS id, md5(text) AS old_hash, TRUE AS in_old FROM documents
     ), n AS (
-        SELECT doc_id AS id, md5(text) AS new_hash FROM v2
+        SELECT doc_id AS id, md5(text) AS new_hash, TRUE AS in_new FROM v2
     )
     SELECT COALESCE(o.id, n.id) AS doc_id,
-           CASE WHEN old_hash IS NULL THEN 'added'
-                WHEN new_hash IS NULL THEN 'removed'
-                WHEN old_hash <> new_hash THEN 'modified' END AS status,
+           CASE WHEN in_old IS NULL THEN 'added'
+                WHEN in_new IS NULL THEN 'removed'
+                WHEN old_hash IS DISTINCT FROM new_hash THEN 'modified' END AS status,
            old_hash, new_hash
     FROM o FULL OUTER JOIN n ON o.id = n.id
-    WHERE (old_hash IS NULL) OR (new_hash IS NULL) OR (old_hash <> new_hash)
+    WHERE in_old IS NULL OR in_new IS NULL OR old_hash IS DISTINCT FROM new_hash
     """,
     doc="""Dataset-version diff (⊕, r7 — the audit step between two
     corpus releases, the Delta/LakeFS data-versioning practice as a

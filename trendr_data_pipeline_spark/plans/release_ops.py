@@ -37,18 +37,32 @@ from .registry import register
 #: md5 hash-fraction (c34's split device) over a given id expression
 _HF = "(('0x' || substr(md5('{salt}' || CAST({id} AS VARCHAR)), 1, 8))::BIGINT)"
 
+#: c34's split CASE, single SQL home (shared with the c40 data card —
+#: review finding: two hand-kept copies of the split cuts would let
+#: the gates disagree about split membership with no test linking them)
+SQL_SPLIT_CASE = f"""CASE
+             WHEN {_HF.format(salt="split", id="doc_id")} / 4294967296.0 < 0.8
+                 THEN 'train'
+             WHEN {_HF.format(salt="split", id="doc_id")} / 4294967296.0 < 0.9
+                 THEN 'val'
+             ELSE 'test'
+           END"""
+
 _SQL_RELEASE = f"""
     WITH v2 AS ({SQL_V2_SNAPSHOT}
     ), o AS (
-        SELECT doc_id AS id, md5(text) AS old_hash FROM documents
+        SELECT doc_id AS id, md5(text) AS old_hash, TRUE AS in_old FROM documents
     ), n AS (
-        SELECT doc_id AS id, md5(text) AS new_hash FROM v2
+        SELECT doc_id AS id, md5(text) AS new_hash, TRUE AS in_new FROM v2
     ), changed AS (
+        -- existence via explicit flags + null-safe hash compare, the
+        -- Spark snapshot_diff contract: md5(NULL) = NULL would
+        -- misclassify NULL-content docs under hash-nullness inference
         SELECT COALESCE(o.id, n.id) AS doc_id,
-               CASE WHEN old_hash IS NULL THEN 'added' ELSE 'modified' END AS status
+               CASE WHEN in_old IS NULL THEN 'added' ELSE 'modified' END AS status
         FROM o FULL OUTER JOIN n ON o.id = n.id
-        WHERE new_hash IS NOT NULL
-          AND (old_hash IS NULL OR old_hash <> new_hash)
+        WHERE in_new IS NOT NULL
+          AND (in_old IS NULL OR old_hash IS DISTINCT FROM new_hash)
     ), t AS (
         SELECT doc_id AS id, {_SQL_TOKSET} AS toks FROM v2
         WHERE len({_SQL_TOKSET}) > 0
@@ -69,12 +83,7 @@ _SQL_RELEASE = f"""
         WHERE d.id_a IS NULL
     )
     SELECT doc_id, status,
-           CASE WHEN {_HF.format(salt="split", id="doc_id")} / 4294967296.0 < 0.8
-                    THEN 'train'
-                WHEN {_HF.format(salt="split", id="doc_id")} / 4294967296.0 < 0.9
-                    THEN 'val'
-                ELSE 'test'
-           END AS split,
+           {SQL_SPLIT_CASE} AS split,
            {_HF.format(salt="shuf", id="doc_id")} % 8 AS shard,
            CAST(ROW_NUMBER() OVER (
                PARTITION BY {_HF.format(salt="shuf", id="doc_id")} % 8
