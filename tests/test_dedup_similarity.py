@@ -1335,3 +1335,37 @@ def test_maximal_runs_property_random_corpora(spark):
         assert got == _suffix_oracle_runs(docs, L), (texts, L)
 
     inner()
+
+
+def test_run_removal_grain_consistency_with_maximal_runs(spark):
+    """d13 (remove_duplicated_spans) at window n == c39's L removes
+    exactly ⊕D18's covered positions minus the owner-kept ones — the
+    two operators are the measure/rewrite pair at the SAME grain, so
+    their position sets must reconcile: every doc's n_removed ≤ its
+    total run coverage, and a doc with no runs loses nothing."""
+    from trendr_data_pipeline_spark.operators.dedup import (
+        maximal_duplicated_runs,
+        remove_duplicated_spans,
+    )
+
+    L = 5
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    docs = [
+        (1, f"u1 u2 {shared}"),
+        (2, f"{shared} v1 v2"),
+        (3, "unique w1 w2 w3 w4 w5 w6 w7"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    runs = {}
+    for r in maximal_duplicated_runs(df, min_len=L).collect():
+        runs.setdefault(r["doc_id"], 0)
+        runs[r["doc_id"]] += r["run_toks"]
+    rem = {r["doc_id"]: r for r in remove_duplicated_spans(df, n=L).collect()}
+    # doc 1 owns the shared span (min id) → keeps it; doc 2 loses
+    # exactly its covered positions; doc 3 has no runs and no removal
+    assert runs == {1: 7, 2: 7}
+    assert rem[1]["n_removed"] == 0
+    assert rem[2]["n_removed"] == 7
+    assert rem[3]["n_removed"] == 0
+    for d, covered in runs.items():
+        assert rem[d]["n_removed"] <= covered

@@ -121,3 +121,27 @@ def test_diff_and_release_oracles_null_content_parity(spark, tmp_path):
                 if i % 5 == 0 and i % 7 == 0 and i % 11 != 0 and i % 13 != 0
             ]
             assert null_revised and all(x not in st for x in null_revised)
+
+
+def test_release_cycle_empty_delta_is_noop(spark, tmp_path):
+    """v2 == v1: the diff is empty, the refresh must not swap the
+    artifact (inodes unchanged — the extend empty-no-op and remove
+    no-hit guarantees composing), and the survivor frame is empty."""
+    import os
+
+    def inodes(root):
+        out = {}
+        for r, _dirs, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(r, f)
+                    out[os.path.relpath(p, root)] = os.stat(p).st_ino
+        return out
+
+    docs = read_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    write_minhash_index(docs, idx)
+    before = inodes(idx)
+    out = incremental_release_update(docs, docs, idx, n_shards=4)
+    assert out.count() == 0
+    assert inodes(idx) == before
