@@ -155,3 +155,46 @@ def test_registry_v1_name_freeze():
     # each insertion displaces one window slot — one z-push per new
     # gate keeps every displaced (already-signed) name z-recorded
     assert len(new_gates) == len(renames), (new_gates, renames)
+
+
+def test_bench_compact_line_fits_driver_stdout_window():
+    """The driver records only the LAST 2000 chars of bench stdout
+    (r6 finding); the compact JSON line must fit or the per-query map
+    silently truncates to "parsed": null. Simulate the line exactly
+    as bench.main() prints it — id-prefix keys, worst-realistic
+    timing widths (xx.xxx per query), the current renames map and
+    harness list — and assert headroom."""
+    import json
+
+    import bench
+    import __spark_entry__ as e
+
+    names = sorted(e.queries().keys())
+    compact = {
+        "metric": "total_query_wall_time",
+        "value": 9999.999,
+        "unit": "sec",
+        "queries": {n.split("_", 1)[0]: 99.999 for n in names},
+        "reps": 3,
+        "sf": 0.1,
+        "harness_queries": [
+            n.split("_", 1)[0]
+            for n in names
+            if n.startswith(("c05_", "c18_", "c38_", "p02_", "p08_"))
+        ],
+        "operator_total": 9999.999,
+        "renames": {
+            o.split("_", 1)[0]: n.split("_", 1)[0]
+            for o, n in bench.RENAMES_R9.items()
+        },
+        "queries_key": (
+            "unique id prefix of the registry name; full names in "
+            "BENCH_local_latest.json"
+        ),
+    }
+    assert len(compact["queries"]) == len(names), "duplicate id prefix"
+    line = json.dumps(compact)
+    assert len(line) <= 1900, (
+        f"bench compact line {len(line)} chars — within 100 of the "
+        "driver's 2000-char stdout window; shorten keys or drop a field"
+    )
