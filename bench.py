@@ -161,6 +161,8 @@ RENAMES_R9: dict[str, str] = {
     "s04_haversine_bands": "zs04_haversine_bands",
     # admits c40_data_card (per-source × per-split corpus data card)
     "s02_url_functions": "zs02_url_functions",
+    # admits c41_keep_first_removal (occurrence-grain span dedup)
+    "s01_flexible_date_parse": "zs01_flexible_date_parse",
 }
 
 

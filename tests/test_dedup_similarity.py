@@ -1369,3 +1369,37 @@ def test_run_removal_grain_consistency_with_maximal_runs(spark):
     assert rem[3]["n_removed"] == 0
     for d, covered in runs.items():
         assert rem[d]["n_removed"] <= covered
+
+
+def test_keep_first_removal_occurrence_semantics(spark):
+    """⊕D19 vs d13, hand-built: (1) an INTRA-doc repeat keeps only its
+    first copy (d13 keeps both — the doc owns its own grams); (2)
+    cross-doc, the first (doc, pos) occurrence survives, later docs
+    lose theirs; (3) unique text survives untouched; (4) the kept
+    corpus contains each duplicated span's content exactly once."""
+    from trendr_data_pipeline_spark.operators.dedup import (
+        remove_duplicated_runs_keep_first,
+        remove_duplicated_spans,
+    )
+
+    L = 5
+    span = "v w x y z"
+    docs = [
+        (1, f"a1 {span} a2 {span}"),        # intra-doc repeat
+        (2, f"b1 b2 {span} b3"),            # later doc, loses its copy
+        (3, "c1 c2 c3 c4 c5 c6"),           # unique
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in remove_duplicated_runs_keep_first(df, min_len=L).collect()}
+    assert got[1]["cleaned_text"] == f"a1 {span} a2"
+    assert got[1]["n_removed"] == 5
+    assert got[2]["cleaned_text"] == "b1 b2 b3"
+    assert got[2]["n_removed"] == 5
+    assert got[3]["n_removed"] == 0 and got[3]["cleaned_text"] == "c1 c2 c3 c4 c5 c6"
+    # exactly one copy of the span text survives corpus-wide
+    assert sum(r["cleaned_text"].count(span) for r in got.values()) == 1
+    # contrast with d13's doc-owner rule: doc 1 (min id) keeps BOTH
+    # intra-doc copies
+    d13 = {r["doc_id"]: r for r in remove_duplicated_spans(df, n=L).collect()}
+    assert d13[1]["n_removed"] == 0
+    assert d13[1]["cleaned_text"].count(span) == 2

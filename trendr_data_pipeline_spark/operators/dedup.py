@@ -1122,6 +1122,17 @@ def remove_duplicated_spans(
         )
         .distinct()
     )
+    return _rebuild_without(docs, removal, id_col, text_col)
+
+
+def _rebuild_without(
+    docs: DataFrame, removal: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Shared rewrite stage of the span-removal family (d13 doc-owner
+    and c41 occurrence-owner rules): drop the ``(id, tokpos)`` rows in
+    ``removal``, rebuild each document's surviving token stream in
+    position order. One keyed exchange; no document's tokens leave
+    one reducer. Returns (id, n_tok, n_removed, cleaned_text)."""
     toks = tokens(F.lower(F.col(text_col)))
     pt = docs.select(F.col(id_col), F.posexplode(toks).alias("pos0", "tok")).select(
         F.col(id_col), (F.col("pos0") + 1).alias("tokpos"), F.col("tok")
@@ -1147,6 +1158,71 @@ def remove_duplicated_spans(
             F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+def remove_duplicated_runs_keep_first(
+    docs: DataFrame,
+    min_len: int = 12,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """⊕D19 — duplicated-span removal at OCCURRENCE grain, keep the
+    FIRST occurrence (r9; the removal twin of
+    :func:`maximal_duplicated_runs`, completing the ExactSubstr pair
+    at the paper's grain). d13 (:func:`remove_duplicated_spans`)
+    protects the minimum-id DOCUMENT wholesale, so a substring
+    repeated twice INSIDE one document keeps both copies — but
+    intra-document boilerplate repetition is exactly what Lee et al.
+    2022 flag as the memorization risk. Here ownership is the
+    lexicographically first OCCURRENCE ``(doc_id, pos)`` of each
+    duplicated ``min_len``-gram: every other occurrence's positions
+    are removed, so the corpus keeps each duplicated span's content
+    exactly once — including within a single document.
+
+    Same rewrite contract as d13: (id, n_tok, n_removed,
+    cleaned_text) on the lowercased whitespace token stream; a
+    position inside a kept (owner) occurrence survives unless some
+    OTHER duplicated gram's non-owner occurrence also covers it
+    (removal wins at overlaps — the d13 rule, occurrence edition).
+
+    Scale shape — identical to d13 plus one constant: positional
+    64-bit gram hashes (one Arrow pass), owner occurrence from ONE
+    map-side-combined min on the composite key ``doc·2³¹ + pos``
+    (injective while pos < 2³¹ — guarded), removal via the gram-keyed
+    join (never doc×doc), shared :func:`_rebuild_without` rewrite.
+    """
+    if min_len < 2:
+        raise ValueError("min_len must be >= 2")
+    key = F.col(id_col).cast("long") * F.lit(1 << 31) + F.col("pos")
+    grams = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(
+                word_ngram_hashes(F.col(text_col), min_len, positional=True)
+            ).alias("pos0", "gram"),
+        )
+        .select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), F.col("gram"))
+        .withColumn("okey", key)
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("okey").alias("owner_key"))
+        .filter(F.col("cnt") >= min_count)
+        .select("gram", "owner_key")
+    )
+    removal = (
+        grams.join(dup, "gram")
+        .filter(F.col("okey") != F.col("owner_key"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + min_len - 1)
+            ).alias("tokpos"),
+        )
+        .distinct()
+    )
+    return _rebuild_without(docs, removal, id_col, text_col)
 
 
 def winnow_fingerprints(

@@ -760,3 +760,58 @@ def c39_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_duplicated_runs(
         read_table(spark, sf_dir, "documents"), min_len=_C39_L
     )
+
+
+@register(
+    "c41_keep_first_removal",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_SQL_TOKS_DEDUP} AS toks FROM documents
+    ), g AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(toks[i:i+{_C39_L - 1}], ' ') AS gram
+        FROM t CROSS JOIN UNNEST(range(1, greatest(len(toks) - {_C39_L - 2}, 1))) AS r(i)
+        WHERE len(toks) >= {_C39_L}
+    ), dup AS (
+        SELECT gram, MIN(doc_id * 2147483648 + pos) AS owner_key
+        FROM g GROUP BY gram HAVING COUNT(*) >= 2
+    ), removal AS (
+        SELECT DISTINCT g.doc_id, g.pos + j AS tokpos
+        FROM g JOIN dup USING (gram)
+        CROSS JOIN UNNEST(range({_C39_L})) AS rr(j)
+        WHERE g.doc_id * 2147483648 + g.pos <> dup.owner_key
+    ), pt AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS tokpos, toks[i] AS tok
+        FROM t CROSS JOIN UNNEST(range(1, len(toks) + 1)) AS r(i)
+    ), kept AS (
+        SELECT pt.doc_id, pt.tokpos, pt.tok
+        FROM pt ANTI JOIN removal USING (doc_id, tokpos)
+    ), rebuilt AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY tokpos) AS cleaned_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tok,
+           CAST(len(t.toks) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.cleaned_text, '') AS cleaned_text
+    FROM t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    doc="""Keep-FIRST-occurrence span removal (⊕D19, r9 — the removal
+    twin of c39 at ExactSubstr's occurrence grain): each duplicated
+    ≥12-token gram keeps only its lexicographically first (doc, pos)
+    occurrence; every other occurrence's positions are deleted and
+    the full rewritten text of every document is hash-gated (the c25
+    device). The semantics d13's doc-owner rule cannot express:
+    intra-document repeats get deduplicated too (the memorization
+    boilerplate case), and cross-document the FIRST copy survives
+    rather than the whole min-id document. Composite occurrence key
+    doc·2³¹+pos — injective, order-preserving, identical in both
+    engines.""",
+)
+def c41_keep_first_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import remove_duplicated_runs_keep_first
+
+    return remove_duplicated_runs_keep_first(
+        read_table(spark, sf_dir, "documents"), min_len=_C39_L
+    )

@@ -31,7 +31,7 @@ _MONTH_ABBR = ["jan", "feb", "mar", "apr", "may", "jun", "jul", "aug", "sep", "o
 
 
 @register(
-    "s01_flexible_date_parse",
+    "zs01_flexible_date_parse",
     f"""
     WITH s AS (
         SELECT o_orderkey,
