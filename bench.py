@@ -163,6 +163,8 @@ RENAMES_R9: dict[str, str] = {
     "s02_url_functions": "zs02_url_functions",
     # admits c41_keep_first_removal (occurrence-grain span dedup)
     "s01_flexible_date_parse": "zs01_flexible_date_parse",
+    # admits c42_bm25_topk (Okapi BM25 ranked retrieval)
+    "r04_novelty_scores": "zr04_novelty_scores",
 }
 
 

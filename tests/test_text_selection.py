@@ -455,3 +455,59 @@ def test_write_training_shards_layout_order_and_rerun(spark, tmp_path):
     # rerun-safe: overwrite reproduces the identical permutation
     write_training_shards(docs, out, n_shards=8, max_records_per_file=16)
     assert read_back() == want
+
+
+def test_bm25_topk_python_oracle_and_ranking(spark, tmp_path):
+    """⊕T23 vs a pure-Python Okapi BM25 (same k1/b/idf/quantization)
+    on a hand corpus, plus the ranking property that motivates BM25
+    over raw TF: sharing a RARE term beats sharing a common one, and
+    term-frequency saturation caps long-doc domination."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from trendr_data_pipeline_spark.plans.registry import all_queries
+
+    texts = {
+        0: "zebra quantum common alpha beta",      # query doc (0 % 100 == 0)
+        1: "zebra delta epsilon theta",            # shares ONE rare term
+        2: "common kappa common lam common",       # shares ONE common term
+        3: "quantum flux sigma common",            # rare 'quantum' + common
+        4: "entirely different common vocabulary", # common only
+    }
+    d = tmp_path / "synth"
+    d.mkdir()
+    spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+
+    got = {
+        (r["query_id"], r["doc_id"]): (r["bm25"], r["rk"])
+        for r in all_queries()["c42_bm25_topk"].fn(spark, str(d)).collect()
+    }
+
+    toks = {i: t.split() for i, t in texts.items()}
+    N = len(toks)
+    avgdl = sum(len(w) for w in toks.values()) / N
+    df = Counter(tok for w in toks.values() for tok in set(w))
+
+    def bm25(q, doc):
+        s = Decimal(0)
+        tf = Counter(toks[doc])
+        for tok in set(toks[q]):
+            if tf[tok] == 0:
+                continue
+            idf = math.log(1.0 + (N - df[tok] + 0.5) / (df[tok] + 0.5))
+            c = idf * (tf[tok] * (1.2 + 1.0)) / (
+                tf[tok] + 1.2 * (1.0 - 0.75 + 0.75 * len(toks[doc]) / avgdl)
+            )
+            s += Decimal(str(round(c, 9)))
+        return round(float(s), 6)
+
+    want_scores = {d_: bm25(0, d_) for d_ in (1, 2, 3, 4) if bm25(0, d_) > 0}
+    assert {k[1]: v[0] for k, v in got.items()} == want_scores
+    # rare-term matches outrank the common-term-only match
+    assert got[(0, 1)][0] > got[(0, 2)][0]
+    assert got[(0, 3)][0] > got[(0, 2)][0]
+    # self never returned
+    assert (0, 0) not in got

@@ -392,7 +392,7 @@ def r03_decision_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "r04_novelty_scores",
+    "zr04_novelty_scores",
     """
     WITH place AS (
         SELECT p_partkey,

@@ -755,6 +755,123 @@ _SQL_TFIDF = f"""
 """
 
 
+_SQL_BM25 = f"""
+    WITH t AS (
+        SELECT doc_id, UNNEST({_SQL_TOKS}) AS tok FROM documents
+    ), tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY doc_id, tok
+    ), dl AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM t GROUP BY doc_id
+    ), dfreq AS (
+        SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ), q AS (
+        SELECT DISTINCT doc_id AS query_id, tok FROM t WHERE doc_id % 100 = 0
+    ), contrib AS (
+        SELECT q.query_id, tf.doc_id,
+               ROUND(
+                   ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * (tf.tf * (1.2 + 1.0))
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)),
+               9) AS c
+        FROM q
+        JOIN tf ON q.tok = tf.tok AND q.query_id <> tf.doc_id
+        JOIN dl ON tf.doc_id = dl.doc_id
+        JOIN dfreq ON q.tok = dfreq.tok
+        CROSS JOIN stats
+    ), scored AS (
+        SELECT query_id, doc_id,
+               ROUND(CAST(SUM(CAST(c AS DECIMAL(28,9))) AS DOUBLE), 6) AS bm25
+        FROM contrib GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, bm25, rk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY bm25 DESC, doc_id ASC) AS rk
+        FROM scored
+    ) WHERE rk <= 10
+"""
+
+
+@register(
+    "c42_bm25_topk",
+    _SQL_BM25,
+    doc="""BM25 top-k retrieval (⊕T23, r9 — the ranked-retrieval twin
+    of x07's TF-IDF, the scoring function quality-curation pipelines
+    use to mine similar/benchmark-like documents): for each query doc
+    (1-in-100), the top-10 corpus docs by Okapi BM25 (k1=1.2, b=0.75,
+    Lucene idf = ln(1 + (N−df+0.5)/(df+0.5)) — non-negative by
+    construction). Determinism: per-term contribution rounded to 9 dp
+    (libm ln, the x08 device), DECIMAL(28,9) accumulation, 6 dp final
+    score, doc-id tie-break. Scale shape: term-keyed inverted-index
+    join (never doc×doc; candidates bounded by Σ df over the query's
+    terms — BM25's idf already discounts the hot terms that dominate
+    that sum), doc-length side joined at doc grain, the 1-row stats
+    frame broadcast, one (query, doc) partial-agg exchange, top-k
+    window per query.""",
+)
+def c42_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    t = docs.select("doc_id", F.explode(toks).alias("tok"))
+    tf = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = t.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    q = (
+        t.filter(F.col("doc_id") % 100 == 0)
+        .select(F.col("doc_id").alias("query_id"), F.col("tok").alias("qtok"))
+        .distinct()
+    )
+    contrib = (
+        q.join(
+            tf, (F.col("qtok") == F.col("tok")) & (F.col("query_id") != F.col("doc_id"))
+        )
+        .join(dl, "doc_id")
+        .join(dfreq, "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (1.2 + 1.0))
+                / (
+                    F.col("tf")
+                    + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+                ),
+                9,
+            ).alias("c"),
+        )
+    )
+    scored = (
+        contrib.groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("c").cast("decimal(28,9)")).cast("double"), 6
+            ).alias("bm25")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "doc_id", "bm25", "rk")
+    )
+
+
 @register(
     "x07_tfidf_topk",
     _SQL_TFIDF,
