@@ -511,3 +511,42 @@ def test_bm25_topk_python_oracle_and_ranking(spark, tmp_path):
     assert got[(0, 3)][0] > got[(0, 2)][0]
     # self never returned
     assert (0, 0) not in got
+
+
+def test_bm25_df_cap_prunes_hot_terms_exactly(spark, tmp_path):
+    """The df_cap scale lever: capped == uncapped when every SHARED
+    term sits under the cap; a cap below a hot term's df drops
+    exactly that term's contributions (scores shrink by its per-doc
+    term contribution, never by more), and the prune reaches the
+    candidate join (capped terms produce NO candidate rows)."""
+    from trendr_data_pipeline_spark.plans.text_ops import bm25_topk
+
+    from pyspark.sql import functions as F
+
+    texts = {
+        0: "zebra hot alpha",
+        1: "zebra hot beta beta",
+        2: "hot gamma delta",
+        3: "hot epsilon zeta",
+        4: "hot eta theta",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    pred = F.col("doc_id") == 0
+    full = {
+        (r["query_id"], r["doc_id"]): r["bm25"]
+        for r in bm25_topk(df, pred, k=10).collect()
+    }
+    # cap=5 keeps everything ('hot' df=5 == cap) → identical
+    same = {
+        (r["query_id"], r["doc_id"]): r["bm25"]
+        for r in bm25_topk(df, pred, k=10, df_cap=5).collect()
+    }
+    assert same == full
+    # cap=2 drops 'hot' (df=5): docs sharing ONLY 'hot' vanish from
+    # the candidates entirely; doc 1 keeps just its 'zebra' term
+    capped = {
+        (r["query_id"], r["doc_id"]): r["bm25"]
+        for r in bm25_topk(df, pred, k=10, df_cap=2).collect()
+    }
+    assert set(capped) == {(0, 1)}
+    assert 0 < capped[(0, 1)] < full[(0, 1)]

@@ -813,20 +813,48 @@ _SQL_BM25 = f"""
     window per query.""",
 )
 def c42_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(
+        read_table(spark, sf_dir, "documents"), F.col("doc_id") % 100 == 0, k=10
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_pred,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Parameterized BM25 body behind c42 (see the gate doc).
+
+    ``df_cap`` is the 100 TB lever the gate leaves off: the
+    inverted-index join's candidate volume is Σ df(term) over the
+    query's terms, and on a Zipf vocabulary that sum is dominated by
+    stop-grade terms whose idf is already ≈ 0 — pruning terms with
+    df > df_cap bounds candidates at |q_terms|·df_cap with a
+    PROVABLE score error: each dropped term contributes at most
+    idf(df_cap)·(k1+1) = ln(1+(N−df_cap+0.5)/(df_cap+0.5))·(k1+1),
+    which → 0 as df_cap → N/2 (the WAND/stopword-pruning practice,
+    with the error bound made explicit). Capped and uncapped agree
+    exactly on corpora whose shared terms all sit under the cap
+    (pytest-pinned).
+    """
     from pyspark.sql.window import Window
 
-    docs = read_table(spark, sf_dir, "documents")
     toks = tokens(F.lower(F.col("text")))
     t = docs.select("doc_id", F.explode(toks).alias("tok"))
     tf = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dl = t.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    if df_cap is not None:
+        dfreq = dfreq.filter(F.col("df") <= df_cap)
     stats = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     q = (
-        t.filter(F.col("doc_id") % 100 == 0)
+        t.filter(query_pred)
         .select(F.col("doc_id").alias("query_id"), F.col("tok").alias("qtok"))
         .distinct()
     )
@@ -835,6 +863,8 @@ def c42_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             tf, (F.col("qtok") == F.col("tok")) & (F.col("query_id") != F.col("doc_id"))
         )
         .join(dl, "doc_id")
+        # inner join: with df_cap set, capped terms vanish HERE — the
+        # prune reaches the candidate join, not a post-filter
         .join(dfreq, "tok")
         .crossJoin(F.broadcast(stats))
         .select(
@@ -845,10 +875,10 @@ def c42_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     1.0
                     + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
                 )
-                * (F.col("tf") * (1.2 + 1.0))
+                * (F.col("tf") * (k1 + 1.0))
                 / (
                     F.col("tf")
-                    + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
                 ),
                 9,
             ).alias("c"),
@@ -867,7 +897,7 @@ def c42_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
+        .filter(F.col("rk") <= k)
         .select("query_id", "doc_id", "bm25", "rk")
     )
 
