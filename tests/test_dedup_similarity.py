@@ -1403,3 +1403,31 @@ def test_keep_first_removal_occurrence_semantics(spark):
     d13 = {r["doc_id"]: r for r in remove_duplicated_spans(df, n=L).collect()}
     assert d13[1]["n_removed"] == 0
     assert d13[1]["cleaned_text"].count(span) == 2
+
+
+def test_keep_first_removal_guard_and_self_overlap(spark):
+    """r9 review findings on ⊕D19: (1) the composite occurrence key is
+    GUARDED — an id ≥ 2³¹ raises loudly instead of silently wrapping
+    the owner choice; (2) the documented self-overlap consequence: a
+    self-overlapping repeat clips the owner's tail (ExactSubstr's
+    delete-the-duplicated-positions behavior), shrinking below one
+    intact copy."""
+    import pytest as _pytest
+
+    from trendr_data_pipeline_spark.operators.dedup import (
+        remove_duplicated_runs_keep_first,
+    )
+
+    big = spark.createDataFrame(
+        [(1 << 31, "p q r s t u"), (7, "p q r s t u")],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(Exception, match="2\\^31"):
+        remove_duplicated_runs_keep_first(big, min_len=5).collect()
+
+    tri = spark.createDataFrame([(1, "a a a b c")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in remove_duplicated_runs_keep_first(tri, min_len=2).collect()}
+    # gram 'a a' occurs at pos 1 (owner) and 2; removing pos 2-3
+    # leaves 'a b c' — the self-overlap clip, documented
+    assert got[1]["cleaned_text"] == "a b c"
+    assert got[1]["n_removed"] == 2

@@ -1185,16 +1185,44 @@ def remove_duplicated_runs_keep_first(
     position inside a kept (owner) occurrence survives unless some
     OTHER duplicated gram's non-owner occurrence also covers it
     (removal wins at overlaps — the d13 rule, occurrence edition).
+    One consequence to know (review finding): a SELF-OVERLAPPING
+    repeat ("a a a" at min_len 2 — occurrences at pos 1 and 2 share
+    position 2) clips the owner occurrence's tail, so such runs can
+    shrink below one intact copy. That matches ExactSubstr's
+    delete-the-duplicated-positions behavior; the exactly-one-copy
+    guarantee holds for non-self-overlapping spans (the pytest case).
 
     Scale shape — identical to d13 plus one constant: positional
-    64-bit gram hashes (one Arrow pass), owner occurrence from ONE
+    64-bit gram hashes (one Arrow pass, persisted — the dup aggregate
+    and the removal join both consume it), owner occurrence from ONE
     map-side-combined min on the composite key ``doc·2³¹ + pos``
-    (injective while pos < 2³¹ — guarded), removal via the gram-keyed
-    join (never doc×doc), shared :func:`_rebuild_without` rewrite.
+    (injective and overflow-free only while 0 ≤ doc < 2³¹ and
+    pos < 2³¹ — GUARDED with a loud raise; snowflake-scale ids would
+    otherwise wrap silently under ANSI-off), removal via the
+    gram-keyed join (never doc×doc), shared :func:`_rebuild_without`
+    rewrite.
     """
     if min_len < 2:
         raise ValueError("min_len must be >= 2")
-    key = F.col(id_col).cast("long") * F.lit(1 << 31) + F.col("pos")
+    lim = F.lit(1 << 31).cast("long")
+    bad = (
+        (F.col(id_col) < 0)
+        | (F.col(id_col).cast("long") >= lim)
+        | (F.col("pos") >= lim)
+    )
+    key = F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "remove_duplicated_runs_keep_first requires "
+                    f"0 <= {id_col} < 2^31 and pos < 2^31 (composite "
+                    "occurrence key would overflow); got id: "
+                ),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col(id_col).cast("long") * lim + F.col("pos"))
     grams = (
         docs.select(
             F.col(id_col),
@@ -1204,6 +1232,7 @@ def remove_duplicated_runs_keep_first(
         )
         .select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), F.col("gram"))
         .withColumn("okey", key)
+        .persist()
     )
     dup = (
         grams.groupBy("gram")

@@ -835,10 +835,12 @@ def bm25_topk(
     df > df_cap bounds candidates at |q_terms|·df_cap with a
     PROVABLE score error: each dropped term contributes at most
     idf(df_cap)·(k1+1) = ln(1+(N−df_cap+0.5)/(df_cap+0.5))·(k1+1),
-    which → 0 as df_cap → N/2 (the WAND/stopword-pruning practice,
-    with the error bound made explicit). Capped and uncapped agree
-    exactly on corpora whose shared terms all sit under the cap
-    (pytest-pinned).
+    monotonically shrinking in df_cap and → 0 only as df_cap → N
+    (at df_cap = N/2 it is still ln 2·(k1+1) ≈ 1.5 BM25 points per
+    dropped term — review finding: pick the cap from this bound, not
+    from a vague "hot" intuition; the WAND/stopword practice with
+    the error made explicit). Capped and uncapped agree exactly on
+    corpora whose shared terms all sit under the cap (pytest-pinned).
     """
     from pyspark.sql.window import Window
 
