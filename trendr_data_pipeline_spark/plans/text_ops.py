@@ -846,8 +846,13 @@ def bm25_topk(
 
     toks = tokens(F.lower(F.col("text")))
     t = docs.select("doc_id", F.explode(toks).alias("tok"))
-    tf = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dl = t.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    # ONE tokenize/explode pass: tf is persisted and every other
+    # frame derives from it — dl = Σ tf per doc (identical to a
+    # recount), query terms are tf's distinct (doc, tok) rows, df its
+    # per-token row count (r9 review posture: the dominant corpus
+    # pass runs once, not three times)
+    tf = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).persist()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     if df_cap is not None:
         dfreq = dfreq.filter(F.col("df") <= df_cap)
@@ -855,10 +860,8 @@ def bm25_topk(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    q = (
-        t.filter(query_pred)
-        .select(F.col("doc_id").alias("query_id"), F.col("tok").alias("qtok"))
-        .distinct()
+    q = tf.filter(query_pred).select(
+        F.col("doc_id").alias("query_id"), F.col("tok").alias("qtok")
     )
     contrib = (
         q.join(
