@@ -43,7 +43,7 @@ r4 the full-name per-query map outgrew that window and the driver's
 artifact lost the per-query times (``"parsed": null``). The printed
 line therefore keys ``queries`` by each query's unique ID prefix (the
 part before the first underscore — ``q01``, ``x17``, …), which keeps
-all per-query times (92 as of r9) inside the window; the full-name map is written to
+all per-query times (94 as of r9) inside the window; the full-name map is written to
 ``BENCH_local_latest.json`` alongside this script for human/judge
 consumption (IDs are prefixes of the registry names, so the join is
 mechanical).
