@@ -394,6 +394,56 @@ def test_data_card_rollup_consistency(spark):
     assert tot["mean_quality"] and tot["mean_entropy"]
 
 
+def test_data_card_null_and_literal_all_source_parity(spark, tmp_path):
+    """r9 ADVICE: the cube's rollup sentinel was COALESCE(source,'ALL'),
+    so a data row with a NULL source — or a literal source NAMED 'ALL'
+    — was indistinguishable from the rollup total, and the fixture
+    (non-null sources, none named 'ALL') could never catch the
+    conflation. Now the sentinel is the grouping() bit on both engines;
+    this pins Spark vs the REGISTERED oracle string on a synthetic
+    corpus that has BOTH hazards, and asserts the three populations
+    stay separate rows."""
+    import duckdb
+
+    from trendr_data_pipeline_spark.plans.registry import all_queries
+
+    rows = [
+        (
+            i,
+            None if i % 7 == 0 else ("ALL" if i % 7 == 1 else f"src{i % 3}"),
+            f"document body number {i} keeps a dozen plain words here",
+        )
+        for i in range(60)
+    ]
+    d = tmp_path / "synth"
+    d.mkdir()
+    spark.createDataFrame(rows, "doc_id long, source string, text string").coalesce(
+        1
+    ).write.parquet(str(d / "documents.parquet"))
+
+    q = all_queries()["c40_data_card"]
+    got = sorted(
+        (tuple(r) for r in q.fn(spark, str(d)).collect()), key=repr
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    want = sorted((tuple(r) for r in con.sql(q.oracle).fetchall()), key=repr)
+    assert got == want and got
+    srcs = {r[0] for r in got}
+    # NULL (data), 'ALL' (data) and 'ALL'-as-rollup must all appear —
+    # and the literal-'ALL' detail rows must NOT absorb the totals
+    assert None in srcs and "ALL" in srcs
+    all_total = [r for r in got if r[0] == "ALL" and r[1] == "ALL"]
+    # one rollup grand total + (possibly) one ('ALL' source × 'ALL'
+    # rollup-over-splits) detail row — the populations stay separate
+    n_docs = {r[2] for r in all_total}
+    assert 60 in n_docs  # the grand total survives
+    lit_all = sum(1 for r in rows if r[1] == "ALL")
+    assert lit_all in n_docs and lit_all != 60  # the literal-'ALL' source row too
+
+
 def test_write_training_shards_layout_order_and_rerun(spark, tmp_path):
     """⊕D17's materialization: out_dir/shard=N/ dirs, rows readable in
     position order file-by-file (part files pos-range-disjoint, order

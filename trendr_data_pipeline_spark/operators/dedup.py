@@ -1201,6 +1201,13 @@ def remove_duplicated_runs_keep_first(
     otherwise wrap silently under ANSI-off), removal via the
     gram-keyed join (never doc×doc), shared :func:`_rebuild_without`
     rewrite.
+
+    Caching contract (r9 ADVICE): the positional-gram frame is
+    ``persist()``-ed and the returned lazy DataFrame still references
+    it; the cache entry lives until ``spark.catalog.clearCache()`` or
+    session end (bench.py and the driver clear between queries) —
+    sessions invoking this repeatedly should clearCache after each
+    materialization.
     """
     if min_len < 2:
         raise ValueError("min_len must be >= 2")

@@ -54,6 +54,13 @@ def incremental_release_update(
     effect (the artifact the next release cycle starts from). Both
     the refresh and this function are replay-safe: re-running the
     same (diff, v2) pair is a no-op for already-applied docs.
+
+    Caching contract (r9 ADVICE): the diff frame is ``persist()``-ed
+    and the returned lazy DataFrame still references it; the cache
+    entry lives until ``spark.catalog.clearCache()`` or session end
+    (bench.py and the driver clear between queries). A long-lived
+    orchestrator running many cycles in one session should clearCache
+    after materializing each cycle's survivors.
     """
     from .ingestion import snapshot_diff
     from .sampling import shuffle_shards, split_assign

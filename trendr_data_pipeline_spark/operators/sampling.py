@@ -357,7 +357,15 @@ def stratified_sample(
     P ≲ e^{-0.56·oversample·k}, or NULL-key padding) is re-ranked by
     the plain window over only that group's rows — the selected set
     is provably the same k smallest (h, key) pairs either way, and
-    the t15 oracle gate pins it cross-engine."""
+    the t15 oracle gate pins it cross-engine.
+
+    Caching contract (r9 ADVICE): the ranked candidate frame is
+    ``persist()``-ed and the RETURNED lazy DataFrame still references
+    it, so the cache entry lives until ``spark.catalog.clearCache()``
+    or session end (bench.py and the driver clear between queries).
+    Long-lived sessions calling this repeatedly should clearCache —
+    or ``.unpersist()`` the result's lineage — once the sample is
+    materialized."""
     from pyspark.sql.window import Window
 
     df = df.filter(F.col(key_col).isNotNull())

@@ -124,8 +124,8 @@ def _card_oracle() -> str:
         LEFT JOIN chit ON f.doc_id = chit.doc_id
         LEFT JOIN ent ON f.doc_id = ent.doc_id
     )
-    SELECT COALESCE(source, 'ALL') AS source,
-           COALESCE(split, 'ALL') AS split,
+    SELECT CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
+           CASE WHEN GROUPING(split) = 1 THEN 'ALL' ELSE split END AS split,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
            ROUND(AVG(is_exact_dup), 6) AS exact_dup_rate,
@@ -140,6 +140,14 @@ def _card_oracle() -> str:
 
 
 def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See the ``c40_data_card`` register doc for semantics.
+
+    Caching contract (r9 ADVICE): the per-doc feature frame is
+    ``persist()``-ed (it feeds the fingerprint self-aggregate AND the
+    metric join) and the returned lazy DataFrame still references it;
+    the cache entry lives until ``spark.catalog.clearCache()`` or
+    session end (bench.py and the driver clear between queries).
+    """
     from ..operators.dedup import (
         bow_fingerprint,
         jaccard_topk_join,
@@ -248,6 +256,13 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.cube("source", "split")
         .agg(
+            # rollup sentinel via grouping(), not COALESCE (r9 ADVICE):
+            # a NULL-source data row (or a literal source named 'ALL')
+            # must stay distinguishable from the rollup total — the
+            # fixture never exercises either, so only the grouping bit
+            # separates them (pinned by the synthetic parity pytest)
+            F.grouping("source").alias("_gsrc"),
+            F.grouping("split").alias("_gspl"),
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_tok").cast("bigint").alias("n_tokens"),
             F.round(F.avg("is_exact_dup"), 6).alias("exact_dup_rate"),
@@ -259,8 +274,12 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("low_h_flag"), 6).alias("low_entropy_share"),
         )
         .select(
-            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
-            F.coalesce(F.col("split"), F.lit("ALL")).alias("split"),
+            F.when(F.col("_gsrc") == 1, F.lit("ALL"))
+            .otherwise(F.col("source"))
+            .alias("source"),
+            F.when(F.col("_gspl") == 1, F.lit("ALL"))
+            .otherwise(F.col("split"))
+            .alias("split"),
             "n_docs",
             "n_tokens",
             "exact_dup_rate",

@@ -807,7 +807,13 @@ def c39_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate case), and cross-document the FIRST copy survives
     rather than the whole min-id document. Composite occurrence key
     doc·2³¹+pos — injective, order-preserving, identical in both
-    engines.""",
+    engines. DELIBERATE domain restriction (r9 ADVICE): the Spark
+    operator raises loudly for ids ≥ 2³¹ while this oracle would keep
+    computing via DuckDB's BIGINT promotion — the gate therefore
+    attests only the 0 ≤ id < 2³¹ domain, and a future widening of
+    the Spark key must widen the oracle key expression IN LOCKSTEP
+    (both sides of the `2147483648` literal here) or the engines
+    silently disagree outside the fixture's id range.""",
 )
 def c41_keep_first_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import remove_duplicated_runs_keep_first

@@ -841,6 +841,12 @@ def bm25_topk(
     from a vague "hot" intuition; the WAND/stopword practice with
     the error made explicit). Capped and uncapped agree exactly on
     corpora whose shared terms all sit under the cap (pytest-pinned).
+
+    Caching contract (r9 ADVICE): the tf frame is ``persist()``-ed
+    and the returned lazy DataFrame still references it; the cache
+    entry lives until ``spark.catalog.clearCache()`` or session end
+    (bench.py and the driver clear between queries) — sessions
+    scoring many query batches should clearCache between them.
     """
     from pyspark.sql.window import Window
 
