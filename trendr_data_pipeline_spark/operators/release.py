@@ -77,11 +77,12 @@ def incremental_release_update(
         F.col(id_col), "status"
     )
     incoming = v2.join(changed.select(id_col), id_col, "left_semi")
-    # k is a no-op ceiling: the dup decision needs EVERY verified
-    # match, not a top-k (a qualifying neighbor below a small k would
-    # silently flip a doc to survivor)
+    # k=None: the dup decision needs EVERY verified match, not a
+    # top-k (a qualifying neighbor below a small k would silently
+    # flip a doc to survivor) — and needs no RANKS, so the probe's
+    # per-id_a window exchange+sort is skipped entirely (r10)
     matches = minhash_probe(
-        incoming, index_dir, threshold=threshold, k=1 << 30,
+        incoming, index_dir, threshold=threshold, k=None,
         id_col=id_col, text_col=text_col,
     )
     nb = changed.select(

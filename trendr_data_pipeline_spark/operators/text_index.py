@@ -195,7 +195,7 @@ def minhash_probe(
     incoming: DataFrame,
     index_dir: str,
     threshold: float,
-    k: int = 20,
+    k: int | None = 20,
     id_col: str = "doc_id",
     text_col: str = "text",
     filter_ids: DataFrame | None = None,
@@ -205,6 +205,12 @@ def minhash_probe(
     — (id_a, id_b, jaccard, rk), id_a incoming, id_b stored. A stored
     doc with the SAME id as an incoming doc is skipped (the
     re-screening shape: a doc is never its own duplicate).
+
+    ``k=None`` returns ALL verified matches UNRANKED — (id_a, id_b,
+    jaccard), no ``rk`` column (r10): consumers that only need match
+    EXISTENCE (the release cycle's dup rule) skip the per-id_a
+    row_number exchange+sort entirely, which at the fixture's
+    near-dup density is a window over ~10⁶ rows for a boolean.
 
     ``filter_ids`` restricts the SEARCHABLE corpus (the ⊕M7
     pre-filter model, e.g. screen only against same-language or
@@ -279,13 +285,17 @@ def minhash_probe(
     )
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("id_a").orderBy(F.col("jaccard").desc(), F.col("id_b").asc())
-    return (
+    verified = (
         cand.join(toks_b, "id_b")
         .join(F.broadcast(toks_a), "id_a")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
-        .withColumn("rk", F.row_number().over(w))
+    )
+    if k is None:
+        return verified.select("id_a", "id_b", "jaccard")
+    w = Window.partitionBy("id_a").orderBy(F.col("jaccard").desc(), F.col("id_b").asc())
+    return (
+        verified.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("id_a", "id_b", "jaccard", "rk")
     )
