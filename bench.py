@@ -167,6 +167,20 @@ RENAMES_R9: dict[str, str] = {
     "r04_novelty_scores": "zr04_novelty_scores",
 }
 
+# r10 z-push records (same freeze rule; both r02/r03 were r9
+# driver-signed under these names in CORRECTNESS_r09.json).
+RENAMES_R10: dict[str, str] = {}
+
+#: combined rename map for round-over-round joins (each round's
+#: CORRECTNESS compares against the previous via this)
+RENAMES = {**RENAMES_R9, **RENAMES_R10}
+
+#: r10 bench-only fast legs — z-named PAST the driver window at
+#: creation, deliberately oracle-less (approximate by design; their
+#: exactness story is pytest-pinned against the exact gate instead).
+#: The freeze contract test allowlists exactly these.
+BENCH_ONLY_LEGS = ("zc42_bm25_capped_topk",)
+
 
 def parse_sf(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -236,7 +250,7 @@ def main() -> None:
         "harness_queries": harness,
         "operator_total": operator_total,
         "staging_s": staging_s,
-        "renames": RENAMES_R9,
+        "renames": RENAMES,
     }
     # full-name record for humans and the judge (the driver's stdout
     # window is 2000 chars — see module docstring)
@@ -247,7 +261,7 @@ def main() -> None:
     # keep the printed line inside the driver's 2000-char stdout
     # window: ID-prefix rename map here, full names in the local file
     compact["renames"] = {
-        o.split("_", 1)[0]: n.split("_", 1)[0] for o, n in RENAMES_R9.items()
+        o.split("_", 1)[0]: n.split("_", 1)[0] for o, n in RENAMES.items()
     }
     # the frozen names have unique id prefixes; a future name reusing
     # one would silently drop a timing from the compact map — fail loud

@@ -140,15 +140,31 @@ def test_registry_v1_name_freeze():
     assert len(bench.REGISTRY_V1_FROZEN) == 89
     names = set(e.queries())
     frozen = set(bench.REGISTRY_V1_FROZEN)
-    renames = bench.RENAMES_R9
+    renames = bench.RENAMES  # cumulative z-push record (r9 + r10 + …)
     for old, new in renames.items():
         assert old in frozen, f"z-push of a non-frozen name: {old}"
         assert new == "z" + old, f"substantive rename forbidden: {old} -> {new}"
     expected = (frozen - set(renames)) | set(renames.values())
     assert expected <= names, f"frozen names missing: {sorted(expected - names)}"
-    new_gates = sorted(names - expected)
+    # bench-only fast legs (r10): z-named PAST the window at creation,
+    # deliberately oracle-less — approximate variants whose exactness
+    # story is pytest-pinned against the exact gate (the x02/x12
+    # device, now with an explicit declaration instead of
+    # grandfathering). Anything NOT declared here follows the gate
+    # rule below.
     oracles = e.oracle_sql()
+    bench_only = set(bench.BENCH_ONLY_LEGS)
     window = set(sorted(names)[:50])
+    for leg in bench_only:
+        assert leg in names, f"declared bench-only leg missing: {leg}"
+        assert leg.startswith("z"), f"bench-only leg must be z-named: {leg}"
+        assert leg not in window, f"bench-only leg sorted into the window: {leg}"
+        assert leg not in oracles, (
+            f"bench-only leg {leg} carries an oracle — register it as a "
+            "c-gate inside the window instead (oracle-bearing names "
+            "outside the window skip driver attestation)"
+        )
+    new_gates = sorted(names - expected - bench_only)
     for g in new_gates:
         assert g in window, f"new gate {g} parked outside the driver window"
         assert g in oracles, f"new gate {g} registered without a DuckDB oracle"
@@ -186,7 +202,7 @@ def test_bench_compact_line_fits_driver_stdout_window():
         "staging_s": {"c38": 99.999},
         "renames": {
             o.split("_", 1)[0]: n.split("_", 1)[0]
-            for o, n in bench.RENAMES_R9.items()
+            for o, n in bench.RENAMES.items()
         },
         "queries_key": (
             "unique id prefix of the registry name; full names in "

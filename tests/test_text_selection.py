@@ -600,3 +600,71 @@ def test_bm25_df_cap_prunes_hot_terms_exactly(spark, tmp_path):
     }
     assert set(capped) == {(0, 1)}
     assert 0 < capped[(0, 1)] < full[(0, 1)]
+
+
+def test_bm25_capped_leg_recall_and_error_bound(spark):
+    """The zc42 bench-only leg's exactness story (r10, verdict item
+    3): on the Zipf-vocabulary corpus the leg runs on, cap = N/2 must
+    (a) keep recall@10 vs the exact gate ≥ 0.8 (measured ≈ 0.86-0.88
+    at N = 5k-80k; pinned with slack for the smaller test corpus),
+    and (b) the DOCUMENTED error bound must hold PAIRWISE: for every
+    (query, doc) scored by both paths, score_exact − score_capped ≤
+    (number of that query's distinct terms with df > cap) ·
+    idf(df_cap)·(k1+1), and capped scores never exceed exact
+    (dropping terms only removes non-negative contributions)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from trendr_data_pipeline_spark.plans.text_ops import (
+        bm25_topk,
+        tokens,
+        zipf_synthetic_docs,
+    )
+
+    n, k1 = 800, 1.2
+    cap = n // 2
+    docs = zipf_synthetic_docs(spark, n).localCheckpoint(eager=True)
+    pred = F.col("doc_id") % 40 == 0  # 20 query docs
+    exact = {
+        (r["query_id"], r["doc_id"]): r["bm25"]
+        for r in bm25_topk(docs, pred, k=10).collect()
+    }
+    capped = {
+        (r["query_id"], r["doc_id"]): r["bm25"]
+        for r in bm25_topk(docs, pred, k=10, df_cap=cap).collect()
+    }
+    recall = len(set(capped) & set(exact)) / len(exact)
+    assert recall >= 0.8, recall
+
+    # per-query count of dropped (df > cap) distinct terms
+    t = docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+    tf = t.groupBy("doc_id", "tok").count()
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    dropped = {
+        r["doc_id"]: r["nd"]
+        for r in tf.filter(pred)
+        .join(dfreq.filter(F.col("df") > cap), "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .collect()
+    }
+    per_term = math.log(1 + (n - cap + 0.5) / (cap + 0.5)) * (k1 + 1)
+    checked = 0
+    for pair, s_exact in exact.items():
+        if pair in capped:
+            diff = s_exact - capped[pair]
+            assert diff >= -1e-6, pair  # capped never exceeds exact
+            bound = dropped.get(pair[0], 0) * per_term
+            assert diff <= bound + 1e-6, (pair, diff, bound)
+            checked += 1
+    assert checked > 50  # the bound was exercised, not vacuous
+    # and the leg's registered form runs (bench-only: no oracle)
+    from trendr_data_pipeline_spark.plans.registry import all_queries
+
+    q = all_queries()["zc42_bm25_capped_topk"]
+    assert q.oracle is None
+    rows = q.fn(spark, SMOKE_SF).collect()
+    assert rows and {c for c in rows[0].asDict()} == {
+        "query_id", "doc_id", "bm25", "rk"
+    }

@@ -15,6 +15,23 @@ Second mode (r9, verdict item 6) — the REALISTIC skew regime::
 
     python tools/text_index_bench.py synthetic [scale ...]
 
+Third mode (r10, verdict item 1) — the COMPOSED release cycle's
+O(delta) claim as wall time::
+
+    python tools/text_index_bench.py release [scale ...]
+
+Same synthetic growing-corpus device (hash-unique v1 scaled by
+``scale``, CONSTANT delta: 100 removed + 150 modified + 250 added,
+50 of the adds planted near-dups), but the measured unit is the
+whole cycle: ``incremental_release_update`` (diff → O(delta) index
+refresh → probe screen → split/shard) vs ``release_from_scratch``
+(identical semantics, v2 index built from scratch — the O(corpus)
+baseline). Output parity is asserted in-run at every scale; the
+fresh:incremental ratio should GROW with corpus size (both paths
+share the diff and the screen; the index work is what the
+incremental path collapses to O(delta)). SCALING.md "r10: the
+release cycle's O(delta) wall time" records the output.
+
 Replication keeps near-dup density artificially high (every replica
 is an exact dup, so candidate volume grows WITH the corpus and
 compresses the ratio). The synthetic mode instead generates a corpus
@@ -135,10 +152,96 @@ def synthetic_mode(scales: list[int]) -> int:
     return 0
 
 
+def release_mode(scales: list[int]) -> int:
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from trendr_data_pipeline_spark.operators.release import (
+        incremental_release_update,
+        release_from_scratch,
+    )
+    from trendr_data_pipeline_spark.operators.text_index import write_minhash_index
+    from trendr_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("release-bench")
+    base_n, n_rem, n_mod, n_add, planted = 5_000, 100, 150, 250, 50
+    print(
+        f"release mode: base={base_n} delta=({n_rem} removed, {n_mod} modified, "
+        f"{n_add} added incl. {planted} planted near-dups) thr=0.8"
+    )
+    for scale in scales:
+        n = base_n * scale
+        v1 = _synthetic_docs(spark, n, "c").localCheckpoint(eager=True)
+        # constant delta regardless of corpus size: remove the first
+        # n_rem ids, append-modify the next n_mod, add n_add new docs
+        # (planted near-dups perturb one trailing token, J≈39/41≥0.8)
+        kept = v1.filter(F.col("doc_id") >= n_rem)
+        modified = F.col("doc_id") < n_rem + n_mod
+        v2_body = kept.select(
+            "doc_id",
+            F.when(modified, F.concat(F.col("text"), F.lit(" modxx")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        uniq = _synthetic_docs(spark, n_add - planted, "a", id_offset=100_000_000)
+        near = (
+            v1.filter(F.col("doc_id") % (n // planted) == 1)
+            .limit(planted)
+            .select(
+                (F.col("doc_id") + 200_000_000).alias("doc_id"),
+                F.concat(
+                    F.expr("substring(text, 1, length(text) - 7)"),
+                    F.lit(" zz9end"),
+                ).alias("text"),
+            )
+        )
+        v2 = v2_body.unionByName(uniq).unionByName(near).localCheckpoint(eager=True)
+        with tempfile.TemporaryDirectory() as d:
+            idx = f"{d}/v1_idx"
+            t0 = time.time()
+            write_minhash_index(v1, idx)
+            t_stage = time.time() - t0
+            spark.catalog.clearCache()
+
+            t0 = time.time()
+            got = {
+                tuple(r)
+                for r in incremental_release_update(v1, v2, idx, threshold=0.8).collect()
+            }
+            t_inc = time.time() - t0
+            spark.catalog.clearCache()
+
+            fresh_idx = f"{d}/v2_idx"
+            t0 = time.time()
+            want = {
+                tuple(r)
+                for r in release_from_scratch(
+                    v1, v2, fresh_idx, threshold=0.8
+                ).collect()
+            }
+            t_fresh = time.time() - t0
+            spark.catalog.clearCache()
+            shutil.rmtree(fresh_idx, ignore_errors=True)
+        ratio = t_fresh / t_inc if t_inc > 0 else float("inf")
+        print(
+            f"scale={scale:>3} corpus={n:>7} v1_stage={t_stage:6.2f}s "
+            f"incremental={t_inc:6.2f}s from_scratch={t_fresh:6.2f}s "
+            f"ratio={ratio:5.2f}x survivors={len(got)} "
+            f"parity={'OK' if got == want else 'MISMATCH'}"
+        )
+    return 0
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "synthetic":
         scales = [int(x) for x in sys.argv[2:]] or [1, 4, 16]
         return synthetic_mode(scales)
+    if len(sys.argv) > 1 and sys.argv[1] == "release":
+        scales = [int(x) for x in sys.argv[2:]] or [1, 4, 16]
+        return release_mode(scales)
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     thr = float(sys.argv[2]) if len(sys.argv) > 2 else 0.8
     replicate = int(sys.argv[3]) if len(sys.argv) > 3 else 1

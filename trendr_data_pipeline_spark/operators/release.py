@@ -32,7 +32,52 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["incremental_release_update"]
+__all__ = ["incremental_release_update", "release_from_scratch"]
+
+
+def _screen_and_coordinates(
+    diff: DataFrame,
+    v2: DataFrame,
+    index_dir: str,
+    threshold: float,
+    n_shards: int,
+    id_col: str,
+    text_col: str,
+    split_weights: dict[str, float] | None,
+) -> DataFrame:
+    """Stages 3-4 of the cycle (shared by the incremental path and the
+    from-scratch baseline — same screen against WHICHEVER v2 artifact
+    ``index_dir`` holds): probe every added/modified doc, apply the
+    dup rule (retained partner wins; among changed docs the smaller
+    id wins), and give survivors their split/shard/pos coordinates."""
+    from .sampling import shuffle_shards, split_assign
+    from .text_index import minhash_probe
+
+    changed = diff.filter(F.col("status").isin("added", "modified")).select(
+        F.col(id_col), "status"
+    )
+    incoming = v2.join(changed.select(id_col), id_col, "left_semi")
+    # k=None: the dup decision needs EVERY verified match, not a
+    # top-k (a qualifying neighbor below a small k would silently
+    # flip a doc to survivor) — and needs no RANKS, so the probe's
+    # per-id_a window exchange+sort is skipped entirely (r10)
+    matches = minhash_probe(
+        incoming, index_dir, threshold=threshold, k=None,
+        id_col=id_col, text_col=text_col,
+    )
+    nb = changed.select(
+        F.col(id_col).alias("id_b"), F.lit(True).alias("_nb_changed")
+    )
+    dup = (
+        matches.join(F.broadcast(nb), "id_b", "left")
+        .filter(F.col("_nb_changed").isNull() | (F.col("id_b") < F.col("id_a")))
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    survivors = changed.join(dup, id_col, "left_anti")
+    out = split_assign(survivors, weights=split_weights, key_col=id_col)
+    out = shuffle_shards(out, n_shards=n_shards, key_col=id_col)
+    return out.select(id_col, "status", "split", "shard", "pos")
 
 
 def incremental_release_update(
@@ -63,8 +108,7 @@ def incremental_release_update(
     after materializing each cycle's survivors.
     """
     from .ingestion import snapshot_diff
-    from .sampling import shuffle_shards, split_assign
-    from .text_index import apply_snapshot_diff_to_index, minhash_probe
+    from .text_index import apply_snapshot_diff_to_index
 
     diff = snapshot_diff(v1, v2, id_col=id_col, content_col=text_col)
     # the diff feeds the refresh (two swap jobs) AND the screen —
@@ -73,28 +117,37 @@ def incremental_release_update(
     apply_snapshot_diff_to_index(
         diff, v2, index_dir, id_col=id_col, text_col=text_col
     )
-    changed = diff.filter(F.col("status").isin("added", "modified")).select(
-        F.col(id_col), "status"
+    return _screen_and_coordinates(
+        diff, v2, index_dir, threshold, n_shards, id_col, text_col, split_weights
     )
-    incoming = v2.join(changed.select(id_col), id_col, "left_semi")
-    # k=None: the dup decision needs EVERY verified match, not a
-    # top-k (a qualifying neighbor below a small k would silently
-    # flip a doc to survivor) — and needs no RANKS, so the probe's
-    # per-id_a window exchange+sort is skipped entirely (r10)
-    matches = minhash_probe(
-        incoming, index_dir, threshold=threshold, k=None,
-        id_col=id_col, text_col=text_col,
+
+
+def release_from_scratch(
+    v1: DataFrame,
+    v2: DataFrame,
+    index_dir: str,
+    threshold: float = 0.8,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """The O(corpus) baseline the incremental path is measured
+    against (r9 verdict item 1): identical release semantics, but the
+    v2 artifact at ``index_dir`` is BUILT FROM SCRATCH (one full
+    signature pass over v2) instead of refreshed O(delta) from v1's.
+    Output is row-identical to :func:`incremental_release_update` —
+    asserted in-run by tools/text_index_bench.py's release mode and
+    pinned by pytest; the wall-time ratio between the two is the
+    cycle's O(delta) claim as a measured number (SCALING.md).
+
+    Same caching contract as the incremental path (the diff frame is
+    persisted; callers clearCache between cycles)."""
+    from .ingestion import snapshot_diff
+    from .text_index import write_minhash_index
+
+    diff = snapshot_diff(v1, v2, id_col=id_col, content_col=text_col).persist()
+    write_minhash_index(v2, index_dir, id_col=id_col, text_col=text_col)
+    return _screen_and_coordinates(
+        diff, v2, index_dir, threshold, n_shards, id_col, text_col, split_weights
     )
-    nb = changed.select(
-        F.col(id_col).alias("id_b"), F.lit(True).alias("_nb_changed")
-    )
-    dup = (
-        matches.join(F.broadcast(nb), "id_b", "left")
-        .filter(F.col("_nb_changed").isNull() | (F.col("id_b") < F.col("id_a")))
-        .select(F.col("id_a").alias(id_col))
-        .distinct()
-    )
-    survivors = changed.join(dup, id_col, "left_anti")
-    out = split_assign(survivors, weights=split_weights, key_col=id_col)
-    out = shuffle_shards(out, n_shards=n_shards, key_col=id_col)
-    return out.select(id_col, "status", "split", "shard", "pos")

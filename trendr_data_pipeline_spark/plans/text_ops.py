@@ -869,14 +869,23 @@ def bm25_topk(
     q = tf.filter(query_pred).select(
         F.col("doc_id").alias("query_id"), F.col("tok").alias("qtok")
     )
+    # attach df to the QUERY terms BEFORE the candidate join (r10):
+    # with df_cap set the capped terms vanish from the small side, so
+    # the q×tf explosion — the operator's dominant cost, Σ df rows —
+    # never emits a hot term's candidates at all (the original form
+    # joined dfreq onto the candidate rows, pruning AFTER the
+    # explosion had already paid for them: measured 2.4 s capped vs
+    # 1.9 s uncapped at a 59 % candidate cut — the cap made it
+    # SLOWER); uncapped also wins, one fewer join operand at
+    # candidate grain
+    qd = q.join(
+        dfreq.select(F.col("tok").alias("qtok"), "df"), "qtok"
+    )
     contrib = (
-        q.join(
+        qd.join(
             tf, (F.col("qtok") == F.col("tok")) & (F.col("query_id") != F.col("doc_id"))
         )
         .join(dl, "doc_id")
-        # inner join: with df_cap set, capped terms vanish HERE — the
-        # prune reaches the candidate join, not a post-filter
-        .join(dfreq, "tok")
         .crossJoin(F.broadcast(stats))
         .select(
             "query_id",
@@ -911,6 +920,83 @@ def bm25_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "doc_id", "bm25", "rk")
     )
+
+
+def zipf_synthetic_docs(
+    spark: SparkSession,
+    n: int,
+    vocab: int = 50_000,
+    doc_len: int = 60,
+    salt: str = "zipf",
+) -> DataFrame:
+    """Deterministic synthetic corpus with a ZIPF(s≈1) vocabulary —
+    the document-frequency law real web/text corpora follow, which
+    the parquet fixture does NOT (its template generator yields a
+    median df of 0.77·N — r10 measurement; under that degenerate law
+    every pruning cap destroys recall, exactly as the c42 error
+    bound predicts, so the df_cap lever's production evidence runs
+    on THIS corpus). Token rank for each slot is drawn log-uniformly
+    over [1, vocab] via an md5 hash of (salt, doc, slot):
+    P(rank ≤ r) = ln r / ln vocab ⇒ rank density ∝ 1/r, the Zipf
+    s=1 df profile. Pure JVM expressions — no driver loop, no
+    fixture writes, same device as tools/text_index_bench.py's
+    hash-unique corpus."""
+    u = lambda j: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.col("id").cast("string"),
+                        F.lit("-"),
+                        j.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(0xFFFFFFFF))
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(doc_len - 1)),
+                lambda j: F.concat(
+                    F.lit("w"),
+                    F.floor(F.pow(F.lit(float(vocab)), u(j))).cast("string"),
+                ),
+            ),
+        ).alias("text"),
+    )
+
+
+@register(
+    "zc42_bm25_capped_topk",
+    None,
+    doc="""BM25 df_cap production leg (r10, verdict item 3 — the
+    x02/x12 bench-only fast-leg device): ``bm25_topk`` with
+    df_cap = N/2 over a deterministic ZIPF-vocabulary corpus sized to
+    the fixture's document count. Bench-only by construction (z-named
+    past the driver window, no oracle — the cap is deliberately
+    inexact): the c42 gate pins the uncapped math cross-engine, the
+    dedicated pytest pins this leg's recall@10 and its per-pair score
+    error against the documented idf(df_cap)·(k1+1) bound, and
+    SCALING.md records the measured win (candidates ×0.41, wall
+    1.35×→1.67× faster at N=20k→80k, recall ≈ 0.87). Runs on the
+    synthetic Zipf corpus, NOT the parquet fixture, because the
+    fixture's template vocabulary (median df = 0.77·N) admits no
+    useful cap — measured r10: every pruning cap there collapses
+    recall to ≈0, exactly as the error bound predicts at those df.""",
+)
+def zc42_bm25_capped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = read_table(spark, sf_dir, "documents").count()
+    docs = zipf_synthetic_docs(spark, n)
+    return bm25_topk(docs, F.col("doc_id") % 100 == 0, k=10, df_cap=max(1, n // 2))
 
 
 @register(
