@@ -169,7 +169,10 @@ RENAMES_R9: dict[str, str] = {
 
 # r10 z-push records (same freeze rule; both r02/r03 were r9
 # driver-signed under these names in CORRECTNESS_r09.json).
-RENAMES_R10: dict[str, str] = {}
+RENAMES_R10: dict[str, str] = {
+    # admits c43_contaminated_runs (run-grain decontamination)
+    "r03_decision_ladder": "zr03_decision_ladder",
+}
 
 #: combined rename map for round-over-round joins (each round's
 #: CORRECTNESS compares against the previous via this)

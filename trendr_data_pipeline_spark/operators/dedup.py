@@ -1458,6 +1458,16 @@ def maximal_duplicated_runs(
         )
         .distinct()
     )
+    return _runs_from_covered(covered, id_col)
+
+
+def _runs_from_covered(covered: DataFrame, id_col: str) -> DataFrame:
+    """Gaps-and-islands merge of distinct covered token positions into
+    maximal runs, PARTITIONED BY DOC (no frame ever exceeds one
+    document's length) — shared by the duplicated-run and
+    contaminated-run emitters."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy(id_col).orderBy("tokpos")
     return (
         covered.withColumn("grp", F.col("tokpos") - F.row_number().over(w))
@@ -1469,3 +1479,96 @@ def maximal_duplicated_runs(
         )
         .select(id_col, "start_pos", "end_pos", "run_toks")
     )
+
+
+def _contaminated_positions(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Distinct (id, tokpos) token positions of ``docs`` covered by
+    some word ``n``-gram that also occurs in ``benchmark`` — the
+    position-grain core shared by :func:`contaminated_runs` and
+    :func:`remove_contaminated_runs`. Scale shape: positional gram
+    hashes on the docs side (one Arrow pass), the benchmark's
+    DISTINCT gram set on the other (small — it rides the semi join
+    broadcast when it fits, a gram-keyed shuffle when not), bounded
+    explode (≤ n rows per matched window)."""
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            word_ngram_hashes(F.col(text_col), n, positional=True)
+        ).alias("pos0", "gram"),
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), F.col("gram"))
+    bench_grams = benchmark.select(
+        F.explode(word_ngram_hashes(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    return (
+        grams.join(bench_grams, "gram", "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + n - 1)
+            ).alias("tokpos"),
+        )
+        .distinct()
+    )
+
+
+def contaminated_runs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """⊕D7 at RUN grain (r10, verdict item 4): contaminated SPANS
+    against the evaluation set — extent and position, where
+    :func:`ngram_contamination_flags` answers only a per-doc bit.
+    For each doc, the maximal runs of token positions covered by a
+    word ``n``-gram that occurs anywhere in ``benchmark``; returns
+    (id, start_pos, end_pos, run_toks), positions 1-based inclusive.
+    The c39 maximal-run argument transfers verbatim (a position lies
+    in a shared substring of length ≥ n iff some shared n-window
+    covers it), with the duplicated-gram set replaced by the
+    benchmark's gram set — so a doc quoting a whole eval answer
+    reports one LONG run (the severity the binary flag understates,
+    pytest-pinned), while an incidental 8-token collision reports
+    exactly n. Feeds the c40 data card's ``contam_tok_share``
+    severity column (covered positions / doc tokens) and the removal
+    path below.
+
+    Scale shape: identical to :func:`maximal_duplicated_runs` except
+    the "duplicated" set is the benchmark's grams — the corpus side
+    never self-joins: one gram-keyed semi join, bounded explode,
+    per-doc gaps-and-islands window.
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    covered = _contaminated_positions(docs, benchmark, n, id_col, text_col)
+    return _runs_from_covered(covered, id_col)
+
+
+def remove_contaminated_runs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Decontamination as a REWRITE (r10): delete every token position
+    covered by a benchmark-shared ``n``-gram and rebuild the text —
+    the GPT-3-practice removal step at ExactSubstr's position grain,
+    completing flag → spans → removal for ⊕D7. Same rewrite contract
+    as d13/c41 via the shared :func:`_rebuild_without`: (id, n_tok,
+    n_removed, cleaned_text) over the lowercased whitespace token
+    stream. Note the d13 caveat transfers: deleting interior spans
+    can create NEW grams across the seam (inherent to positional
+    removal; the pytest pins the exact position algebra instead)."""
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    covered = _contaminated_positions(docs, benchmark, n, id_col, text_col)
+    removal = covered.select(F.col(id_col), "tokpos")
+    return _rebuild_without(docs, removal, id_col, text_col)

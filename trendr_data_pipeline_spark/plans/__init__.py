@@ -25,3 +25,4 @@ def load_all() -> None:
     from . import corpus_pipeline  # noqa: F401
     from . import release_ops  # noqa: F401
     from . import data_card  # noqa: F401
+    from . import decontam_ops  # noqa: F401

@@ -315,7 +315,9 @@ def r02_windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "r03_decision_ladder",
+    # z-pushed r10 (freeze rule): admits c43_contaminated_runs into the
+    # driver window; r9-signed as r03 in CORRECTNESS_r09.json
+    "zr03_decision_ladder",
     """
     WITH c AS (
         SELECT (l_orderkey % 100) / CAST(100.0 AS DOUBLE) AS name_sc,
