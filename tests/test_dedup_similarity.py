@@ -1431,3 +1431,81 @@ def test_keep_first_removal_guard_and_self_overlap(spark):
     # leaves 'a b c' — the self-overlap clip, documented
     assert got[1]["cleaned_text"] == "a b c"
     assert got[1]["n_removed"] == 2
+
+
+def test_contaminated_runs_severity_beyond_binary_flag(spark):
+    """r10 (verdict item 4), hand-built: the run grain reports a LONG
+    contaminated span where the binary ⊕D7 flag says only "hit" — two
+    docs both flag contaminated, but one quotes a 20-token eval answer
+    (one run of 20) and the other shares one incidental 8-gram (one
+    run of exactly n=8); the flag cannot rank them, the runs can.
+    Also: a doc sharing nothing reports no runs, and two disjoint
+    quotes in one doc stay two runs (no over-merge)."""
+    from pyspark.sql import functions as F
+
+    from trendr_data_pipeline_spark.operators.dedup import (
+        contaminated_runs,
+        ngram_contamination_flags,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(20))       # 20-token answer
+    gram8 = " ".join(f"g{i}" for i in range(8))        # one shared 8-gram
+    other = " ".join(f"h{i}" for i in range(12))       # second quote
+    bench = spark.createDataFrame(
+        [(100, f"intro {quote} outro"), (101, f"{gram8} tail tail2"),
+         (102, f"pre {other}")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, f"a1 a2 {quote} a3 a4"),                 # long quote
+            (2, f"b1 b2 b3 {gram8} b4 b5"),              # incidental 8-gram
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),       # clean
+            (4, f"d1 {gram8} dmid {other} d2"),          # two disjoint runs
+        ],
+        "doc_id long, text string",
+    )
+    flags = {
+        r["doc_id"]: r["is_contaminated"]
+        for r in ngram_contamination_flags(docs, bench, n=8).collect()
+    }
+    assert flags == {1: True, 2: True, 3: False, 4: True}
+
+    runs = sorted(
+        tuple(r)
+        for r in contaminated_runs(docs, bench, n=8)
+        .select("doc_id", "start_pos", "end_pos", "run_toks")
+        .collect()
+    )
+    # doc 1: the WHOLE 20-token quote (positions 3..22) — the severity
+    # the flag understates; doc 2: exactly the 8-gram; doc 4: two runs
+    assert runs == [
+        (1, 3, 22, 20),
+        (2, 4, 11, 8),
+        (4, 2, 9, 8),
+        (4, 11, 22, 12),
+    ]
+    # severity ordering the flag cannot express
+    by_doc = {}
+    for d, s, e, n in runs:
+        by_doc[d] = by_doc.get(d, 0) + n
+    assert by_doc[1] > by_doc[2]
+
+    # the registered c43 gate's shape on a synthetic dir is covered by
+    # the driver-contract oracle test; here pin the removal twin's
+    # position algebra: cleaned == tokens minus covered positions
+    from trendr_data_pipeline_spark.operators.dedup import remove_contaminated_runs
+
+    got = {
+        r["doc_id"]: r for r in remove_contaminated_runs(docs, bench, n=8).collect()
+    }
+    assert got[1]["cleaned_text"] == "a1 a2 a3 a4" and got[1]["n_removed"] == 20
+    assert got[2]["cleaned_text"] == "b1 b2 b3 b4 b5" and got[2]["n_removed"] == 8
+    assert got[3]["n_removed"] == 0
+    assert got[4]["cleaned_text"] == "d1 dmid d2" and got[4]["n_removed"] == 20
+    # re-screen after removal: the flag goes quiet (no seam gram here)
+    clean = remove_contaminated_runs(docs, bench, n=8)
+    requery = ngram_contamination_flags(
+        clean.select("doc_id", F.col("cleaned_text").alias("text")), bench, n=8
+    )
+    assert not [r for r in requery.collect() if r["is_contaminated"]]

@@ -382,12 +382,17 @@ def test_data_card_rollup_consistency(spark):
     for r in rows:
         for c in (
             "exact_dup_rate", "near_dup_rate_sampled", "contam_rate",
-            "pred_en_share", "low_entropy_share",
+            "contam_tok_share", "pred_en_share", "low_entropy_share",
         ):
             v = r[c]
             assert v is None or 0.0 <= v <= 1.0, (r["source"], r["split"], c, v)
         if r["split"] == "test":
             assert r["contam_rate"] is None
+            assert r["contam_tok_share"] is None
+        # severity ≤ rate is NOT a theorem, but severity must be 0
+        # exactly when the rate is 0 (no covered tokens without a hit)
+        if r["contam_rate"] == 0.0:
+            assert r["contam_tok_share"] == 0.0
     # the signals bite on the fixture
     assert tot["exact_dup_rate"] > 0
     assert tot["near_dup_rate_sampled"] > 0

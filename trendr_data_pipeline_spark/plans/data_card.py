@@ -97,13 +97,20 @@ def _card_oracle() -> str:
         SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS gram
         FROM feat0 CROSS JOIN UNNEST(range(1, greatest(len(toks) - 6, 1))) AS r(i)
         WHERE split = 'test' AND len(toks) >= 8
-    ), chit AS (
-        SELECT DISTINCT f.doc_id
-        FROM (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+    ), cpos AS (
+        -- r10: contamination at the c43 RUN grain — distinct covered
+        -- positions, so the card can report SEVERITY (share of
+        -- contaminated tokens), not just the binary hit
+        SELECT DISTINCT f.doc_id, f.pos + j AS tokpos
+        FROM (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                     array_to_string(toks[i:i+7], ' ') AS gram
               FROM feat0
               CROSS JOIN UNNEST(range(1, greatest(len(toks) - 6, 1))) AS r(i)
               WHERE split <> 'test' AND len(toks) >= 8) f
         SEMI JOIN teg USING (gram)
+        CROSS JOIN UNNEST(range(8)) AS rr(j)
+    ), chit AS (
+        SELECT doc_id, COUNT(*) AS n_cov FROM cpos GROUP BY doc_id
     ), ent AS ({ent}
     ), j AS (
         SELECT f.source, f.split, f.n_tok, f.quality, f.is_en,
@@ -114,6 +121,9 @@ def _card_oracle() -> str:
                CASE WHEN f.split <> 'test'
                     THEN CASE WHEN chit.doc_id IS NOT NULL THEN 1 ELSE 0 END
                END AS contam_flag,
+               CASE WHEN f.split <> 'test' AND f.n_tok > 0
+                    THEN ROUND(COALESCE(chit.n_cov, 0) * 1.0 / f.n_tok, 6)
+               END AS contam_share,
                ent.entropy,
                CASE WHEN ent.entropy IS NOT NULL
                     THEN CASE WHEN ent.entropy < {_LOW_H} THEN 1 ELSE 0 END
@@ -131,6 +141,7 @@ def _card_oracle() -> str:
            ROUND(AVG(is_exact_dup), 6) AS exact_dup_rate,
            ROUND(AVG(nd_flag), 6) AS near_dup_rate_sampled,
            ROUND(AVG(contam_flag), 6) AS contam_rate,
+           ROUND({sql_davg("contam_share")}, 6) AS contam_tok_share,
            ROUND(AVG(is_en), 6) AS pred_en_share,
            ROUND({sql_davg("quality")}, 6) AS mean_quality,
            ROUND({sql_davg("entropy")}, 6) AS mean_entropy,
@@ -150,8 +161,8 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.dedup import (
         bow_fingerprint,
+        contaminated_runs,
         jaccard_topk_join,
-        ngram_contamination_flags,
         tokens as _tokens,
     )
     from ..operators.quality import token_entropy
@@ -215,11 +226,19 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_a").alias("doc_id"), F.lit(1).alias("_nd"))
         .distinct()
     )
-    contam = ngram_contamination_flags(
-        base.filter(F.col("split") != "test"),
-        base.filter(F.col("split") == "test"),
-        n=8,
-    ).select("doc_id", F.col("is_contaminated").cast("int").alias("_ct"))
+    # r10: the contamination leg runs at c43's RUN grain — the summed
+    # run lengths give covered-position counts, so the card reports
+    # both the hit rate AND the severity (share of contaminated
+    # tokens); flag semantics unchanged (hit ⇔ n_cov > 0)
+    contam = (
+        contaminated_runs(
+            base.filter(F.col("split") != "test"),
+            base.filter(F.col("split") == "test"),
+            n=8,
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("run_toks").cast("long").alias("_ncov"))
+    )
     ent = token_entropy(docs).select("doc_id", "entropy")
     # dupfp and nd_ids are both corpus-FRACTION frames (every
     # duplicated fingerprint / every sampled doc with a near-dup) —
@@ -241,7 +260,16 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 F.col("doc_id") % _ND_MOD == 0, F.coalesce(F.col("_nd"), F.lit(0))
             ).alias("nd_flag"),
-            F.when(F.col("split") != "test", F.col("_ct")).alias("contam_flag"),
+            F.when(
+                F.col("split") != "test",
+                (F.coalesce(F.col("_ncov"), F.lit(0)) > 0).cast("int"),
+            ).alias("contam_flag"),
+            F.when(
+                (F.col("split") != "test") & (F.col("n_tok") > 0),
+                F.round(
+                    F.coalesce(F.col("_ncov"), F.lit(0)) * 1.0 / F.col("n_tok"), 6
+                ),
+            ).alias("contam_share"),
             "entropy",
             F.when(
                 F.col("entropy").isNotNull(),
@@ -268,6 +296,7 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("is_exact_dup"), 6).alias("exact_dup_rate"),
             F.round(F.avg("nd_flag"), 6).alias("near_dup_rate_sampled"),
             F.round(F.avg("contam_flag"), 6).alias("contam_rate"),
+            F.round(_davg("contam_share"), 6).alias("contam_tok_share"),
             F.round(F.avg("is_en"), 6).alias("pred_en_share"),
             F.round(_davg("quality"), 6).alias("mean_quality"),
             F.round(_davg("entropy"), 6).alias("mean_entropy"),
@@ -285,6 +314,7 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_dup_rate",
             "near_dup_rate_sampled",
             "contam_rate",
+            "contam_tok_share",
             "pred_en_share",
             "mean_quality",
             "mean_entropy",
@@ -301,7 +331,11 @@ register(
     in one rollup exchange. Metrics reuse gated machinery verbatim —
     d01 fingerprints, d02's inverted-index Jaccard screen (sampled
     1-in-10, documented), D7 gram contamination of train/val against
-    the TEST split, t02 language argmax, t03 quality, c37 entropy
+    the TEST split — since r10 at c43's RUN grain, adding the
+    contam_tok_share SEVERITY column (mean share of covered token
+    positions; the binary rate cannot rank a quoted eval answer above
+    an incidental 8-gram) —, t02 language argmax, t03 quality, c37
+    entropy
     (its oracle CTE spliced from the registry string — the c23
     composition device). Decimal-accumulated means, rate columns as
     NULL-skipping CASE averages (subpopulation denominators), all
