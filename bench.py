@@ -172,6 +172,8 @@ RENAMES_R9: dict[str, str] = {
 RENAMES_R10: dict[str, str] = {
     # admits c43_contaminated_runs (run-grain decontamination)
     "r03_decision_ladder": "zr03_decision_ladder",
+    # admits c44_incremental_data_card (O(delta) card refresh)
+    "r02_windowed_dedup": "zr02_windowed_dedup",
 }
 
 #: combined rename map for round-over-round joins (each round's

@@ -93,11 +93,13 @@ def test_cap_window_holds_only_oracle_queries():
         "rename them past the cap (x/z prefix) or add an oracle"
     )
     # and the window boundary is where COVERAGE.md documents it
-    assert in_cap[0].startswith("c05") and in_cap[-1].startswith("r03"), in_cap[-1]
+    # (r10: c43/c44 displaced r02/r03 — both z-pushed, RENAMES_R10)
+    assert in_cap[0].startswith("c05") and in_cap[-1].startswith("r01"), in_cap[-1]
     for must_sign in (
         "c05_", "c18_", "c24_", "c25_",
         "c26_", "c27_", "c28_", "c29_", "c30_", "c31_", "c32_", "c33_",
         "c34_", "c35_", "c36_", "c37_", "c38_", "c39_", "c40_", "c41_", "c42_",
+        "c43_", "c44_",
     ):
         assert any(n.startswith(must_sign) for n in in_cap), must_sign
     # review finding (r8): a NEW oracle-bearing registration sorting

@@ -673,3 +673,49 @@ def test_bm25_capped_leg_recall_and_error_bound(spark):
     assert rows and {c for c in rows[0].asDict()} == {
         "query_id", "doc_id", "bm25", "rk"
     }
+
+
+def test_incremental_data_card_converges_and_noop(spark):
+    """c44's operator beyond the gate hash: (1) the incremental card
+    over an O(delta) feature merge equals the from-scratch v2 card
+    ROW FOR ROW (Spark-side, no oracle in the loop); (2) an empty
+    delta reduces to re-aggregating the maintained frame (same card
+    as v1's); (3) the merged feature frame's doc set is exactly v2's
+    (no ghost rows from removed/modified docs)."""
+    from pyspark.sql import functions as F
+
+    from trendr_data_pipeline_spark.io import read_table
+    from trendr_data_pipeline_spark.plans.data_card import (
+        card_from_features,
+        doc_card_features,
+        incremental_data_card,
+    )
+    from trendr_data_pipeline_spark.plans.dedup_ops import v2_snapshot
+
+    def rows(df):
+        return sorted((tuple(r) for r in df.collect()), key=repr)
+
+    v1 = read_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    v2 = v2_snapshot(v1)
+    feat_v1 = doc_card_features(v1).localCheckpoint(eager=True)
+
+    got = incremental_data_card(feat_v1, v1, v2)
+    want = card_from_features(doc_card_features(v2))
+    assert rows(got) == rows(want) and got.count() >= 2
+
+    # empty delta: v2 == v1
+    noop = incremental_data_card(feat_v1, v1, v1)
+    assert rows(noop) == rows(card_from_features(feat_v1))
+
+    # merged frame tracks v2's id set exactly
+    from trendr_data_pipeline_spark.operators.ingestion import snapshot_diff
+
+    diff = snapshot_diff(v1, v2)
+    gone = diff.filter(F.col("status").isin("removed", "modified")).select("doc_id")
+    changed = diff.filter(F.col("status").isin("added", "modified")).select("doc_id")
+    merged = feat_v1.join(gone, "doc_id", "left_anti").unionByName(
+        doc_card_features(v2.join(changed, "doc_id", "left_semi"))
+    )
+    assert sorted(r["doc_id"] for r in merged.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in v2.select("doc_id").collect()
+    )

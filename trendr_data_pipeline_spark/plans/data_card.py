@@ -323,6 +323,145 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_card_features(docs: DataFrame) -> DataFrame:
+    """The card's per-doc-LOCAL feature frame — (doc_id, split, fp,
+    n_tok, quality, is_en, entropy) over a (doc_id, text) corpus.
+    Every column is a pure function of one document (split is a hash
+    of its id), which is exactly what makes the frame MAINTAINABLE
+    O(delta) across releases (c44): unchanged docs keep their rows
+    verbatim. The corpus-JOIN card legs (near-dup sampling,
+    contamination) deliberately live outside this frame — their
+    incremental story is the text index / release cycle (c38), not a
+    row merge."""
+    from ..operators.dedup import bow_fingerprint, tokens as _tokens
+    from ..operators.quality import token_entropy
+    from ..operators.sampling import split_assign
+    from .text_ops import (
+        _quality_expr,
+        _stop_array,
+        lang_hit_columns,
+        predicted_lang_expr,
+    )
+
+    base = split_assign(docs.select("doc_id", "text"))
+    toks = _tokens(F.lower(F.col("text")))
+    feat0 = lang_hit_columns(
+        base.select(
+            "doc_id",
+            "split",
+            bow_fingerprint(F.col("text")).alias("fp"),
+            toks.alias("toks"),
+        )
+    )
+    n_tok = F.size(F.col("toks"))
+    tok_chars = F.aggregate(
+        F.transform(F.col("toks"), lambda x: F.length(x)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    stop_hits = F.size(
+        F.filter(F.col("toks"), lambda x: F.array_contains(_stop_array(), x))
+    )
+    feat = feat0.select(
+        "doc_id",
+        "split",
+        "fp",
+        n_tok.cast("long").alias("n_tok"),
+        F.when(
+            n_tok > 0,
+            F.round(_quality_expr(n_tok, tok_chars, stop_hits), 6),
+        ).alias("quality"),
+        (predicted_lang_expr() == "en").cast("int").alias("is_en"),
+    )
+    ent = token_entropy(docs).select("doc_id", "entropy")
+    return feat.join(ent, "doc_id", "left")
+
+
+def card_from_features(feat: DataFrame) -> DataFrame:
+    """Aggregate the per-doc feature frame into the release card:
+    ROLLUP(split) — per-split rows plus the corpus total (grouping()
+    sentinel, the r10 c40 device). The only non-doc-local metric is
+    the exact-dup rate, one keyed groupBy on the maintained frame's
+    fp column (narrow, map-side combined) — never a re-tokenize."""
+    dupfp = (
+        feat.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_nfp"))
+        .filter(F.col("_nfp") > 1)
+        .select("fp", F.lit(1).alias("_dup"))
+    )
+    j = feat.join(dupfp, "fp", "left").select(
+        "split",
+        "n_tok",
+        "quality",
+        "is_en",
+        F.coalesce(F.col("_dup"), F.lit(0)).alias("is_exact_dup"),
+        "entropy",
+        F.when(
+            F.col("entropy").isNotNull(),
+            (F.col("entropy") < _LOW_H).cast("int"),
+        ).alias("low_h_flag"),
+    )
+
+    def _davg(c: str) -> F.Column:
+        return F.sum(F.col(c).cast(DEC)).cast("double") / F.count(c)
+
+    return (
+        j.rollup("split")
+        .agg(
+            F.grouping("split").alias("_gspl"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.round(F.avg("is_exact_dup"), 6).alias("exact_dup_rate"),
+            F.round(F.avg("is_en"), 6).alias("pred_en_share"),
+            F.round(_davg("quality"), 6).alias("mean_quality"),
+            F.round(_davg("entropy"), 6).alias("mean_entropy"),
+            F.round(F.avg("low_h_flag"), 6).alias("low_entropy_share"),
+        )
+        .select(
+            F.when(F.col("_gspl") == 1, F.lit("ALL"))
+            .otherwise(F.col("split"))
+            .alias("split"),
+            "n_docs",
+            "n_tokens",
+            "exact_dup_rate",
+            "pred_en_share",
+            "mean_quality",
+            "mean_entropy",
+            "low_entropy_share",
+        )
+    )
+
+
+def incremental_data_card(
+    feat_v1: DataFrame, v1: DataFrame, v2: DataFrame
+) -> DataFrame:
+    """⊕A19 incremental (r10, verdict item 5 — the c38 device applied
+    to REPORTING, the natural final verb of the release cycle: the
+    card IS the release report): refresh the card's per-doc feature
+    frame O(delta) and re-aggregate. ``feat_v1`` is the maintained
+    feature artifact for ``v1`` (:func:`doc_card_features` output,
+    persisted between releases); the snapshot diff (c33) classifies
+    the delta, ONLY added/modified docs are re-featurized (the
+    tokenize/quality/entropy pass — the card's dominant cost), and
+    the merged frame aggregates through :func:`card_from_features`.
+    The c44 gate hash-checks this against a from-scratch v2 card.
+
+    Caching contract (the module posture): the diff frame is
+    persisted; callers clearCache after materializing the card."""
+    from ..operators.ingestion import snapshot_diff
+
+    diff = snapshot_diff(v1, v2).persist()
+    gone = diff.filter(F.col("status").isin("removed", "modified")).select(
+        "doc_id"
+    )
+    changed = diff.filter(F.col("status").isin("added", "modified")).select(
+        "doc_id"
+    )
+    fresh = doc_card_features(v2.join(changed, "doc_id", "left_semi"))
+    feat_v2 = feat_v1.join(gone, "doc_id", "left_anti").unionByName(fresh)
+    return card_from_features(feat_v2)
+
+
 register(
     "c40_data_card",
     _card_oracle(),
@@ -341,3 +480,128 @@ register(
     NULL-skipping CASE averages (subpopulation denominators), all
     rounded 6 dp.""",
 )(corpus_data_card)
+
+
+# ---------------------------------------------------------------------------
+# c44 — the INCREMENTAL data card (r10, verdict item 5)
+# ---------------------------------------------------------------------------
+
+#: staged v1 feature artifacts: abs(sf_dir) -> parquet dir (the
+#: maintained per-doc frame a production card keeps between releases;
+#: staged once per process — read-only, so no per-run clone needed,
+#: unlike c38's refreshed index)
+_STAGED_FEAT: dict[str, str] = {}
+_FEAT_CLEANUP_REGISTERED = False
+
+
+def _reap_feat_dirs() -> None:
+    import shutil
+
+    for d in _STAGED_FEAT.values():
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _staged_v1_features(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import os
+    import tempfile
+
+    global _FEAT_CLEANUP_REGISTERED
+    if not _FEAT_CLEANUP_REGISTERED:
+        atexit.register(_reap_feat_dirs)
+        _FEAT_CLEANUP_REGISTERED = True
+    key = os.path.abspath(sf_dir)
+    if key not in _STAGED_FEAT:
+        holder = tempfile.mkdtemp(prefix="card_feat_stage_")
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        doc_card_features(docs).write.parquet(os.path.join(holder, "feat_v1"))
+        _STAGED_FEAT[key] = holder
+    return os.path.join(_STAGED_FEAT[key], "feat_v1")
+
+
+def _incr_card_oracle() -> str:
+    from .dedup_ops import SQL_V2_SNAPSHOT
+
+    ent = _REGISTRY["c37_token_entropy"].oracle
+    # splice the gated entropy CTE, repointed at the v2 snapshot (the
+    # c23 string-substitution device); fail loud if c37's oracle ever
+    # stops having exactly one corpus scan to repoint
+    assert ent.count("FROM documents") == 1, "c37 oracle shape changed"
+    ent_v2 = ent.replace("FROM documents", "FROM v2")
+    return f"""
+    WITH v2 AS ({SQL_V2_SNAPSHOT}
+    ), base AS (
+        SELECT doc_id,
+           {_SQL_SPLIT_CASE} AS split,
+           {_SQL_TOKS} AS toks,
+           md5(array_to_string({_SQL_TOKSET_CARD}, ' ')) AS fp
+        FROM v2
+    ), feat0 AS (
+        SELECT doc_id, split, fp,
+               len(toks) AS n_tok,
+               list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS tok_chars,
+               len(list_filter(toks, x -> list_contains({_SQL_STOP}, x))) AS stop_hits,
+               {_LANG_HITS_SQL}
+        FROM base
+    ), feat AS (
+        SELECT doc_id, split, fp, n_tok,
+               CASE WHEN n_tok > 0 THEN ROUND({_SQL_QUALITY}, 6) END AS quality,
+               CASE WHEN greatest(hits_en, hits_fr, hits_de, hits_es, hits_zh) = 0
+                        THEN 0
+                    WHEN hits_en >= greatest(hits_fr, hits_de, hits_es, hits_zh)
+                        THEN 1
+                    ELSE 0 END AS is_en
+        FROM feat0
+    ), dupfp AS (
+        SELECT fp FROM feat GROUP BY fp HAVING COUNT(*) > 1
+    ), ent AS ({ent_v2}
+    ), j AS (
+        SELECT f.split, f.n_tok, f.quality, f.is_en,
+               CASE WHEN dupfp.fp IS NOT NULL THEN 1 ELSE 0 END AS is_exact_dup,
+               ent.entropy,
+               CASE WHEN ent.entropy IS NOT NULL
+                    THEN CASE WHEN ent.entropy < {_LOW_H} THEN 1 ELSE 0 END
+               END AS low_h_flag
+        FROM feat f
+        LEFT JOIN dupfp ON f.fp = dupfp.fp
+        LEFT JOIN ent ON f.doc_id = ent.doc_id
+    )
+    SELECT CASE WHEN GROUPING(split) = 1 THEN 'ALL' ELSE split END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           ROUND(AVG(is_exact_dup), 6) AS exact_dup_rate,
+           ROUND(AVG(is_en), 6) AS pred_en_share,
+           ROUND({sql_davg("quality")}, 6) AS mean_quality,
+           ROUND({sql_davg("entropy")}, 6) AS mean_entropy,
+           ROUND(AVG(low_h_flag), 6) AS low_entropy_share
+    FROM j GROUP BY ROLLUP(split)
+    """
+
+
+@register(
+    "c44_incremental_data_card",
+    _incr_card_oracle(),
+    doc="""INCREMENTAL data card across a v1→v2 release step (⊕A19
+    incremental, r10 — verdict item 5; the c38 device applied to
+    reporting): the Spark side maintains the v1 per-doc feature
+    artifact (staged once per process, read-only — in production the
+    frame a card keeps between releases), classifies the delta with
+    the c33 snapshot diff, re-featurizes ONLY added/modified docs
+    (the tokenize/quality/entropy pass — the card's dominant cost),
+    merges, and re-aggregates with ROLLUP(split) + grouping()
+    sentinel. The oracle computes the same card FROM SCRATCH over the
+    v2 snapshot (c34 split CASE, t03 quality, t02 argmax, d01
+    fingerprint dup rate, c37 entropy CTE spliced from the registry
+    string repointed at v2) — a hash match proves incremental card ==
+    full recompute. The corpus-JOIN legs (near-dup sample,
+    contamination) deliberately stay out of the maintained frame:
+    their incremental story is the text index / release cycle, and
+    the full card (c40) gates them separately.""",
+)
+def c44_incremental_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup_ops import v2_snapshot
+
+    v1 = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = v2_snapshot(v1)
+    feat_v1 = spark.read.parquet(_staged_v1_features(spark, sf_dir))
+    return incremental_data_card(feat_v1, v1, v2)

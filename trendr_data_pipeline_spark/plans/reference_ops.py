@@ -258,7 +258,9 @@ def r01_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "r02_windowed_dedup",
+    # z-pushed r10 (freeze rule): admits c44_incremental_data_card into
+    # the driver window; r9-signed as r02 in CORRECTNESS_r09.json
+    "zr02_windowed_dedup",
     f"""
     WITH m AS (
         SELECT 'src' || CAST(o_orderkey % 5 AS VARCHAR) AS source_id,
