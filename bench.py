@@ -174,6 +174,10 @@ RENAMES_R10: dict[str, str] = {
     "r03_decision_ladder": "zr03_decision_ladder",
     # admits c44_incremental_data_card (O(delta) card refresh)
     "r02_windowed_dedup": "zr02_windowed_dedup",
+    # admits c45_cdc_chunk_dedup (content-defined chunk dedup)
+    "q09_filtered_scan": "zq09_filtered_scan",
+    # admits c46_fuzzy_decontam (doc-level fuzzy decontamination)
+    "r01_classifier_scores": "zr01_classifier_scores",
 }
 
 #: combined rename map for round-over-round joins (each round's
@@ -262,7 +266,10 @@ def main() -> None:
     with open(Path(__file__).resolve().parent / "BENCH_local_latest.json", "w") as f:
         json.dump(record, f, indent=1)
     compact = dict(record)
-    compact["queries"] = {n.split("_", 1)[0]: t for n, t in timings.items()}
+    # 2-dp per-query timings in the COMPACT line only (r10: the
+    # 99-name registry outgrew the stdout window at 3 dp; full 3-dp
+    # medians stay in BENCH_local_latest.json)
+    compact["queries"] = {n.split("_", 1)[0]: round(t, 2) for n, t in timings.items()}
     # keep the printed line inside the driver's 2000-char stdout
     # window: ID-prefix rename map here, full names in the local file
     compact["renames"] = {
@@ -272,10 +279,7 @@ def main() -> None:
     # one would silently drop a timing from the compact map — fail loud
     assert len(compact["queries"]) == len(timings), "duplicate id prefix"
     compact["harness_queries"] = [n.split("_", 1)[0] for n in harness]
-    compact["queries_key"] = (
-        "unique id prefix of the registry name; full names in "
-        "BENCH_local_latest.json"
-    )
+    compact["queries_key"] = "id prefix; full names in BENCH_local_latest.json"
     print(json.dumps(compact))
 
 

@@ -1509,3 +1509,145 @@ def test_contaminated_runs_severity_beyond_binary_flag(spark):
         clean.select("doc_id", F.col("cleaned_text").alias("text")), bench, n=8
     )
     assert not [r for r in requery.collect() if r["is_contaminated"]]
+
+
+def test_cdc_chunks_tiling_and_shift_invariance(spark):
+    """⊕D21 (r10) — the two properties that make content-defined
+    chunking the dedup-storage grain: (1) chunks TILE the document
+    (disjoint, contiguous, covering every token — checked on fixture
+    docs under the production xxhash64 boundary); (2) SHIFT
+    INVARIANCE: prepending tokens leaves every chunk after the first
+    boundary identical (the property fixed-width windows lose after
+    one insertion)."""
+    from trendr_data_pipeline_spark.operators.dedup import cdc_chunks
+
+    # (1) tiling on real fixture text, production boundary
+    docs = read_table(spark, SMOKE_SF, "documents").limit(50)
+    ch = cdc_chunks(docs, p=8).collect()
+    n_tok = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n")
+        ).collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in ch:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_pos"], r["chunk_toks"]))
+    assert set(by_doc) == set(n_tok)
+    for d, chunks in by_doc.items():
+        chunks.sort()
+        assert chunks[0][0] == 1
+        for (p0, t0), (p1, _) in zip(chunks, chunks[1:]):
+            assert p1 == p0 + t0  # contiguous, disjoint
+        assert sum(t for _, t in chunks) == n_tok[d]
+
+    # (2) shift invariance under a known predicate boundary
+    brk = lambda tok: tok == "brk"  # noqa: E731
+    base = "a b brk c d e brk f g"
+    shifted = "x y brk " + base
+    two = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id long, text string"
+    )
+    got = cdc_chunks(two, boundary=brk)
+    keys = {
+        i: {r["chunk_key"] for r in rows}
+        for i, rows in (
+            (1, got.filter(F.col("doc_id") == 1).collect()),
+            (2, got.filter(F.col("doc_id") == 2).collect()),
+        )
+    }
+    # every chunk of the original appears in the shifted doc (the
+    # prefix ends with a breaker, so alignment is perfect)
+    assert keys[1] <= keys[2]
+    assert len(keys[2] - keys[1]) == 1  # exactly the prefix chunk
+
+
+def test_dedup_cdc_chunks_keep_first_semantics(spark):
+    """⊕D21's removal verb, hand-built under a known boundary: the
+    first (doc, chunk_pos) occurrence of each duplicated ≥min_toks
+    chunk survives corpus-wide (including against intra-doc repeats),
+    short chunks are NEVER removed however duplicated, and the
+    composite-key overflow guard raises loudly."""
+    import pytest as _pytest
+
+    from trendr_data_pipeline_spark.operators.dedup import dedup_cdc_chunks
+
+    brk = lambda tok: tok == "brk"  # noqa: E731
+    span = "a b brk"  # one 3-token chunk
+    docs = spark.createDataFrame(
+        [
+            (1, f"{span} q r brk"),        # owner of 'a b brk'; unique tail
+            (2, f"z1 brk {span} z3"),      # loses its copy
+            (3, f"{span} {span} c"),       # intra-doc repeat: loses BOTH
+            (4, "u brk u brk u brk"),      # short (2-tok) chunks: kept
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dedup_cdc_chunks(docs, min_toks=3, boundary=brk).collect()
+    }
+    assert got[1]["cleaned_text"] == f"{span} q r brk" and got[1]["n_removed"] == 0
+    assert got[2]["cleaned_text"] == "z1 brk z3" and got[2]["n_removed"] == 3
+    assert got[3]["cleaned_text"] == "c" and got[3]["n_removed"] == 6
+    assert got[4]["n_removed"] == 0
+    # exactly one copy of the duplicated chunk content corpus-wide
+    assert sum(r["cleaned_text"].count(span) for r in got.values()) == 1
+
+    big = spark.createDataFrame(
+        [(1 << 31, f"{span} {span}")], "doc_id long, text string"
+    )
+    with _pytest.raises(Exception, match="2\\^31"):
+        dedup_cdc_chunks(big, min_toks=3, boundary=brk).collect()
+
+
+def test_fuzzy_decontaminate_catches_what_exact_grams_miss(spark):
+    """⊕D22 (r10) — the selling point, hand-built: a corpus doc that
+    paraphrases an eval doc with one token edited inside EVERY 8-token
+    window shares ZERO 8-grams (⊕D7's exact flag stays quiet) but
+    keeps high 3-gram-set Jaccard — the fuzzy screen flags it. Plus
+    the exact-copy case, the clean-doc case, the best-match tie rule
+    (max Jaccard then min match_id), and the removal verb."""
+    from trendr_data_pipeline_spark.operators.dedup import (
+        fuzzy_decontaminate,
+        ngram_contamination_flags,
+        remove_fuzzy_contaminated,
+    )
+
+    ev = " ".join(f"t{i}" for i in range(1, 25))  # 24 distinct tokens
+    # edit positions 8, 16, 24 → every 8-window contains an edit;
+    # shared 3-grams = 15 of 22 → J = 15 / (22+22-15) = 15/29 ≈ 0.5172
+    para = ev.split()
+    for k, pos in enumerate((8, 16, 24)):
+        para[pos - 1] = f"x{k}"
+    corpus = spark.createDataFrame(
+        [
+            (10, " ".join(para)),             # paraphrase of eval 100
+            (11, " ".join(f"u{i}" for i in range(30))),  # clean
+            (12, ev),                          # exact copy of eval 100
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, ev), (101, ev)], "doc_id long, text string"
+    )
+
+    # exact 8-gram flag misses the paraphrase entirely
+    flags = {
+        r["doc_id"]: r["is_contaminated"]
+        for r in ngram_contamination_flags(corpus, bench, n=8).collect()
+    }
+    assert not flags.get(10, False)
+    assert flags.get(12, False)
+
+    got = {
+        r["doc_id"]: r
+        for r in fuzzy_decontaminate(corpus, bench, threshold=0.5, n=3).collect()
+    }
+    assert set(got) == {10, 12}
+    assert abs(got[10]["jaccard"] - 15 / 29) < 1e-6
+    assert got[10]["match_id"] == 100  # tie on jaccard → min match_id
+    assert got[12]["jaccard"] == 1.0 and got[12]["match_id"] == 100
+
+    kept = remove_fuzzy_contaminated(corpus, bench, threshold=0.5, n=3)
+    assert [r["doc_id"] for r in kept.collect()] == [11]

@@ -93,13 +93,14 @@ def test_cap_window_holds_only_oracle_queries():
         "rename them past the cap (x/z prefix) or add an oracle"
     )
     # and the window boundary is where COVERAGE.md documents it
-    # (r10: c43/c44 displaced r02/r03 — both z-pushed, RENAMES_R10)
-    assert in_cap[0].startswith("c05") and in_cap[-1].startswith("r01"), in_cap[-1]
+    # (r10: c43/c44/c45/c46 displaced r02/r03/q09/r01 — all z-pushed,
+    # RENAMES_R10)
+    assert in_cap[0].startswith("c05") and in_cap[-1].startswith("q07"), in_cap[-1]
     for must_sign in (
         "c05_", "c18_", "c24_", "c25_",
         "c26_", "c27_", "c28_", "c29_", "c30_", "c31_", "c32_", "c33_",
         "c34_", "c35_", "c36_", "c37_", "c38_", "c39_", "c40_", "c41_", "c42_",
-        "c43_", "c44_",
+        "c43_", "c44_", "c45_", "c46_",
     ):
         assert any(n.startswith(must_sign) for n in in_cap), must_sign
     # review finding (r8): a NEW oracle-bearing registration sorting
@@ -180,8 +181,9 @@ def test_bench_compact_line_fits_driver_stdout_window():
     (r6 finding); the compact JSON line must fit or the per-query map
     silently truncates to "parsed": null. Simulate the line exactly
     as bench.main() prints it — id-prefix keys, worst-realistic
-    timing widths (xx.xxx per query), the current renames map and
-    harness list — and assert headroom."""
+    timing widths (xx.xx per query; the compact line rounds to 2 dp
+    since r10's 99-name registry, full 3-dp in the local file), the
+    current renames map and harness list — and assert headroom."""
     import json
 
     import bench
@@ -192,7 +194,7 @@ def test_bench_compact_line_fits_driver_stdout_window():
         "metric": "total_query_wall_time",
         "value": 9999.999,
         "unit": "sec",
-        "queries": {n.split("_", 1)[0]: 99.999 for n in names},
+        "queries": {n.split("_", 1)[0]: 99.99 for n in names},
         "reps": 3,
         "sf": 0.1,
         "harness_queries": [
@@ -206,10 +208,7 @@ def test_bench_compact_line_fits_driver_stdout_window():
             o.split("_", 1)[0]: n.split("_", 1)[0]
             for o, n in bench.RENAMES.items()
         },
-        "queries_key": (
-            "unique id prefix of the registry name; full names in "
-            "BENCH_local_latest.json"
-        ),
+        "queries_key": "id prefix; full names in BENCH_local_latest.json",
     }
     assert len(compact["queries"]) == len(names), "duplicate id prefix"
     line = json.dumps(compact)

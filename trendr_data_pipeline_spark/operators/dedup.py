@@ -1572,3 +1572,239 @@ def remove_contaminated_runs(
     covered = _contaminated_positions(docs, benchmark, n, id_col, text_col)
     removal = covered.select(F.col(id_col), "tokpos")
     return _rebuild_without(docs, removal, id_col, text_col)
+
+
+# ---------------------------------------------------------------------------
+# ⊕D21 — content-defined chunking (CDC) dedup
+# ---------------------------------------------------------------------------
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    p: int = 8,
+    boundary=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """⊕D21 — content-defined chunking over the token stream (r10).
+
+    The rsync/LBFS device (Muthitacharoen et al., SOSP'01) lifted to
+    tokens: a token ENDS a chunk iff a pure function of that token
+    alone says so (default: ``xxhash64(tok) % p == 0``; ``boundary``
+    swaps in any Column predicate ``tok -> bool``). Because the
+    boundary depends on content, not position, two documents sharing a
+    long run of tokens produce IDENTICAL interior chunks no matter
+    where the run sits in each document — the alignment property that
+    fixed-width windows lose after a single inserted token (the reason
+    dedup storage systems abandoned fixed blocks; pytest-pinned as the
+    shift-invariance case). Expected chunk length is the breaker
+    fraction's reciprocal (~p when the predicate spreads evenly).
+
+    Deliberate departure from LBFS min/max chunk clamps: a suppressed
+    break would make each boundary depend on the PREVIOUS accepted
+    boundary, turning the chunker into a sequential scan that neither
+    Catalyst nor the DuckDB oracle can express declaratively. Instead
+    the pure-predicate form keeps perfect content alignment and the
+    DEDUP step below ignores short chunks (``min_toks``), which is
+    where small chunks actually hurt.
+
+    Returns (id, chunk_pos, chunk_toks, chunk_key): 1-based token
+    position of the chunk start, its token length, and a 64-bit key of
+    the space-joined chunk text (injective up to xxhash64 collisions —
+    the d05 posture, ~2⁻⁶⁴/pair). Chunks tile the document: disjoint,
+    contiguous, covering every token (pytest-pinned).
+
+    Scale shape: posexplode → per-DOC running-sum window (bounded by
+    one document, the c39 posture) → groupBy (id, chunk_idx) whose
+    clustering is satisfied by the window's hash(id) exchange, so the
+    whole chunker is ONE exchange, all JVM.
+    """
+    if boundary is None:
+        boundary = lambda tok: F.xxhash64(tok, F.lit(21)) % p == 0  # noqa: E731
+    toks = docs.select(
+        F.col(id_col), F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos0", "tok")
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), F.col("tok"))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = toks.withColumn(
+        "chunk_idx",
+        F.coalesce(F.sum(F.when(boundary(F.col("tok")), 1).otherwise(0)).over(w), F.lit(0)),
+    )
+    return chunked.groupBy(id_col, "chunk_idx").agg(
+        F.min("pos").alias("chunk_pos"),
+        F.count(F.lit(1)).cast("bigint").alias("chunk_toks"),
+        F.xxhash64(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+                ),
+            ),
+            F.lit(22),
+        ).alias("chunk_key"),
+    ).select(F.col(id_col), "chunk_pos", "chunk_toks", "chunk_key")
+
+
+def dedup_cdc_chunks(
+    docs: DataFrame,
+    p: int = 8,
+    min_count: int = 2,
+    min_toks: int = 4,
+    boundary=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """⊕D21 — corpus-level chunk dedup over :func:`cdc_chunks`, keep
+    the FIRST occurrence (r10). Every chunk of ≥ ``min_toks`` tokens
+    whose exact content occurs ≥ ``min_count`` times corpus-wide keeps
+    its lexicographically first occurrence ``(doc_id, chunk_pos)``;
+    every other occurrence's positions are deleted and the text
+    rebuilt — the storage-dedup grain none of D13/D18/D19 covers:
+    c41 owns fixed n-gram WINDOWS (overlap-heavy, run semantics),
+    chunks are a disjoint TILING, so removal is cheaper (no distinct
+    over overlapping windows) and the unit survives insertions via
+    content alignment. ``min_toks`` excludes short chunks from dedup
+    entirely (a 1-token chunk is "duplicated" in every document —
+    removing it is vocabulary censorship, not dedup); short chunks
+    are always kept.
+
+    Same rewrite contract as d13/c41: (id, n_tok, n_removed,
+    cleaned_text) on the lowercased whitespace token stream, via the
+    shared :func:`_rebuild_without`. Composite occurrence key
+    ``doc·2³¹ + chunk_pos`` with c41's loud overflow guard (valid only
+    for 0 ≤ id < 2³¹; snowflake-scale ids must widen BOTH engines in
+    lockstep — the c41 decision record).
+
+    Scale shape: the chunk frame (ONE exchange, see
+    :func:`cdc_chunks`) is persisted once and read by both the dup
+    aggregate (map-side-combined count+min per chunk_key) and the
+    removal join (chunk_key-keyed, never doc×doc); removal positions
+    explode ≤ chunk_toks rows per removed chunk with NO distinct
+    (chunks are disjoint within a doc by construction).
+
+    Caching contract (r9 ADVICE): the chunk frame is ``persist()``-ed
+    and the returned lazy DataFrame still references it; the entry
+    lives until ``spark.catalog.clearCache()`` or session end
+    (bench.py and the driver clear between queries).
+    """
+    lim = F.lit(1 << 31).cast("long")
+    bad = (
+        (F.col(id_col) < 0)
+        | (F.col(id_col).cast("long") >= lim)
+        | (F.col("chunk_pos") >= lim)
+    )
+    key = F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "dedup_cdc_chunks requires "
+                    f"0 <= {id_col} < 2^31 and chunk_pos < 2^31 (composite "
+                    "occurrence key would overflow); got id: "
+                ),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col(id_col).cast("long") * lim + F.col("chunk_pos"))
+    ch = (
+        cdc_chunks(docs, p=p, boundary=boundary, id_col=id_col, text_col=text_col)
+        .filter(F.col("chunk_toks") >= min_toks)
+        .withColumn("okey", key)
+        .persist()
+    )
+    dup = (
+        ch.groupBy("chunk_key")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("okey").alias("owner_key"))
+        .filter(F.col("cnt") >= min_count)
+        .select("chunk_key", "owner_key")
+    )
+    removal = (
+        ch.join(dup, "chunk_key")
+        .filter(F.col("okey") != F.col("owner_key"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("chunk_pos"), F.col("chunk_pos") + F.col("chunk_toks") - 1)
+            ).alias("tokpos"),
+        )
+    )
+    return _rebuild_without(docs, removal, id_col, text_col)
+
+
+# ---------------------------------------------------------------------------
+# ⊕D22 — doc-level fuzzy decontamination (eval near-dup screen)
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int | None = None,
+) -> DataFrame:
+    """⊕D22 — DOC-level fuzzy decontamination (r10): flag every corpus
+    document whose word ``n``-gram shingle-SET Jaccard against ANY
+    benchmark document reaches ``threshold`` — the GPT-3-appendix /
+    Llama-practice screen that catches paraphrased or partially-quoted
+    eval material which the exact-gram paths (⊕D7's flag, ⊕D20's
+    runs) can miss once a single token inside each window changes.
+    Complements, not replaces, the exact family: n-gram SETS forgive
+    token edits between windows; c43's runs give position/extent.
+
+    Returns (id, match_id, jaccard): each flagged corpus doc with its
+    BEST benchmark match (max Jaccard, then min match_id — the d02
+    tie rule), Jaccard rounded to 6 (hash-stable across engines).
+
+    Exactness and scale shape are :func:`jaccard_topk_join`'s (k=1):
+    distinct shingle hashes explode on both sides, gram-keyed
+    equi-join, count-based intersection — the corpus NEVER self-joins,
+    and the benchmark side is tiny by nature (benchmarks are MBs; its
+    exploded gram stream rides the AQE broadcast). ``df_cap`` is the
+    stop-gram escape hatch for a pathological corpus-side hot gram,
+    with jaccard_topk_join's provable-exactness bound. Shingles travel
+    as order-sensitive 64-bit hashes (:func:`word_ngram_hashes`) —
+    the d05 collision posture (~2⁻⁶⁴/pair).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    tokset = (lambda c: word_ngram_hashes(c, n)) if n > 1 else token_set
+    return (
+        jaccard_topk_join(
+            corpus,
+            benchmark,
+            threshold=threshold,
+            k=1,
+            id_col=id_col,
+            text_col=text_col,
+            tokset_fn=tokset,
+            df_cap=df_cap,
+        )
+        .select(F.col("id_a").alias(id_col), F.col("id_b").alias("match_id"), "jaccard")
+    )
+
+
+def remove_fuzzy_contaminated(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int | None = None,
+) -> DataFrame:
+    """⊕D22's removal verb: the corpus WITHOUT fuzzy-contaminated
+    documents — unlike ⊕D20's position-grain rewrite, doc-level
+    contamination drops the whole document (the GPT-3 practice: a
+    near-duplicate of an eval doc has no clean remainder worth
+    keeping). One left_anti on the flagged id set."""
+    flagged = fuzzy_decontaminate(
+        corpus, benchmark, threshold=threshold, n=n,
+        id_col=id_col, text_col=text_col, df_cap=df_cap,
+    ).select(id_col)
+    return corpus.join(flagged, id_col, "left_anti")

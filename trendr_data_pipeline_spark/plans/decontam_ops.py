@@ -94,3 +94,82 @@ def c43_contaminated_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("split") == "test"),
         n=_C43_N,
     )
+
+
+# ---------------------------------------------------------------------------
+# c46 — ⊕D22 doc-level fuzzy decontamination (r10)
+# ---------------------------------------------------------------------------
+
+_C46_N = 3
+_C46_THR = 0.5
+
+_SQL_FUZZY_DECONTAM = f"""
+    WITH base AS (
+        SELECT doc_id, {_SQL_TOKS_DEDUP} AS toks,
+               {SQL_SPLIT_CASE} AS split
+        FROM documents
+    ), g AS (
+        SELECT doc_id, split,
+               list_distinct(list_transform(
+                   range(1, len(toks) - {_C46_N - 2}),
+                   i -> array_to_string(toks[i:i+{_C46_N - 1}], ' '))) AS gs
+        FROM base WHERE len(toks) >= {_C46_N}
+    ), pairs AS (
+        SELECT a.doc_id AS doc_id, b.doc_id AS match_id,
+               ROUND(len(list_intersect(a.gs, b.gs)) * 1.0
+                     / (len(a.gs) + len(b.gs)
+                        - len(list_intersect(a.gs, b.gs))), 6) AS jaccard
+        FROM g a JOIN g b ON b.split = 'test'
+        WHERE a.split <> 'test'
+    ), best AS (
+        SELECT doc_id, match_id, jaccard FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                          ORDER BY jaccard DESC, match_id ASC) AS rk
+            FROM pairs WHERE jaccard >= {_C46_THR}
+        ) WHERE rk = 1
+    )
+    SELECT c.doc_id, best.match_id, best.jaccard
+    FROM (SELECT doc_id FROM base WHERE split <> 'test') c
+    LEFT JOIN best USING (doc_id)
+"""
+
+
+@register(
+    "c46_fuzzy_decontam",
+    _SQL_FUZZY_DECONTAM,
+    doc="""Doc-level FUZZY decontamination (⊕D22, r10): every train/val
+    document screened against the TEST split (c40/c43's
+    self-contained benchmark device) by word 3-gram shingle-SET
+    Jaccard — the GPT-3-appendix screen that catches paraphrased or
+    partially-edited eval material the exact-gram family (⊕D7 flag,
+    c43 runs) misses once one token inside each window changes. The
+    gate hashes the FULL corpus frame: (doc_id, match_id, jaccard)
+    with the best benchmark match (max Jaccard, then min match_id —
+    the d02 tie rule) for flagged docs and NULLs for clean ones, so
+    both a false flag and a missed flag break the hash. Spark side is
+    jaccard_topk_join's count-based inverted index (corpus never
+    self-joins; the benchmark's exploded gram stream is broadcast-
+    sized by nature); shingles travel as 64-bit order-sensitive
+    hashes vs string grams in the oracle (the d05 collision posture,
+    ~2⁻⁶⁴/pair). Oracle is brute-force corpus×benchmark — tractable
+    where the oracle runs, never what the Spark plan does.""",
+)
+def c46_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import fuzzy_decontaminate
+    from ..operators.sampling import split_assign
+
+    docs = split_assign(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    corpus = docs.filter(F.col("split") != "test")
+    flagged = fuzzy_decontaminate(
+        corpus,
+        docs.filter(F.col("split") == "test"),
+        threshold=_C46_THR,
+        n=_C46_N,
+    )
+    return corpus.select("doc_id").join(flagged, "doc_id", "left").select(
+        "doc_id", "match_id", "jaccard"
+    )

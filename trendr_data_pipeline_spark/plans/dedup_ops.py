@@ -821,3 +821,113 @@ def c41_keep_first_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicated_runs_keep_first(
         read_table(spark, sf_dir, "documents"), min_len=_C39_L
     )
+
+
+# ---------------------------------------------------------------------------
+# c45 — ⊕D21 content-defined chunk dedup (r10)
+# ---------------------------------------------------------------------------
+
+#: dedup only chunks of >= this many tokens (a 1-token chunk is
+#: "duplicated" in every document — removing it would be vocabulary
+#: censorship, not dedup)
+_CDC_MIN_TOKS = 4
+
+#: gate boundary predicate, SQL-expressible so BOTH engines chunk
+#: identically (the production default is xxhash64 % p, which DuckDB
+#: cannot compute — the operator takes the predicate as a parameter
+#: for exactly this reason). ~20 % breaker rate on the fixture
+#: vocabulary → mean chunk ≈ 5 tokens.
+_SQL_CDC_BRK = (
+    "(coalesce(ascii(substr(tok, 1, 1)), 0) * 7"
+    " + coalesce(ascii(substr(tok, 2, 1)), 0) * 3"
+    " + length(tok)) % 5 = 0"
+)
+
+
+def _cdc_gate_boundary(tok):
+    """Spark twin of ``_SQL_CDC_BRK`` (kept adjacent so the two
+    expressions can only drift with a visible diff)."""
+    return (
+        F.coalesce(F.ascii(F.substring(tok, 1, 1)), F.lit(0)) * 7
+        + F.coalesce(F.ascii(F.substring(tok, 2, 1)), F.lit(0)) * 3
+        + F.length(tok)
+    ) % 5 == 0
+
+
+_SQL_CDC_DEDUP = f"""
+    WITH t AS (
+        SELECT doc_id, {_SQL_TOKS_DEDUP} AS toks FROM documents
+    ), pt AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS tok
+        FROM t CROSS JOIN UNNEST(range(1, len(toks) + 1)) AS r(i)
+    ), brk AS (
+        SELECT doc_id, pos, tok,
+               CASE WHEN {_SQL_CDC_BRK} THEN 1 ELSE 0 END AS is_brk
+        FROM pt
+    ), cidx AS (
+        SELECT doc_id, pos, tok,
+               COALESCE(SUM(is_brk) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+        FROM brk
+    ), ch AS (
+        SELECT doc_id, chunk_idx, MIN(pos) AS chunk_pos,
+               COUNT(*) AS chunk_toks,
+               string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+        FROM cidx GROUP BY doc_id, chunk_idx
+    ), el AS (
+        SELECT *, doc_id * 2147483648 + chunk_pos AS okey
+        FROM ch WHERE chunk_toks >= {_CDC_MIN_TOKS}
+    ), dup AS (
+        SELECT chunk_text, MIN(okey) AS owner_key
+        FROM el GROUP BY chunk_text HAVING COUNT(*) >= 2
+    ), removal AS (
+        SELECT el.doc_id, el.chunk_pos + j AS tokpos
+        FROM el JOIN dup USING (chunk_text)
+        CROSS JOIN UNNEST(range(el.chunk_toks)) AS rr(j)
+        WHERE el.okey <> dup.owner_key
+    ), kept AS (
+        SELECT pt.doc_id, pt.pos AS tokpos, pt.tok
+        FROM pt ANTI JOIN removal
+        ON pt.doc_id = removal.doc_id AND pt.pos = removal.tokpos
+    ), rebuilt AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY tokpos) AS cleaned_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tok,
+           CAST(len(t.toks) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.cleaned_text, '') AS cleaned_text
+    FROM t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+@register(
+    "c45_cdc_chunk_dedup",
+    _SQL_CDC_DEDUP,
+    doc="""Content-defined chunk dedup (⊕D21, r10): the rsync/LBFS
+    boundary device lifted to tokens — a token ends a chunk iff a
+    pure predicate of that token fires, so shared content produces
+    identical chunks at ANY offset (the alignment fixed windows lose
+    after one insertion); every ≥4-token chunk duplicated corpus-wide
+    keeps its first (doc, chunk_pos) occurrence and the full
+    rewritten text of every document is hash-gated (the c25/c41
+    device). The grain none of d13/c39/c41 covers: chunks TILE the
+    document (disjoint — removal needs no overlapping-window
+    distinct), and the dedup unit is variable-sized, set by content.
+    The gate's boundary predicate is SQL-expressible so both engines
+    chunk identically; the production default (xxhash64 %% p) is the
+    same operator with a different predicate, pytest-pinned for
+    shift-invariance. c41's composite-key domain restriction
+    (0 ≤ id < 2³¹, loud raise Spark-side, lockstep widening) applies
+    verbatim.""",
+)
+def c45_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_cdc_chunks
+
+    return dedup_cdc_chunks(
+        read_table(spark, sf_dir, "documents"),
+        min_toks=_CDC_MIN_TOKS,
+        boundary=_cdc_gate_boundary,
+    )

@@ -229,7 +229,9 @@ _R01_ORACLE = f"""
 
 
 @register(
-    "r01_classifier_scores",
+    # z-pushed r10 (freeze rule): admits c46_fuzzy_decontam into the
+    # driver window; r9-signed as r01 in CORRECTNESS_r09.json
+    "zr01_classifier_scores",
     _R01_ORACLE,
     doc="A1–A6 classifier (operators/classifier.py) on domain tables "
     "derived from customer/orders, hash-checked against a full SQL "

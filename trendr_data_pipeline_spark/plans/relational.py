@@ -333,7 +333,9 @@ def q08_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q09_filtered_scan",
+    # z-pushed r10 (freeze rule): admits c45_cdc_chunk_dedup into the
+    # driver window; r9-signed as q09 in CORRECTNESS_r09.json
+    "zq09_filtered_scan",
     """
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
