@@ -178,6 +178,8 @@ RENAMES_R10: dict[str, str] = {
     "q09_filtered_scan": "zq09_filtered_scan",
     # admits c46_fuzzy_decontam (doc-level fuzzy decontamination)
     "r01_classifier_scores": "zr01_classifier_scores",
+    # admits c47_source_overlap (cross-source n-gram overlap matrix)
+    "q07_distinct_counts": "zq07_distinct_counts",
 }
 
 #: combined rename map for round-over-round joins (each round's

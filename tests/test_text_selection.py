@@ -719,3 +719,31 @@ def test_incremental_data_card_converges_and_noop(spark):
     assert sorted(r["doc_id"] for r in merged.select("doc_id").collect()) == sorted(
         r["doc_id"] for r in v2.select("doc_id").collect()
     )
+
+
+def test_source_overlap_matrix_hand_built(spark):
+    """⊕A21 (r10), hand-built: known distinct 3-gram sets per source →
+    exact containments/Jaccard; zero-overlap pairs are INCLUDED with
+    inter_grams = 0; intra-source duplicate text does not inflate the
+    distinct set; a source with no >=3-token doc is absent."""
+    from trendr_data_pipeline_spark.operators.sampling import source_overlap_matrix
+
+    docs = spark.createDataFrame(
+        [
+            ("A", "w1 w2 w3 w4"),   # grams {w1w2w3, w2w3w4}
+            ("A", "w1 w2 w3 w4"),   # duplicate doc — no inflation
+            ("B", "w1 w2 w3 x"),    # grams {w1w2w3, w2w3x}
+            ("C", "z1 z2 z3"),      # grams {z1z2z3} — disjoint
+            ("D", "t1 t2"),         # too short — source absent
+        ],
+        "source string, text string",
+    )
+    rows = {(r["source_a"], r["source_b"]): r for r in source_overlap_matrix(docs).collect()}
+    assert set(rows) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = rows[("A", "B")]
+    assert ab["grams_a"] == 2 and ab["grams_b"] == 2 and ab["inter_grams"] == 1
+    assert ab["containment_a_in_b"] == 0.5 and ab["containment_b_in_a"] == 0.5
+    assert abs(ab["jaccard"] - round(1 / 3, 6)) < 1e-9
+    for pair in (("A", "C"), ("B", "C")):
+        r = rows[pair]
+        assert r["inter_grams"] == 0 and r["jaccard"] == 0.0

@@ -605,3 +605,63 @@ def c44_incremental_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = v2_snapshot(v1)
     feat_v1 = spark.read.parquet(_staged_v1_features(spark, sf_dir))
     return incremental_data_card(feat_v1, v1, v2)
+
+
+# ---------------------------------------------------------------------------
+# c47 — ⊕A21 cross-source n-gram overlap matrix (r10)
+# ---------------------------------------------------------------------------
+
+_C47_N = 3
+
+_SQL_SOURCE_OVERLAP = f"""
+    WITH base AS (
+        SELECT source, {_SQL_TOKS} AS toks FROM documents
+    ), g AS (
+        SELECT DISTINCT source,
+               array_to_string(toks[i:i+{_C47_N - 1}], ' ') AS gram
+        FROM base
+        CROSS JOIN UNNEST(range(1, len(toks) - {_C47_N - 2})) AS r(i)
+        WHERE len(toks) >= {_C47_N}
+    ), sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY source
+    ), inter AS (
+        SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS i
+        FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT p.sa AS source_a, p.sb AS source_b,
+           p.na AS grams_a, p.nb AS grams_b,
+           COALESCE(i.i, 0) AS inter_grams,
+           ROUND(COALESCE(i.i, 0) * 1.0 / p.na, 6) AS containment_a_in_b,
+           ROUND(COALESCE(i.i, 0) * 1.0 / p.nb, 6) AS containment_b_in_a,
+           ROUND(COALESCE(i.i, 0) * 1.0
+                 / (p.na + p.nb - COALESCE(i.i, 0)), 6) AS jaccard
+    FROM (SELECT a.source AS sa, b.source AS sb, a.n AS na, b.n AS nb
+          FROM sizes a JOIN sizes b ON a.source < b.source) p
+    LEFT JOIN inter i ON p.sa = i.sa AND p.sb = i.sb
+"""
+
+
+@register(
+    "c47_source_overlap",
+    _SQL_SOURCE_OVERLAP,
+    doc="""Cross-source n-gram overlap matrix (⊕A21, r10): per
+    unordered source pair, distinct word-3-gram set sizes,
+    intersection, both containments and Jaccard — the
+    corpus-COMPOSITION audit mixture design runs before choosing
+    weights (the inter-dataset overlap practice of the Pile/Dolma
+    reports), at SOURCE grain where d01-d06 answer per document.
+    Zero-overlap pairs are included (absence of overlap is the
+    finding). Spark side: one corpus-scale (source, gram-hash)
+    distinct, one gram-keyed collect_set bounded by #sources, bounded
+    pair explode, map-side-combined count onto ≤ s²/2 keys; the
+    all-pairs frame is sizes×sizes — a #sources-row broadcast
+    nested-loop, the benign catalog-grain kind. Grams travel as
+    64-bit hashes vs oracle strings (the d05 collision posture).""",
+)
+def c47_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import source_overlap_matrix
+
+    return source_overlap_matrix(
+        read_table(spark, sf_dir, "documents").select("source", "text"), n=_C47_N
+    )

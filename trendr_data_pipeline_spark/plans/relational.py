@@ -257,7 +257,9 @@ def q06_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q07_distinct_counts",
+    # z-pushed r10 (freeze rule): admits c47_source_overlap into the
+    # driver window; r9-signed as q07 in CORRECTNESS_r09.json
+    "zq07_distinct_counts",
     """
     SELECT COUNT(DISTINCT o_custkey) AS n_active_customers,
            COUNT(DISTINCT o_orderpriority) AS n_priorities,
