@@ -180,6 +180,8 @@ RENAMES_R10: dict[str, str] = {
     "r01_classifier_scores": "zr01_classifier_scores",
     # admits c47_source_overlap (cross-source n-gram overlap matrix)
     "q07_distinct_counts": "zq07_distinct_counts",
+    # admits c48_quality_calibration (per-source quantile calibration)
+    "q06_rollup_region_nation": "zq06_rollup_region_nation",
 }
 
 #: combined rename map for round-over-round joins (each round's

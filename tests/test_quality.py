@@ -284,3 +284,38 @@ def test_token_entropy_hand_values_and_edges(spark):
     assert got[2] == (4, 0.0)
     assert got[3] == (6, h([1] * 6))
     assert got[6] == (2, 0.0)
+
+
+def test_grouped_quantile_rank_hand_built(spark):
+    """⊕T24 (r10) vs a direct Python oracle: per-group strictly-below
+    deciles, tie sharing, top clamp to n_q-1, NULL drop — and the
+    calibration point: a group's bucket structure is invariant to the
+    SCALE of its scores (the reason per-source thresholds beat one
+    global cut)."""
+    from trendr_data_pipeline_spark.operators.quality import grouped_quantile_rank
+
+    rows = (
+        [("a", float(v)) for v in range(1, 21)]        # 20 distinct values
+        + [("b", 5.0)] * 4                              # all tied
+        + [("c", 100.0), ("c", 200.0), ("c", 300.0), ("c", 400.0)]
+        + [("c", None)]                                 # dropped
+    )
+    df = spark.createDataFrame(rows, "source string, quality double")
+    got = grouped_quantile_rank(df, "quality", "source", n_q=10).collect()
+
+    def oracle(group, v):
+        vals = [x for g, x in rows if g == group and x is not None]
+        below = sum(1 for x in vals if x < v)
+        return min(9, (10 * below) // len(vals))
+
+    assert len(got) == 28  # NULL row dropped
+    for r in got:
+        assert r["q_bucket"] == oracle(r["source"], r["quality"]), r
+    # scale invariance: group c (100..400) has the same bucket
+    # structure as 4 equally-ranked values anywhere: 0, 2, 5, 7
+    assert sorted(r["q_bucket"] for r in got if r["source"] == "c") == [0, 2, 5, 7]
+    # ties share: group b all in bucket 0
+    assert {r["q_bucket"] for r in got if r["source"] == "b"} == {0}
+    # top-decile-per-source selection keeps ~10% of each group
+    top = [r for r in got if r["source"] == "a" and r["q_bucket"] >= 9]
+    assert [r["quality"] for r in top] == [19.0, 20.0]

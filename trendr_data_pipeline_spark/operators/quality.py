@@ -308,3 +308,73 @@ def token_entropy(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         n.cast("long").alias("n_tok"),
         entropy.alias("entropy"),
     )
+
+
+def grouped_quantile_rank(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_q: int = 10,
+    bucket=None,
+) -> DataFrame:
+    """⊕T24 (r10) — per-GROUP quantile rank of a score column: each
+    row's bucket b ∈ [0, n_q) is ``floor(n_q · below / n)`` where
+    ``below`` counts the group's rows with STRICTLY smaller value and
+    ``n`` is the group size (ties share a bucket; top clamped to
+    n_q−1). This is the cross-source score CALIBRATION primitive:
+    quality classifiers score different sources on different scales,
+    so curation practice thresholds each source's own distribution
+    (keep the top decile PER SOURCE) rather than one global cut that
+    would empty the low-scoring sources. ``q_bucket >= n_q·(1−f)``
+    selects the top fraction f of every group.
+
+    Scale shape — the A7/score_percentiles device, per group: a
+    GLOBAL per-group rank window would sort each group in one task
+    (a corpus-fraction window at 100 TB), so the cumulative count is
+    two-phase instead: collapse to the (group, value) distribution
+    (map-side combinable), window WITHIN (group, value-bucket) —
+    ``bucket`` defaults to ``floor(value)``, bounding each frame to
+    one integer score point of one group — then a per-group running
+    sum over the ≤|score range| bucket-total rows, and one join back
+    on (group, value). Group sizes ride a broadcast-able
+    catalog-grain frame. No corpus-fraction window anywhere.
+
+    Returns ``df`` plus a ``q_bucket`` int column; rows with NULL
+    value are dropped (a NULL score has no rank — filter or impute
+    upstream).
+    """
+    from pyspark.sql.window import Window
+
+    if n_q < 2:
+        raise ValueError("n_q must be >= 2")
+    bucket_fn = bucket or (lambda c: F.floor(c))
+    v, g = F.col(value_col), F.col(group_col)
+    base = df.filter(v.isNotNull())
+    dist = base.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    dist = dist.withColumn("_vb", bucket_fn(v))
+    w_in = (
+        Window.partitionBy(group_col, "_vb")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dist = dist.withColumn("_win", F.coalesce(F.sum("_cnt").over(w_in), F.lit(0)))
+    btot = dist.groupBy(group_col, "_vb").agg(F.sum("_cnt").alias("_bcnt"))
+    w_b = (
+        Window.partitionBy(group_col)
+        .orderBy("_vb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    btot = btot.withColumn("_boff", F.coalesce(F.sum("_bcnt").over(w_b), F.lit(0)))
+    dist = dist.join(btot.select(group_col, "_vb", "_boff"), [group_col, "_vb"])
+    sizes = base.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    ranks = dist.join(sizes, group_col).select(
+        g,
+        v,
+        F.least(
+            F.lit(n_q - 1),
+            F.floor(F.lit(n_q) * (F.col("_win") + F.col("_boff")) / F.col("_n")),
+        )
+        .cast("int")
+        .alias("q_bucket"),
+    )
+    return base.join(ranks, [group_col, value_col])

@@ -219,7 +219,9 @@ def q05_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q06_rollup_region_nation",
+    # z-pushed r10 (freeze rule): admits c48_quality_calibration into
+    # the driver window; r9-signed as q06 in CORRECTNESS_r09.json
+    "zq06_rollup_region_nation",
     f"""
     SELECT COALESCE(r_name, 'ALL') AS region_name,
            COALESCE(n_name, 'ALL') AS nation_name,

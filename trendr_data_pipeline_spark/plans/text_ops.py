@@ -1857,3 +1857,70 @@ def c37_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quality import token_entropy
 
     return token_entropy(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# c48 — ⊕T24 cross-source quality calibration (r10)
+# ---------------------------------------------------------------------------
+
+_SQL_CALIBRATION = f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               len({_SQL_TOKS}) AS n_tok,
+               list_aggregate(list_transform({_SQL_TOKS}, x -> len(x)), 'sum') AS tok_chars,
+               len(list_filter({_SQL_TOKS},
+                   x -> list_contains({_SQL_STOP}, x))) AS stop_hits
+        FROM documents
+    ), q AS (
+        SELECT doc_id, source, ROUND({_SQL_QUALITY}, 6) AS quality
+        FROM t WHERE n_tok > 0
+    ), r AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY source) AS n,
+               RANK() OVER (PARTITION BY source ORDER BY quality) AS rk
+        FROM q
+    )
+    SELECT doc_id, source, quality,
+           CAST(LEAST(9, FLOOR(10.0 * (rk - 1) / n)) AS INT) AS q_decile
+    FROM r
+"""
+
+
+@register(
+    "c48_quality_calibration",
+    _SQL_CALIBRATION,
+    doc="""Cross-source quality-score CALIBRATION (⊕T24, r10): each
+    document's t03 quality score converted to its per-SOURCE decile
+    (strictly-below count over group size, ties share a decile) — the
+    curation practice of thresholding each source's own distribution
+    (keep the top decile per source) instead of one global cut that
+    empties low-scoring sources; `q_decile >= 9` IS that selection.
+    Spark side is `operators/quality.grouped_quantile_rank` — the
+    A7/score_percentiles two-phase device PER GROUP: (group, value)
+    distribution collapse, within-(group, floor(value))-bucket
+    window, per-group running sum over ≤|score-range| bucket totals,
+    join back — no corpus-fraction window anywhere. The oracle is
+    the textbook per-source RANK() window (brute force where the
+    oracle runs, never what the Spark plan does); quality reuses
+    t03's exact rounded blend, so both engines rank identical
+    doubles (rational arithmetic, no libm).""",
+)
+def c48_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import grouped_quantile_rank
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    stop = _stop_array()
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tok"),
+        F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x).alias("tok_chars"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop, x))).alias("stop_hits"),
+    )
+    qv = _quality_expr(F.col("n_tok"), F.col("tok_chars"), F.col("stop_hits"))
+    q = t.filter(F.col("n_tok") > 0).select(
+        "doc_id", "source", F.round(qv, 6).alias("quality")
+    )
+    return grouped_quantile_rank(q, "quality", "source", n_q=10).select(
+        "doc_id", "source", "quality", F.col("q_bucket").alias("q_decile")
+    )
