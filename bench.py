@@ -182,6 +182,8 @@ RENAMES_R10: dict[str, str] = {
     "q07_distinct_counts": "zq07_distinct_counts",
     # admits c48_quality_calibration (per-source quantile calibration)
     "q06_rollup_region_nation": "zq06_rollup_region_nation",
+    # admits c49_cluster_quality_keep (quality-aware canonical keep)
+    "q03_top_customers_per_nation": "zq03_top_customers_per_nation",
 }
 
 #: combined rename map for round-over-round joins (each round's
@@ -275,10 +277,12 @@ def main() -> None:
     # medians stay in BENCH_local_latest.json)
     compact["queries"] = {n.split("_", 1)[0]: round(t, 2) for n, t in timings.items()}
     # keep the printed line inside the driver's 2000-char stdout
-    # window: ID-prefix rename map here, full names in the local file
-    compact["renames"] = {
-        o.split("_", 1)[0]: n.split("_", 1)[0] for o, n in RENAMES.items()
-    }
+    # window (r10: the 102-name registry outgrew the id-prefix rename
+    # MAP too): every rename is old -> "z"+old by the freeze rule, so
+    # the compact line carries just the z-pushed old prefixes; the
+    # full map stays in BENCH_local_latest.json and bench.RENAMES
+    del compact["renames"]
+    compact["zpushed"] = sorted(o.split("_", 1)[0] for o in RENAMES)
     # the frozen names have unique id prefixes; a future name reusing
     # one would silently drop a timing from the compact map — fail loud
     assert len(compact["queries"]) == len(timings), "duplicate id prefix"

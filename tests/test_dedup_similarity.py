@@ -1651,3 +1651,58 @@ def test_fuzzy_decontaminate_catches_what_exact_grams_miss(spark):
 
     kept = remove_fuzzy_contaminated(corpus, bench, threshold=0.5, n=3)
     assert [r["doc_id"] for r in kept.collect()] == [11]
+
+
+def test_cluster_quality_keep_beats_min_id(spark):
+    """c49 (r10), hand-built: per near-dup cluster the HIGHEST-quality
+    member survives (ties → min doc_id) — against ⊕D9's min-id rule,
+    which here would keep the WORST document of the cluster. Doc 1 is
+    a token-soup near-dup of docs 2/3 (same token set — Jaccard 1.0)
+    but doc 2 has the best length/stopword profile; singleton doc 9
+    keeps itself."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from trendr_data_pipeline_spark.operators.dedup import jaccard_similarity_pairs
+    from trendr_data_pipeline_spark.operators.graph import connected_components
+    from trendr_data_pipeline_spark.plans.text_ops import _quality_expr, _stop_array
+    from trendr_data_pipeline_spark.functions.text import tokens as _tokens
+
+    base = "the quick brown fox jumps over a lazy dog and then some more words of it"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                               # shorter = lower length score
+            (2, base + " " + base),                  # same SET, best length score
+            (3, " ".join(base.split()[::-1])),       # same set, reversed
+            (9, "completely unrelated content here entirely different tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = jaccard_similarity_pairs(docs, threshold=0.8)
+    labels = connected_components(pairs, nodes=docs, node_col="doc_id").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    toks = _tokens(F.lower(F.col("text")))
+    feat = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x).alias("tok_chars"),
+        F.size(F.filter(toks, lambda x: F.array_contains(_stop_array(), x))).alias("stop_hits"),
+    )
+    q = feat.select(
+        "doc_id",
+        F.round(_quality_expr(F.col("n_tok"), F.col("tok_chars"), F.col("stop_hits")), 6).alias("quality"),
+    )
+    j = labels.join(q, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc_nulls_last(), F.col("doc_id").asc()
+    )
+    got = {r["doc_id"]: r for r in j.select(
+        "doc_id", "component", "quality", (F.row_number().over(w) == 1).alias("keep")
+    ).collect()}
+    assert got[1]["component"] == got[2]["component"] == got[3]["component"] == 1
+    kept = [d for d in (1, 2, 3) if got[d]["keep"]]
+    assert kept == [2], kept            # quality rule keeps 2 ...
+    assert min(got) == 1                 # ... where min-id would keep 1
+    assert got[2]["quality"] > got[1]["quality"]
+    assert got[9]["keep"] and got[9]["component"] == 9

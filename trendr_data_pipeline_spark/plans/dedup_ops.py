@@ -290,8 +290,11 @@ def d04_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # alternating-star iteration that survives 100 TB graphs.
 # ---------------------------------------------------------------------------
 
-_SQL_COMPONENTS = f"""
-    WITH RECURSIVE t AS (
+#: the recursive-closure CTE chain over the 1-in-10 slice's exact
+#: Jaccard pairs — single SQL home, shared by the x03 and c49 oracles
+#: (the c40 import-not-copy rule: two hand-kept closures could
+#: disagree about component membership with no test linking them)
+_SQL_CLOSURE_CTES = f"""t AS (
         SELECT doc_id AS id, {_SQL_TOKSET} AS toks FROM documents
         WHERE doc_id % 10 = 0 AND len({_SQL_TOKSET}) > 0
     ),
@@ -313,7 +316,10 @@ _SQL_COMPONENTS = f"""
     comp AS (
         SELECT u AS node, LEAST(u, MIN(v)) AS component
         FROM reach GROUP BY u
-    )
+    )"""
+
+_SQL_COMPONENTS = f"""
+    WITH RECURSIVE {_SQL_CLOSURE_CTES}
     SELECT doc_id, component, is_canonical,
            CASE WHEN f < 0.9e0 THEN 'train'
                 WHEN f < 0.95e0 THEN 'val'
@@ -931,3 +937,112 @@ def c45_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_toks=_CDC_MIN_TOKS,
         boundary=_cdc_gate_boundary,
     )
+
+
+# ---------------------------------------------------------------------------
+# c49 — quality-aware canonical selection per near-dup cluster (r10)
+# ---------------------------------------------------------------------------
+
+_SQL_CLUSTER_QUALITY = """
+    WITH RECURSIVE {closure},
+    qf AS (
+        SELECT doc_id,
+               len({toks}) AS n_tok,
+               list_aggregate(list_transform({toks}, x -> len(x)), 'sum') AS tok_chars,
+               len(list_filter({toks}, x -> list_contains({stop}, x))) AS stop_hits
+        FROM documents WHERE doc_id % 10 = 0
+    ), q AS (
+        SELECT doc_id,
+               CASE WHEN n_tok > 0 THEN ROUND({quality}, 6) END AS quality
+        FROM qf
+    ), lab AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT lab.doc_id, lab.component, q.quality,
+           ROW_NUMBER() OVER (PARTITION BY lab.component
+                ORDER BY q.quality DESC NULLS LAST, lab.doc_id ASC) = 1 AS keep
+    FROM lab JOIN q ON lab.doc_id = q.doc_id
+"""
+
+
+@register(
+    "c49_cluster_quality_keep",
+    None,  # oracle installed below (late import avoids a text_ops cycle)
+    doc="""Quality-aware canonical selection per near-dup cluster
+    (r10): the PRODUCTION keep rule — x03's min-id survivor is
+    arbitrary, real curation keeps the HIGHEST-QUALITY member of each
+    duplicate cluster (ties → min doc_id). Composes three gated
+    subsystems: d02's exact-Jaccard pairs (1-in-10 slice, ≥0.8), ⊕D9
+    alternating-star connected components, t03's rounded quality
+    blend — survivor = row_number over (component; quality DESC NULLS
+    LAST, doc_id ASC) == 1, a per-CLUSTER window bounded by cluster
+    size (the W1/q03 per-group top-k family; a pathological
+    one-giant-cluster corpus would need the stratified-sample
+    giant-group device, documented there). Oracle splices the x03
+    recursive-closure CTEs (imported, not copied) with t03's quality
+    fragments. Full frame hashed: (doc_id, component, quality, keep)
+    for every slice doc — a wrong component OR a wrong survivor
+    breaks the hash.""",
+)
+def c49_cluster_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.text import tokens as _tokens
+    from ..operators.dedup import jaccard_similarity_pairs
+    from ..operators.graph import connected_components
+    from .text_ops import _quality_expr, _stop_array
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    pairs = jaccard_similarity_pairs(docs, threshold=0.8)
+    labels = connected_components(pairs, nodes=docs, node_col="doc_id").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    toks = _tokens(F.lower(F.col("text")))
+    feat = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x).alias("tok_chars"),
+        F.size(F.filter(toks, lambda x: F.array_contains(_stop_array(), x))).alias("stop_hits"),
+    )
+    q = feat.select(
+        "doc_id",
+        F.when(
+            F.col("n_tok") > 0,
+            F.round(
+                _quality_expr(F.col("n_tok"), F.col("tok_chars"), F.col("stop_hits")), 6
+            ),
+        ).alias("quality"),
+    )
+    j = labels.join(q, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc_nulls_last(), F.col("doc_id").asc()
+    )
+    return j.select(
+        "doc_id", "component", "quality", (F.row_number().over(w) == 1).alias("keep")
+    )
+
+
+def _install_c49_oracle() -> None:
+    """Build c49's oracle by splicing the shared closure CTEs with
+    t03's quality fragments (late import: text_ops imports nothing
+    from this module, but module-load order is driven by
+    plans.load_all, so the splice runs after both are loaded)."""
+    from dataclasses import replace
+
+    from .registry import _REGISTRY
+    from .text_ops import _SQL_QUALITY, _SQL_STOP, _SQL_TOKS
+
+    sql = _SQL_CLUSTER_QUALITY.format(
+        closure=_SQL_CLOSURE_CTES,
+        toks=_SQL_TOKS,
+        stop=_SQL_STOP,
+        quality=_SQL_QUALITY,
+    )
+    _REGISTRY["c49_cluster_quality_keep"] = replace(
+        _REGISTRY["c49_cluster_quality_keep"], oracle=sql
+    )
+
+
+_install_c49_oracle()

@@ -110,7 +110,9 @@ def q02_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q03_top_customers_per_nation",
+    # z-pushed r10 (freeze rule): admits c49_cluster_quality_keep into
+    # the driver window; r9-signed as q03 in CORRECTNESS_r09.json
+    "zq03_top_customers_per_nation",
     f"""
     WITH cust_rev AS (
         SELECT c.c_custkey, c.c_name, n.n_name AS nation_name,

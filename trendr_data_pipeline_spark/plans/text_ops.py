@@ -876,13 +876,17 @@ def bm25_topk(
     # joined dfreq onto the candidate rows, pruning AFTER the
     # explosion had already paid for them: measured 2.4 s capped vs
     # 1.9 s uncapped at a 59 % candidate cut — the cap made it
-    # SLOWER); uncapped also wins, one fewer join operand at
-    # candidate grain
+    # SLOWER). The qd side is broadcast EXPLICITLY (r10 regression
+    # fix): post-aggregate/join size estimates are unknown, so
+    # without the hint the planner demoted the candidate join to a
+    # shuffle — measured 3.8× slower than r9's broadcast-q plan at
+    # sf0.1 (7.9 s vs 2.1 s); |qd| ≤ query-batch terms, bounded by
+    # the incoming-batch contract (the d02 posture), never corpus
     qd = q.join(
         dfreq.select(F.col("tok").alias("qtok"), "df"), "qtok"
     )
     contrib = (
-        qd.join(
+        F.broadcast(qd).join(
             tf, (F.col("qtok") == F.col("tok")) & (F.col("query_id") != F.col("doc_id"))
         )
         .join(dl, "doc_id")
@@ -987,7 +991,8 @@ def zipf_synthetic_docs(
     dedicated pytest pins this leg's recall@10 and its per-pair score
     error against the documented idf(df_cap)·(k1+1) bound, and
     SCALING.md records the measured win (candidates ×0.41, wall
-    1.35×→1.67× faster at N=20k→80k, recall ≈ 0.87). Runs on the
+    1.31×→1.77× faster at N=5k→80k after the broadcast-qd regression
+    fix, recall ≈ 0.87). Runs on the
     synthetic Zipf corpus, NOT the parquet fixture, because the
     fixture's template vocabulary (median df = 0.77·N) admits no
     useful cap — measured r10: every pruning cap there collapses
