@@ -1706,3 +1706,70 @@ def test_cluster_quality_keep_beats_min_id(spark):
     assert min(got) == 1                 # ... where min-id would keep 1
     assert got[2]["quality"] > got[1]["quality"]
     assert got[9]["keep"] and got[9]["component"] == 9
+
+
+def test_dedup_cdc_chunks_random_vs_python_oracle(spark):
+    """⊕D21 seed-sweep fuzz (the containment-pairs pattern — Spark
+    cost per example dominates, so sweep seeds rather than
+    hypothesis): random corpora with a breaker token mixed into the
+    stream plus planted cross-doc duplicated runs, checked
+    end-to-end against a pure-Python CDC + keep-first oracle."""
+    import random
+
+    from trendr_data_pipeline_spark.operators.dedup import dedup_cdc_chunks
+
+    MIN_TOKS, MIN_COUNT, LIM = 3, 2, 1 << 31
+
+    def py_oracle(texts):
+        chunks = []  # (doc, start_pos, tuple(toks))
+        for d in sorted(texts):
+            toks = texts[d].lower().split()
+            cur, start = [], 1
+            for i, tok in enumerate(toks, 1):
+                cur.append(tok)
+                if tok == "brk" or i == len(toks):
+                    chunks.append((d, start, tuple(cur)))
+                    cur, start = [], i + 1
+        occ = {}
+        for d, p, c in chunks:
+            if len(c) >= MIN_TOKS:
+                occ.setdefault(c, []).append((d, p))
+        removal = {d: set() for d in texts}
+        for key, lst in occ.items():
+            if len(lst) >= MIN_COUNT:
+                owner = min(d * LIM + p for d, p in lst)
+                for d, p in lst:
+                    if d * LIM + p != owner:
+                        removal[d].update(range(p, p + len(key)))
+        out = {}
+        for d in texts:
+            toks = texts[d].lower().split()
+            kept = [t for i, t in enumerate(toks, 1) if i not in removal[d]]
+            out[d] = (len(toks), len(toks) - len(kept), " ".join(kept))
+        return out
+
+    brk = lambda tok: tok == "brk"  # noqa: E731
+    for seed in (11, 22, 33):
+        rng = random.Random(seed)
+        vocab = [f"v{j}" for j in range(rng.randrange(5, 25))] + ["brk"] * 3
+        texts = {}
+        for i in range(rng.randrange(6, 14)):
+            texts[i] = " ".join(
+                rng.choice(vocab) for _ in range(rng.randrange(1, 40))
+            )
+        # plant cross-doc duplicated runs at different offsets (the
+        # content-alignment case fixed windows would miss)
+        n_orig = len(texts)
+        run = " ".join(rng.choice(vocab) for _ in range(rng.randrange(6, 12)))
+        for host in range(2):
+            src = rng.randrange(n_orig)
+            prefix = " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 7)))
+            texts[100 + host] = (prefix + " " + run + " " + texts[src]).strip()
+        df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_tok"], r["n_removed"], r["cleaned_text"])
+            for r in dedup_cdc_chunks(
+                df, min_toks=MIN_TOKS, min_count=MIN_COUNT, boundary=brk
+            ).collect()
+        }
+        assert got == py_oracle(texts), seed
