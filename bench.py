@@ -190,11 +190,13 @@ RENAMES_R10: dict[str, str] = {
 #: CORRECTNESS compares against the previous via this)
 RENAMES = {**RENAMES_R9, **RENAMES_R10}
 
-#: r10 bench-only fast legs — z-named PAST the driver window at
-#: creation, deliberately oracle-less (approximate by design; their
-#: exactness story is pytest-pinned against the exact gate instead).
+#: r10 bench-only legs — z-named PAST the driver window at creation,
+#: deliberately oracle-less: either approximate by design (zc42, its
+#: exactness pytest-pinned against the exact c42 gate) or a
+#: driver-side-planned algorithm no SQL oracle can replay (zc50
+#: SPFHP, pytest-pinned against an independent per-doc simulation).
 #: The freeze contract test allowlists exactly these.
-BENCH_ONLY_LEGS = ("zc42_bm25_capped_topk",)
+BENCH_ONLY_LEGS = ("zc42_bm25_capped_topk", "zc50_spfhp_packing")
 
 
 def parse_sf(sf_dir: str) -> float:

@@ -310,3 +310,78 @@ def test_chunk_documents_is_streaming_compatible(spark, tmp_path):
         q.stop()
     got = sorted(tuple(r) for r in spark.sql("SELECT * FROM chunk_stream").collect())
     assert got == want
+
+
+def test_spfhp_plan_hand_case_perfect_packing():
+    """⊕T25 hand case with a known optimal layout: lengths
+    [6,5,4,3,2] at max_len 10 pack PERFECTLY into two packs
+    {6,4} and {5,3,2} under shortest-pack-first."""
+    from trendr_data_pipeline_spark.operators.packing import _spfhp_plan
+
+    events, n_packs = _spfhp_plan({6: 1, 5: 1, 4: 1, 3: 1, 2: 1}, 10)
+    assert n_packs == 2
+    # replay events into pack contents
+    packs = {}
+    for length, rank_start, take, pack_start, stride, pos_start in events:
+        for d in range(take):
+            packs.setdefault(pack_start + stride * d, []).append(length)
+    assert sorted(map(sorted, packs.values())) == [[2, 3, 5], [4, 6]]
+
+
+def _spfhp_per_doc_reference(lengths, max_len):
+    """Independent per-doc simulation of shortest-pack-first with the
+    batched implementation's tie rule (among equal remaining: the
+    pack that ENTERED that remaining-class earliest; ties within one
+    event's run by ascending pack id). Returns the sorted multiset of
+    pack load-lists."""
+    packs = []  # [remaining, entry_seq, id, loads]
+    seq = 0
+    for l in sorted(set(lengths), reverse=True):
+        for _ in range(sum(1 for x in lengths if x == l)):
+            fits = [p for p in packs if p[0] >= l]
+            if fits:
+                p = min(fits, key=lambda p: (p[0], p[1], p[2]))
+            else:
+                packs.append([max_len, seq, len(packs), []])
+                seq += 1
+                p = packs[-1]
+            p[0] -= l
+            p[1] = seq
+            seq += 1
+            p[3].append(l)
+    return sorted(sorted(p[3]) for p in packs)
+
+
+def test_spfhp_assignments_random_vs_reference(spark):
+    """⊕T25 seed-sweep: random length mixes → the Spark assignment is
+    (1) VALID (every pack Σ ≤ max_len), (2) COMPLETE (every doc
+    exactly once, dense pack ids), (3) DETERMINISTIC across reruns,
+    and (4) pack-for-pack equal (as load multisets) to the
+    independent per-doc shortest-pack-first simulation; efficiency
+    beats the one-doc-per-pack floor by construction."""
+    import random
+
+    from trendr_data_pipeline_spark.operators.packing import spfhp_pack_assignments
+
+    for seed, max_len in ((5, 32), (6, 17), (7, 64)):
+        rng = random.Random(seed)
+        rows = [(i, rng.randrange(1, max_len + 1)) for i in range(rng.randrange(40, 90))]
+        df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+        out = spfhp_pack_assignments(df, max_len).collect()
+        assert len(out) == len(rows)
+        assert {r["doc_id"] for r in out} == {i for i, _ in rows}
+        packs = {}
+        for r in out:
+            packs.setdefault(r["pack_id"], []).append((r["pack_pos"], r["n_tok"]))
+        assert set(packs) == set(range(len(packs))), "pack ids not dense"
+        for pid, members in packs.items():
+            assert sum(t for _, t in members) <= max_len, (seed, pid)
+            assert sorted(p for p, _ in members) == list(range(len(members))), (
+                "pack_pos not dense per pack", seed, pid)
+        got = sorted(sorted(t for _, t in m) for m in packs.values())
+        want = _spfhp_per_doc_reference([l for _, l in rows], max_len)
+        assert got == want, (seed, got, want)
+        # determinism
+        again = spfhp_pack_assignments(df, max_len).collect()
+        assert sorted(map(tuple, (r.asDict().items() for r in again)), key=str) == sorted(
+            map(tuple, (r.asDict().items() for r in out)), key=str)

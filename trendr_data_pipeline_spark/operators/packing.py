@@ -184,3 +184,167 @@ def chunk_documents(
         F.size(chunk).cast("long").alias("n_tok"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ⊕T25 — SPFHP bin packing (r10): histogram-based sequence packing
+# ---------------------------------------------------------------------------
+
+
+def _spfhp_plan(hist: dict[int, int], max_len: int):
+    """Pure-Python SPFHP (shortest-pack-first histogram-packing,
+    Krell et al. 2021 "Efficient Sequence Packing" — public) over the
+    LENGTH HISTOGRAM, batched but per-doc-FAITHFUL: each document of
+    length l (processed longest length first, docs in within-length
+    rank order) is placed into the open pack with the SMALLEST
+    remaining space ≥ l, opening a new pack when none fits. The
+    batching invariants that keep count-level events equal to the
+    per-doc simulation:
+
+    - packs created by one event move through remaining-space classes
+      TOGETHER (same composition), so a class holds FIFO runs of
+      interchangeable packs and one event can consume min(h, run)
+      packs at once;
+    - when a placement leaves remaining ≥ l, that pack becomes the
+      new strictly-smallest fitting pack, so the NEXT doc of the same
+      length lands in the SAME pack — absorbed as one stride-0 event
+      of min(h, ⌊r/l⌋) docs.
+
+    Returns (events, n_packs): each event is
+    ``(length, rank_start, take, pack_start, stride, pos_start)`` —
+    docs of ``length`` with within-length rank in
+    [rank_start, rank_start+take) map to pack
+    ``pack_start + stride·(rank − rank_start)`` at in-pack position
+    ``pos_start + (1 − stride)·(rank − rank_start)``. Driver-side
+    cost is O(max_len · events) on the ≤ max_len-bin histogram —
+    never touches corpus-cardinality data.
+    """
+    from collections import deque
+
+    classes: dict[int, deque] = {}  # remaining -> FIFO of [pack_start, count, n_docs]
+    events = []
+    next_pack = 0
+
+    def push(rem, start, count, n_docs):
+        if rem >= 1 and count > 0:
+            classes.setdefault(rem, deque()).append([start, count, n_docs])
+
+    for length in sorted((l for l, c in hist.items() if c > 0), reverse=True):
+        if length > max_len:
+            raise ValueError(f"doc length {length} exceeds max_len {max_len} — chunk first")
+        h = hist[length]
+        cursor = 0
+        while h > 0:
+            fits = sorted(r for r, q in classes.items() if r >= length and q)
+            if fits:
+                r = fits[0]
+                run = classes[r].popleft()
+                start, count, n_docs = run
+                if r - length >= length:
+                    # one pack absorbs consecutive docs of this length
+                    m = min(h, r // length)
+                    events.append((length, cursor, m, start, 0, n_docs))
+                    if count > 1:
+                        classes[r].appendleft([start + 1, count - 1, n_docs])
+                    push(r - m * length, start, 1, n_docs + m)
+                else:
+                    take = min(h, count)
+                    events.append((length, cursor, take, start, 1, n_docs))
+                    if count > take:
+                        classes[r].appendleft([start + take, count - take, n_docs])
+                    push(r - length, start, take, n_docs + 1)
+                    m = take
+            else:
+                if max_len - length >= length:
+                    m = min(h, max_len // length)
+                    events.append((length, cursor, m, next_pack, 0, 0))
+                    push(max_len - m * length, next_pack, 1, m)
+                    next_pack += 1
+                else:
+                    m = h
+                    events.append((length, cursor, m, next_pack, 1, 0))
+                    push(max_len - length, next_pack, m, 1)
+                    next_pack += m
+            cursor += m
+            h -= m
+    return events, next_pack
+
+
+def spfhp_pack_assignments(
+    df: DataFrame,
+    max_len: int,
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+    k_sub: int = 64,
+    salt: str = "pack",
+) -> DataFrame:
+    """⊕T25 (r10) — SPFHP document→pack assignment: the packing-
+    EFFICIENCY upgrade over the concat-and-chunk layout (x04, which
+    splits documents across sequence boundaries) and greedy budget
+    fills — whole documents are binned into fixed-capacity packs with
+    near-optimal occupancy, so padding (dead compute at training
+    time: a 10 % padding rate on 100 TB is 10 TB of wasted work)
+    approaches the histogram-optimal rate.
+
+    Division of labor at 100 TB: the STRATEGY runs on the driver over
+    the ≤ max_len-bin length histogram (a bounded collect — the A7
+    bucket-totals contract), the ASSIGNMENT is a broadcast join of
+    the tiny event table against per-doc within-length ranks. Ranks
+    come from the two-phase device (sub-bucketed md5-hash order:
+    window bounded to one (length, hash-sub-bucket), per-length
+    running offsets over ≤ k_sub rows) — no corpus-fraction window.
+    Deterministic: the rank order is a pure function of (salt, id),
+    so reruns and retries agree row-for-row.
+
+    Returns (id, n_tok, pack_id, pack_pos): pack ids dense in
+    [0, n_packs); every pack's Σ n_tok ≤ max_len by construction
+    (pytest-pinned against a per-doc reference simulation). Docs
+    longer than max_len raise — chunk first (⊕T19).
+    """
+    from .sampling import hash_fraction
+
+    hist = {
+        int(r["l"]): int(r["c"])
+        for r in df.groupBy(F.col(len_col).alias("l"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    events, n_packs = _spfhp_plan(hist, max_len)
+    spark = df.sparkSession
+    ev = spark.createDataFrame(
+        events,
+        "length long, rank_start long, take long, pack_start long, stride long, pos_start long",
+    )
+
+    h = hash_fraction(F.col(id_col), salt=salt)
+    base = df.select(F.col(id_col), F.col(len_col).cast("long").alias("_len")).withColumn(
+        "_h", h
+    )
+    sub = F.floor(F.col("_h") * k_sub).cast("long")
+    w_in = Window.partitionBy("_len", "_sub").orderBy("_h", id_col)
+    ranked = base.withColumn("_sub", sub).withColumn(
+        "_rwithin", F.row_number().over(w_in) - 1
+    )
+    subtot = ranked.groupBy("_len", "_sub").agg(F.count(F.lit(1)).alias("_c"))
+    w_off = (
+        Window.partitionBy("_len").orderBy("_sub").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = subtot.withColumn("_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0))).select(
+        "_len", "_sub", "_off"
+    )
+    ranked = ranked.join(offs, ["_len", "_sub"]).withColumn(
+        "_rank", F.col("_rwithin") + F.col("_off")
+    )
+    j = ranked.join(
+        F.broadcast(ev),
+        (F.col("_len") == F.col("length"))
+        & (F.col("_rank") >= F.col("rank_start"))
+        & (F.col("_rank") < F.col("rank_start") + F.col("take")),
+    )
+    d = F.col("_rank") - F.col("rank_start")
+    return j.select(
+        F.col(id_col),
+        F.col("_len").alias(len_col),
+        (F.col("pack_start") + F.col("stride") * d).alias("pack_id"),
+        (F.col("pos_start") + (1 - F.col("stride")) * d).alias("pack_pos"),
+    )

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.text import tokens
+from ..functions.text import token_count, tokens
 from ..io import read_table
 from ._numeric import DEC, davg, dsum, sql_davg, sql_dsum
 from .registry import register
@@ -1929,3 +1929,30 @@ def c48_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_quantile_rank(q, "quality", "source", n_q=10).select(
         "doc_id", "source", "quality", F.col("q_bucket").alias("q_decile")
     )
+
+
+@register(
+    "zc50_spfhp_packing",
+    None,
+    doc="""SPFHP whole-document bin packing (⊕T25, r10 — bench-only
+    leg, the zc42 device): `operators/packing.spfhp_pack_assignments`
+    over the documents table's token counts at max_len 128. Oracle-
+    less BY CONSTRUCTION — the strategy is a driver-side algorithm
+    over the bounded length histogram that no SQL engine replays —
+    so the correctness story is the pytest suite: a hand case with a
+    known perfect packing, and a seed-sweep pinning the Spark
+    assignment pack-for-pack (as load multisets) against an
+    INDEPENDENT per-doc shortest-pack-first simulation, plus
+    validity/coverage/determinism invariants. The leg exists to
+    carry the padding-efficiency number: packing whole docs instead
+    of concat-and-chunk (x04) trades boundary-straddling documents
+    for padding, and this is the practice (Krell et al. 2021) that
+    makes that trade near-optimal.""",
+)
+def zc50_spfhp_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import spfhp_pack_assignments
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    return spfhp_pack_assignments(docs.filter(F.col("n_tok") > 0), max_len=128)
