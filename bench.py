@@ -184,6 +184,8 @@ RENAMES_R10: dict[str, str] = {
     "q06_rollup_region_nation": "zq06_rollup_region_nation",
     # admits c49_cluster_quality_keep (quality-aware canonical keep)
     "q03_top_customers_per_nation": "zq03_top_customers_per_nation",
+    # admits c50_benchmark_contamination (benchmark-side report)
+    "q02_revenue_by_region": "zq02_revenue_by_region",
 }
 
 #: combined rename map for round-over-round joins (each round's

@@ -1773,3 +1773,39 @@ def test_dedup_cdc_chunks_random_vs_python_oracle(spark):
             ).collect()
         }
         assert got == py_oracle(texts), seed
+
+
+def test_benchmark_contamination_report_hand_built(spark):
+    """⊕D24 (r10), hand-built — the eval-side severity view: an eval
+    item whose 20-token answer is quoted by TWO training docs reports
+    n_hit_docs=2 and covered_toks=20; an item sharing one incidental
+    8-gram with one doc reports (1, 8); a clean item reports (0, 0)
+    and is INCLUDED."""
+    from trendr_data_pipeline_spark.operators.dedup import (
+        benchmark_contamination_report,
+    )
+
+    answer = " ".join(f"a{i}" for i in range(20))
+    gram8 = " ".join(f"g{i}" for i in range(8))
+    corpus = spark.createDataFrame(
+        [
+            (1, f"t1 t2 {answer} t3"),
+            (2, f"u1 {answer}"),
+            (3, f"v1 v2 v3 {gram8} v4"),
+            (4, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            (100, answer),                      # fully burned, 2 hits
+            (101, f"x1 x2 {gram8} x3 x4"),      # one incidental gram
+            (102, "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10"),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_hit_docs"], r["covered_toks"])
+        for r in benchmark_contamination_report(corpus, bench, n=8).collect()
+    }
+    assert got == {100: (2, 20), 101: (1, 8), 102: (0, 0)}

@@ -93,14 +93,14 @@ def test_cap_window_holds_only_oracle_queries():
         "rename them past the cap (x/z prefix) or add an oracle"
     )
     # and the window boundary is where COVERAGE.md documents it
-    # (r10: c43-c49 displaced r02/r03/q09/r01/q07/q06/q03 — all
+    # (r10: c43-c50 displaced r02/r03/q09/r01/q07/q06/q03/q02 — all
     # z-pushed, RENAMES_R10)
-    assert in_cap[0].startswith("c05") and in_cap[-1].startswith("q02"), in_cap[-1]
+    assert in_cap[0].startswith("c05") and in_cap[-1].startswith("q01"), in_cap[-1]
     for must_sign in (
         "c05_", "c18_", "c24_", "c25_",
         "c26_", "c27_", "c28_", "c29_", "c30_", "c31_", "c32_", "c33_",
         "c34_", "c35_", "c36_", "c37_", "c38_", "c39_", "c40_", "c41_", "c42_",
-        "c43_", "c44_", "c45_", "c46_", "c47_", "c48_", "c49_",
+        "c43_", "c44_", "c45_", "c46_", "c47_", "c48_", "c49_", "c50_",
     ):
         assert any(n.startswith(must_sign) for n in in_cap), must_sign
     # review finding (r8): a NEW oracle-bearing registration sorting

@@ -1808,3 +1808,63 @@ def remove_fuzzy_contaminated(
         id_col=id_col, text_col=text_col, df_cap=df_cap,
     ).select(id_col)
     return corpus.join(flagged, id_col, "left_anti")
+
+
+def benchmark_contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """⊕D24 (r10) — contamination from the BENCHMARK's point of view:
+    for every eval document, how many corpus documents share at least
+    one word ``n``-gram with it (``n_hit_docs``) and how many of the
+    EVAL doc's own token positions are covered by a shared gram
+    (``covered_toks`` — the item's burned extent). ⊕D7/⊕D20 answer
+    "which training docs are dirty"; release reporting also needs
+    "which eval items are compromised" (the benchmark-integrity table
+    of the GPT-3/Llama eval cards) — an item with most of its tokens
+    covered cannot be scored on the resulting model, however the
+    training side is cleaned. Zero rows are INCLUDED (a clean item is
+    the finding).
+
+    Scale shape: the roles of :func:`_contaminated_positions` swap —
+    positional grams on the (tiny) benchmark side, the CORPUS's
+    distinct gram set on the semi join's other side, which is now the
+    big one: the join stays gram-KEYED (never doc×doc) but the build
+    side no longer broadcasts — AQE picks the shuffle side. The
+    hit-doc count joins the benchmark's distinct (id, gram) frame
+    against the corpus's distinct (id, gram) frame on gram: output
+    bounded by actual contamination volume (distinct eval×corpus
+    pairs), each pair counted once.
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    cov = _contaminated_positions(benchmark, corpus, n, id_col, text_col)
+    cov_ct = cov.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("covered_toks")
+    )
+    bg = benchmark.select(
+        F.col(id_col), F.explode(word_ngram_hashes(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    cg = corpus.select(
+        F.col(id_col).alias("_hit"), F.explode(word_ngram_hashes(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    hits = (
+        bg.join(cg, "gram")
+        .select(id_col, "_hit")
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit_docs"))
+    )
+    return (
+        benchmark.select(id_col)
+        .join(hits, id_col, "left")
+        .join(cov_ct, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_hit_docs"), F.lit(0).cast("bigint")).alias("n_hit_docs"),
+            F.coalesce(F.col("covered_toks"), F.lit(0).cast("bigint")).alias("covered_toks"),
+        )
+    )

@@ -173,3 +173,79 @@ def c46_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.select("doc_id").join(flagged, "doc_id", "left").select(
         "doc_id", "match_id", "jaccard"
     )
+
+
+# ---------------------------------------------------------------------------
+# c50 — ⊕D24 benchmark-side contamination report (r10)
+# ---------------------------------------------------------------------------
+
+_SQL_BENCH_CONTAM = f"""
+    WITH base AS (
+        SELECT doc_id, {_SQL_TOKS_DEDUP} AS toks,
+               {SQL_SPLIT_CASE} AS split
+        FROM documents
+    ), g AS (
+        SELECT doc_id, split, CAST(i AS BIGINT) AS pos,
+               array_to_string(toks[i:i+{_C43_N - 1}], ' ') AS gram
+        FROM base
+        CROSS JOIN UNNEST(range(1, greatest(len(toks) - {_C43_N - 2}, 1))) AS r(i)
+        WHERE len(toks) >= {_C43_N}
+    ), cgset AS (
+        SELECT DISTINCT gram FROM g WHERE split <> 'test'
+    ), cov AS (
+        SELECT DISTINCT g.doc_id, g.pos + j AS tokpos
+        FROM g SEMI JOIN cgset USING (gram)
+        CROSS JOIN UNNEST(range({_C43_N})) AS rr(j)
+        WHERE g.split = 'test'
+    ), covct AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS covered_toks
+        FROM cov GROUP BY doc_id
+    ), hit AS (
+        SELECT DISTINCT e.doc_id, c.doc_id AS hid
+        FROM (SELECT DISTINCT doc_id, gram FROM g WHERE split = 'test') e
+        JOIN (SELECT DISTINCT doc_id, gram FROM g WHERE split <> 'test') c
+          USING (gram)
+    ), hct AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_docs
+        FROM hit GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           COALESCE(hct.n_hit_docs, 0) AS n_hit_docs,
+           COALESCE(covct.covered_toks, 0) AS covered_toks
+    FROM (SELECT doc_id FROM base WHERE split = 'test') b
+    LEFT JOIN hct USING (doc_id)
+    LEFT JOIN covct USING (doc_id)
+"""
+
+
+@register(
+    "c50_benchmark_contamination",
+    _SQL_BENCH_CONTAM,
+    doc="""Benchmark-side contamination report (⊕D24, r10 — the
+    inverse view of c43): per TEST-split document, how many train/val
+    documents share an 8-gram with it and how many of the EVAL doc's
+    OWN token positions are covered — the benchmark-integrity table
+    of an eval card ("which items are burned"), where c43 reports
+    which training docs are dirty. Clean items appear with zeros (a
+    clean benchmark is the finding). Spark side swaps the roles of
+    the c43 machinery (positional grams on the tiny benchmark side,
+    the corpus's gram set on the keyed semi join's big side — AQE
+    picks the shuffle); the hit count joins the two distinct
+    (doc, gram) frames on gram, bounded by actual contamination
+    volume. Grams travel as 64-bit hashes vs oracle strings (the d05
+    posture).""",
+)
+def c50_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import benchmark_contamination_report
+    from ..operators.sampling import split_assign
+
+    docs = split_assign(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return benchmark_contamination_report(
+        docs.filter(F.col("split") != "test"),
+        docs.filter(F.col("split") == "test"),
+        n=_C43_N,
+    )

