@@ -43,10 +43,20 @@ r4 the full-name per-query map outgrew that window and the driver's
 artifact lost the per-query times (``"parsed": null``). The printed
 line therefore keys ``queries`` by each query's unique ID prefix (the
 part before the first underscore — ``q01``, ``x17``, …), which keeps
-all per-query times (94 as of r9) inside the window; the full-name map is written to
+all per-query times (107 as of r11) inside the window; the full-name map is written to
 ``BENCH_local_latest.json`` alongside this script for human/judge
 consumption (IDs are prefixes of the registry names, so the join is
 mechanical).
+
+Ambient index (r10 verdict item 7): two fixed calibration probes — a
+scan-bound lineitem aggregate and a scheduling-bound 2048-empty-task
+count — run median-of-3 at suite START and END and publish
+``ambient_index`` [scan0, sched0, scan1, sched1] in the JSON. Three
+rounds of verdicts had to prove VM drift forensically (re-running an
+old checkout); ``tools/bench_diff.py --normalize`` now does it
+mechanically, dividing per-query ratios by the geometric-mean
+ambient blend. The start/end pair also exposes mid-run drift (the
+r10 close-out drifted 144 → 162 s across one session).
 """
 
 from __future__ import annotations
@@ -188,9 +198,21 @@ RENAMES_R10: dict[str, str] = {
     "q02_revenue_by_region": "zq02_revenue_by_region",
 }
 
+# r11 z-push records (same freeze rule; q01/p08/p07 were all
+# driver-signed under these names — q01 in every round through r10,
+# p07/p08 in r9/r10 windows).
+RENAMES_R11: dict[str, str] = {
+    # admits c51_pii_redaction (⊕T7 driver gate, synthetic-PII corpus)
+    "q01_pricing_summary": "zq01_pricing_summary",
+    # admits c52_token_bucket (SS1 batch twin)
+    "p08_streaming_daily_stats": "zp08_streaming_daily_stats",
+    # admits c53_partition_pruned_stats (dynamic partition pruning)
+    "p07_audio_windows": "zp07_audio_windows",
+}
+
 #: combined rename map for round-over-round joins (each round's
 #: CORRECTNESS compares against the previous via this)
-RENAMES = {**RENAMES_R9, **RENAMES_R10}
+RENAMES = {**RENAMES_R9, **RENAMES_R10, **RENAMES_R11}
 
 #: r10 bench-only legs — z-named PAST the driver window at creation,
 #: deliberately oracle-less: either approximate by design (zc42, its
@@ -204,6 +226,33 @@ BENCH_ONLY_LEGS = ("zc42_bm25_capped_topk", "zc50_spfhp_packing")
 def parse_sf(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     return float(m.group(1)) if m else -1.0
+
+
+def ambient_probes(spark) -> tuple[float, float]:
+    """Two fixed calibration probes (r10 verdict item 7): a
+    SCAN-bound median-of-3 (full lineitem aggregate — IO + codegen
+    throughput) and a SCHEDULING-bound one (2048 trivial tasks —
+    scheduler/JVM latency). Run at bench START and END; the pair
+    quantifies the VM's ambient speed AND its drift across the run,
+    so round-over-round diffs (tools/bench_diff.py --normalize) can
+    separate environment swing from structural regressions instead
+    of arguing about it (three rounds of verdicts had to)."""
+    import statistics as _st
+
+    from pyspark.sql import functions as F
+
+    scan_runs, sched_runs = [], []
+    for _ in range(3):
+        t0 = time.time()
+        spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            F.count(F.lit(1)),
+        ).collect()
+        scan_runs.append(time.time() - t0)
+        t0 = time.time()
+        spark.sparkContext.parallelize(range(2048), 2048).count()
+        sched_runs.append(time.time() - t0)
+    return round(_st.median(scan_runs), 3), round(_st.median(sched_runs), 3)
 
 
 def main() -> None:
@@ -222,6 +271,8 @@ def main() -> None:
     spark.range(64).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).select(
         _probe(F.col("id"))
     ).count()
+
+    amb_scan0, amb_sched0 = ambient_probes(spark)
 
     timings: dict[str, float] = {}
     for name, q in sorted(all_queries().items()):
@@ -243,18 +294,23 @@ def main() -> None:
                 spark.catalog.clearCache()
         timings[name] = statistics.median(runs) if runs else -1.0
 
+    amb_scan1, amb_sched1 = ambient_probes(spark)
+
     harness = sorted(
         n
         for n in timings
-        if n.startswith(("c05_", "c18_", "p02_", "p08_"))
+        if n.startswith(("c05_", "c18_", "p02_", "zp08_"))
     )
-    # c38's one-time v1-index staging (absorbed by the first rep,
-    # excluded from the median) — the staging/cycle split, published
-    from trendr_data_pipeline_spark.plans import release_ops
+    # one-time staging work (absorbed by the first rep, excluded from
+    # the medians) — the staging/operator split, published: c38's
+    # v1-index stage and c53's day-partitioned events stage
+    from trendr_data_pipeline_spark.plans import layout_ops, release_ops
 
-    staging_s = {
-        "c38": round(sum(release_ops.STAGING_SECONDS.values()), 3)
-    } if release_ops.STAGING_SECONDS else {}
+    staging_s = {}
+    if release_ops.STAGING_SECONDS:
+        staging_s["c38"] = round(sum(release_ops.STAGING_SECONDS.values()), 3)
+    if layout_ops.STAGING_SECONDS:
+        staging_s["c53"] = round(sum(layout_ops.STAGING_SECONDS.values()), 3)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     operator_total = round(
         sum(t for n, t in timings.items() if t >= 0 and n not in harness), 3
@@ -269,6 +325,8 @@ def main() -> None:
         "harness_queries": harness,
         "operator_total": operator_total,
         "staging_s": staging_s,
+        # [scan_start, sched_start, scan_end, sched_end] medians-of-3
+        "ambient_index": [amb_scan0, amb_sched0, amb_scan1, amb_sched1],
         "renames": RENAMES,
     }
     # full-name record for humans and the judge (the driver's stdout
@@ -282,16 +340,18 @@ def main() -> None:
     compact["queries"] = {n.split("_", 1)[0]: round(t, 2) for n, t in timings.items()}
     # keep the printed line inside the driver's 2000-char stdout
     # window (r10: the 102-name registry outgrew the id-prefix rename
-    # MAP too): every rename is old -> "z"+old by the freeze rule, so
-    # the compact line carries just the z-pushed old prefixes; the
-    # full map stays in BENCH_local_latest.json and bench.RENAMES
+    # MAP; r11: the 107-name registry outgrew even the z-pushed
+    # prefix LIST): the compact line carries only the z-push count —
+    # the full map stays in BENCH_local_latest.json and the committed
+    # bench.RENAMES (every rename is old -> "z"+old by the freeze
+    # rule, so the map is reconstructible from the registry alone)
     del compact["renames"]
-    compact["zpushed"] = sorted(o.split("_", 1)[0] for o in RENAMES)
+    compact["zpushed"] = len(RENAMES)
     # the frozen names have unique id prefixes; a future name reusing
     # one would silently drop a timing from the compact map — fail loud
     assert len(compact["queries"]) == len(timings), "duplicate id prefix"
     compact["harness_queries"] = [n.split("_", 1)[0] for n in harness]
-    compact["queries_key"] = "id prefix; full names in BENCH_local_latest.json"
+    compact["queries_key"] = "ids; full names in BENCH_local_latest.json"
     print(json.dumps(compact))
 
 

@@ -1708,6 +1708,74 @@ def test_cluster_quality_keep_beats_min_id(spark):
     assert got[9]["keep"] and got[9]["component"] == 9
 
 
+def test_canonical_keep_giant_cluster_two_phase(spark):
+    """r11 (r10 verdict item 3): a single near-dup cluster covering
+    50 % of the corpus — the boilerplate-cluster shape that is REAL
+    at 100 TB — must not land on one task. ``canonical_keep``'s
+    argmax two-phases through partial aggregation, so the only thing
+    a task ever holds for the giant component is per-partition
+    partial maxima. Pinned three ways: (a) full-frame equality with
+    the r10 window form on a corpus that is one giant cluster plus
+    singletons plus an all-NULL-quality cluster, (b) the physical
+    plan carries a ``partial_max`` BEFORE the exchange and NO Window
+    node, (c) the NULLS-LAST / min-id tie-break semantics hold (max
+    quality appears many times in the giant cluster; the minimum id
+    among them must win)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from trendr_data_pipeline_spark.plans.dedup_ops import canonical_keep
+
+    n = 4000
+    labeled = (
+        spark.range(n)
+        .repartition(8)
+        .select(
+            F.col("id").alias("doc_id"),
+            # ids 0..1999 → component 0 (one cluster = 50 % of corpus);
+            # the rest are singletons; 3 ids form an all-NULL cluster
+            F.when(F.col("id") < n // 2, F.lit(0))
+            .when(F.col("id").isin(3001, 3002, 3003), F.lit(7777))
+            .otherwise(F.col("id"))
+            .alias("component"),
+            # heavy ties (7 distinct values) + NULLs sprinkled in;
+            # the all-NULL cluster stays NULL
+            F.when(F.col("id").isin(3001, 3002, 3003), F.lit(None).cast("double"))
+            .when(F.col("id") % 13 == 0, F.lit(None).cast("double"))
+            .otherwise(F.round((F.col("id") % 7) / 7.0, 3))
+            .alias("quality"),
+        )
+    )
+
+    got = canonical_keep(labeled)
+    plan = got._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        got._jdf.queryExecution(), "formatted"
+    )
+    assert "partial_max" in plan, plan  # map-side combine proves two-phase
+    assert "Window" not in plan, plan   # no per-component window task
+
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc_nulls_last(), F.col("doc_id").asc()
+    )
+    want = labeled.select(
+        "doc_id", "component", "quality", (F.row_number().over(w) == 1).alias("keep")
+    )
+    grows = sorted(map(tuple, got.select("doc_id", "component", "quality", "keep").collect()))
+    wrows = sorted(map(tuple, want.collect()))
+    assert grows == wrows
+
+    by_id = {r[0]: r for r in grows}
+    # giant cluster: max non-NULL quality is 6/7 ≈ 0.857 at ids ≡ 6
+    # (mod 7) not ≡ 0 (mod 13); the smallest such id must be the keeper
+    giant_best = min(
+        i for i in range(n // 2) if i % 7 == 6 and i % 13 != 0
+    )
+    keepers = [i for i in range(n // 2) if by_id[i][3]]
+    assert keepers == [giant_best]
+    # all-NULL cluster → min id keeps
+    assert by_id[3001][3] and not by_id[3002][3] and not by_id[3003][3]
+
+
 def test_dedup_cdc_chunks_random_vs_python_oracle(spark):
     """⊕D21 seed-sweep fuzz (the containment-pairs pattern — Spark
     cost per example dominates, so sweep seeds rather than

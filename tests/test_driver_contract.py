@@ -93,14 +93,14 @@ def test_cap_window_holds_only_oracle_queries():
         "rename them past the cap (x/z prefix) or add an oracle"
     )
     # and the window boundary is where COVERAGE.md documents it
-    # (r10: c43-c50 displaced r02/r03/q09/r01/q07/q06/q03/q02 — all
-    # z-pushed, RENAMES_R10)
-    assert in_cap[0].startswith("c05") and in_cap[-1].startswith("q01"), in_cap[-1]
+    # (r11: c51-c53 displaced q01/p08/p07 — all z-pushed, RENAMES_R11)
+    assert in_cap[0].startswith("c05") and in_cap[-1].startswith("p05"), in_cap[-1]
     for must_sign in (
         "c05_", "c18_", "c24_", "c25_",
         "c26_", "c27_", "c28_", "c29_", "c30_", "c31_", "c32_", "c33_",
         "c34_", "c35_", "c36_", "c37_", "c38_", "c39_", "c40_", "c41_", "c42_",
         "c43_", "c44_", "c45_", "c46_", "c47_", "c48_", "c49_", "c50_",
+        "c51_", "c52_", "c53_",
     ):
         assert any(n.startswith(must_sign) for n in in_cap), must_sign
     # review finding (r8): a NEW oracle-bearing registration sorting
@@ -200,12 +200,13 @@ def test_bench_compact_line_fits_driver_stdout_window():
         "harness_queries": [
             n.split("_", 1)[0]
             for n in names
-            if n.startswith(("c05_", "c18_", "p02_", "p08_"))
+            if n.startswith(("c05_", "c18_", "p02_", "zp08_"))
         ],
         "operator_total": 9999.999,
-        "staging_s": {"c38": 99.999},
-        "zpushed": sorted(o.split("_", 1)[0] for o in bench.RENAMES),
-        "queries_key": "id prefix; full names in BENCH_local_latest.json",
+        "staging_s": {"c38": 99.999, "c53": 99.999},
+        "ambient_index": [99.999, 99.999, 99.999, 99.999],
+        "zpushed": len(bench.RENAMES),
+        "queries_key": "ids; full names in BENCH_local_latest.json",
     }
     assert len(compact["queries"]) == len(names), "duplicate id prefix"
     line = json.dumps(compact)

@@ -18,6 +18,47 @@ def _plan(df) -> str:
     )
 
 
+_AQE_WRAPPERS = {
+    "AdaptiveSparkPlanExec", "ResultQueryStageExec",
+    "ShuffleQueryStageExec", "BroadcastQueryStageExec",
+    "TableCacheQueryStageExec",
+}
+
+
+def _walk_jplan(node):
+    """Yield every node of an executed plan, descending through AQE
+    wrapper nodes (QueryStageExec hides its subtree behind .plan(),
+    AdaptiveSparkPlanExec behind .executedPlan() — collectLeaves()
+    stops AT the wrappers, which is why a naive walk sees no scan)."""
+    yield node
+    name = node.getClass().getSimpleName()
+    if name in _AQE_WRAPPERS:
+        for attr in ("plan", "executedPlan"):
+            try:
+                yield from _walk_jplan(getattr(node, attr)())
+                return
+            except Exception:  # noqa: BLE001 — wrapper variant without attr
+                continue
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk_jplan(ch.apply(i))
+
+
+def _partitions_read_metric(df) -> int:
+    """The partitioned file scan's runtime ``numPartitions`` SQL
+    metric (the Spark-UI "number of partitions read"), read off the
+    EXECUTED plan via py4j — the only place runtime DPP's effect is
+    visible (plan text shows the pruning expression, not its
+    result). The frame must already be materialized."""
+    plan = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+    for node in _walk_jplan(plan):
+        if "FileSourceScan" in node.getClass().getSimpleName():
+            m = node.metrics()
+            if m.contains("numPartitions"):
+                return m.apply("numPartitions").value()
+    raise AssertionError("no partitioned scan with a numPartitions metric")
+
+
 def test_partitioned_write_prunes_on_read(spark, tmp_path):
     ev = read_table(spark, SMOKE_SF, "events").withColumn(
         "day", F.date_format("ts", "yyyy-MM-dd")
@@ -41,3 +82,51 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
 
     # full-table row equality (no rows lost in the layout)
     assert back.count() == ev.count()
+
+
+def test_dynamic_partition_pruning_via_dim_join(spark):
+    """c53 (r11, r10 verdict item 6): a dimension-driven day
+    selection over the partitioned layout must prune at RUNTIME —
+    the fact scan's PartitionFilters carries a
+    dynamicpruningexpression fed by the filtered calendar dim, and
+    the executed scan reads only the dim's surviving
+    day-directories. This is the 100 TB fact access pattern: the
+    day set comes from a JOIN, so static pruning cannot apply."""
+    from trendr_data_pipeline_spark.plans.layout_ops import (
+        calendar_dim,
+        pruned_daily_stats,
+        staged_partitioned_events,
+    )
+
+    df = pruned_daily_stats(spark, SMOKE_SF)
+    plan = _plan(df)
+    assert "dynamicpruningexpression" in plan, plan
+
+    rows = df.collect()
+    got_days = {r["day"].isoformat() for r in rows}
+    dim_days = {r["day"].isoformat() for r in calendar_dim(spark).collect()}
+    # fixture ends Jan 30, so every selected dim day has events
+    assert got_days == {d for d in dim_days if d <= "2024-01-30"}
+
+    # executed-plan evidence: the scan's runtime SQL metric counts
+    # only the dim's surviving day-directories, not the layout's 30
+    path = staged_partitioned_events(spark, SMOKE_SF)
+    n_dirs = len([d for d in os.listdir(path) if d.startswith("day=")])
+    assert n_dirs > len(got_days)  # 30 directories, ~4 selected
+    n_read = _partitions_read_metric(df)
+    assert n_read == len(got_days), (n_read, len(got_days), n_dirs)
+
+    # value parity with the unpartitioned path
+    ev = read_table(spark, SMOKE_SF, "events")
+    want = (
+        ev.withColumn("day", F.to_date("ts"))
+        .filter(F.dayofmonth(F.col("day")) % 7 == 3)
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, want.collect()))

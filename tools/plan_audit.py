@@ -115,6 +115,11 @@ def main() -> int:
                 continue
         n_scans = plan.count("Scan parquet")
         pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
+        # partition-layout evidence (r10 verdict item 6): scans with a
+        # non-empty PartitionFilters spec, and how many of those are
+        # DYNAMIC (runtime dim-driven pruning — the c53 gate's shape)
+        part_f = len(re.findall(r"PartitionFilters: \[[^\]]", plan))
+        dpp = plan.count("dynamicpruningexpression")
         bhj = plan.count("BroadcastHashJoin")
         smj = plan.count("SortMergeJoin")
         shj = plan.count("ShuffledHashJoin")
@@ -131,6 +136,7 @@ def main() -> int:
             f"joins[bhj={bhj} smj={smj} shj={shj} bnl={bnl}] "
             f"exchanges={exch} codegen={wsc} widestScan={widest}cols"
             f" globalWindows={gwin}"
+            + (f" partFilters={part_f} dpp={dpp}" if part_f or dpp else "")
             + (" ALLOWED" if gwin and name in GLOBAL_WINDOW_ALLOWLIST else "")
             + (" VIOLATION" if gwin and name not in GLOBAL_WINDOW_ALLOWLIST else "")
         )

@@ -26,3 +26,5 @@ def load_all() -> None:
     from . import release_ops  # noqa: F401
     from . import data_card  # noqa: F401
     from . import decontam_ops  # noqa: F401
+    from . import pii_ops  # noqa: F401
+    from . import layout_ops  # noqa: F401

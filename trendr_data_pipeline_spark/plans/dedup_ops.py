@@ -967,6 +967,59 @@ _SQL_CLUSTER_QUALITY = """
 """
 
 
+def canonical_keep(
+    labeled: DataFrame,
+    id_col: str = "doc_id",
+    component_col: str = "component",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Flag the canonical member of each duplicate cluster: the row
+    maximizing (quality DESC NULLS LAST, id ASC) — as ``keep``.
+
+    GIANT-CLUSTER SAFE (r10 verdict item 3): the r10 form ran one
+    ``row_number`` window per component, which at 100 TB makes a
+    boilerplate cluster covering a corpus fraction into ONE task
+    holding the whole cluster. The argmax does not need a window at
+    all: ``max(struct(quality, -id))`` per component two-phases
+    through Tungsten's PARTIAL aggregation — every map task reduces
+    its slice of the giant component to one 16-byte struct before
+    the exchange, so the final task receives ≤ #input-partitions
+    partial maxima, never the component's rows. That is exactly the
+    "hash-sub-bucketed two-phase max" the stratified-sample
+    giant-group device hand-builds — for a commutative argmax,
+    Catalyst already does it; no threshold routing or salting to
+    maintain. The winner frame (|components| rows) joins back on the
+    component key to produce the flag.
+
+    Struct ordering gives the SQL window's exact semantics: a NULL
+    field compares LOWEST, so NULL quality loses to any scored row
+    (= NULLS LAST under DESC) and an all-NULL cluster falls through
+    to the second field, where max(-id) = min id — the ASC id
+    tie-break (pinned cross-engine by the c49 oracle and by the
+    window-equality pytest on a one-giant-cluster corpus).
+
+    Caching contract (the module posture): ``labeled`` feeds both
+    the winner aggregate and the flag join, so it is persisted here
+    or its upstream (components + quality for c49) would compute
+    twice; bench.py and the driver clearCache between queries."""
+    labeled = labeled.persist()
+    win = (
+        labeled.groupBy(component_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(quality_col).alias("q"),
+                    (-F.col(id_col)).alias("neg_id"),
+                )
+            ).alias("_w")
+        )
+        .select(component_col, (-F.col("_w.neg_id")).alias("_keep_id"))
+    )
+    return labeled.join(win, component_col).withColumn(
+        "keep", F.col(id_col) == F.col("_keep_id")
+    ).drop("_keep_id")
+
+
 @register(
     "c49_cluster_quality_keep",
     None,  # oracle installed below (late import avoids a text_ops cycle)
@@ -976,19 +1029,18 @@ _SQL_CLUSTER_QUALITY = """
     duplicate cluster (ties → min doc_id). Composes three gated
     subsystems: d02's exact-Jaccard pairs (1-in-10 slice, ≥0.8), ⊕D9
     alternating-star connected components, t03's rounded quality
-    blend — survivor = row_number over (component; quality DESC NULLS
-    LAST, doc_id ASC) == 1, a per-CLUSTER window bounded by cluster
-    size (the W1/q03 per-group top-k family; a pathological
-    one-giant-cluster corpus would need the stratified-sample
-    giant-group device, documented there). Oracle splices the x03
-    recursive-closure CTEs (imported, not copied) with t03's quality
-    fragments. Full frame hashed: (doc_id, component, quality, keep)
-    for every slice doc — a wrong component OR a wrong survivor
-    breaks the hash.""",
+    blend — survivor = argmax over (quality DESC NULLS LAST, doc_id
+    ASC), computed by ``canonical_keep``'s partial-aggregated
+    two-phase max (r11: replaced the r10 per-component window, whose
+    one-giant-cluster pathology was documented-not-implemented; now
+    no task ever holds a whole cluster, pinned by the giant-cluster
+    pytest). Oracle splices the x03 recursive-closure CTEs (imported,
+    not copied) with t03's quality fragments — its ROW_NUMBER window
+    form is the semantic spec the aggregate must reproduce. Full
+    frame hashed: (doc_id, component, quality, keep) for every slice
+    doc — a wrong component OR a wrong survivor breaks the hash.""",
 )
 def c49_cluster_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     from ..functions.text import tokens as _tokens
     from ..operators.dedup import jaccard_similarity_pairs
     from ..operators.graph import connected_components
@@ -1016,12 +1068,7 @@ def c49_cluster_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("quality"),
     )
     j = labels.join(q, "doc_id")
-    w = Window.partitionBy("component").orderBy(
-        F.col("quality").desc_nulls_last(), F.col("doc_id").asc()
-    )
-    return j.select(
-        "doc_id", "component", "quality", (F.row_number().over(w) == 1).alias("keep")
-    )
+    return canonical_keep(j).select("doc_id", "component", "quality", "keep")
 
 
 def _install_c49_oracle() -> None:

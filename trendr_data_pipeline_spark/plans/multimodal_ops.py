@@ -251,7 +251,7 @@ def p06_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "p07_audio_windows",
+    "zp07_audio_windows",
     """
     WITH audio AS (
         SELECT doc_id AS item_id, sha256(text) AS hx,

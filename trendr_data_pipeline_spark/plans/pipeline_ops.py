@@ -306,7 +306,7 @@ def p04_keyword_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "p08_streaming_daily_stats",
+    "zp08_streaming_daily_stats",
     """
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
            COUNT(*) AS n_events,
@@ -421,3 +421,58 @@ def c18_streaming_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import jobs
 
     return _replay_events(spark, sf_dir, jobs.sliding_value_momentum, "c18_momentum")
+
+
+# ---------------------------------------------------------------------------
+# c52 — SS1 token bucket, batch twin under the driver gate (r11)
+# ---------------------------------------------------------------------------
+
+_C52_TOKENS = 5
+_C52_RESET_S = 7 * 3600
+
+
+@register(
+    "c52_token_bucket",
+    f"""
+    WITH e AS (
+        SELECT event_type, event_id, ts,
+               DATE '1970-01-01'
+                   + CAST(FLOOR((epoch(ts) - {_C52_RESET_S}) / 86400.0) AS INTEGER)
+                   AS budget_day
+        FROM events
+    ), r AS (
+        SELECT event_type, budget_day, event_id, ts,
+               ROW_NUMBER() OVER (PARTITION BY event_type, budget_day
+                                  ORDER BY ts, event_id) AS rn
+        FROM e
+    )
+    SELECT event_type, budget_day, event_id, ts
+    FROM r WHERE rn <= {_C52_TOKENS}
+    """,
+    doc=f"""SS1 daily API token bucket — the BATCH twin
+    (streaming/jobs.token_bucket_batch; reference
+    google_places_ingester.py:44-74), the last reference-derived
+    streaming twin with an SQL-expressible oracle that had never
+    been driver-signed (r10 verdict item 5). Admits the first
+    {_C52_TOKENS} events per (source, budget day) in (ts, id) order;
+    the budget day rolls at the 07:00 UTC reset hour via pure epoch
+    arithmetic (``date_from_unix_date(floor((epoch−7h)/86400))``) so
+    the boundary is session-timezone-proof — the oracle replays the
+    same arithmetic (a sub-second epoch fraction can never flip the
+    86400-floor of an integer-second offset, so DuckDB's fractional
+    ``epoch()`` agrees with Spark's truncating ``unix_timestamp``).
+    At the fixture grain every (source, day) group is over budget
+    (~66 rows/group at sf0.01, ~7 at sf0.001 vs {_C52_TOKENS}
+    tokens), so admission AND blocking are both load-bearing in the
+    hash. One keyed window — partitioned by (source, day), never
+    global; the streaming form's multi-batch arrival-order semantics
+    stay pinned by tests/test_streaming.py.""",
+)
+def c52_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import token_bucket_batch
+
+    return token_bucket_batch(
+        read_table(spark, sf_dir, "events"),
+        daily_tokens=_C52_TOKENS,
+        reset_hour_utc=7,
+    )

@@ -29,7 +29,7 @@ _Q01_CUT = "1999-09-02 00:00:00"
 
 
 @register(
-    "q01_pricing_summary",
+    "zq01_pricing_summary",
     f"""
     SELECT l_returnflag, l_linestatus,
            {sql_dsum('l_quantity')} AS sum_qty,
