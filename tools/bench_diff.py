@@ -1,12 +1,22 @@
 """Round-over-round per-query bench diff from committed artifacts.
 
-Usage: python tools/bench_diff.py BENCH_local_r07.json BENCH_local_r08.json
+Usage: python tools/bench_diff.py [--normalize] OLD.json NEW.json
 
 Joins the two full-name per-query maps through the newer file's
 ``renames`` map (old name → new name, recorded by bench.py at each cap
 rotation), prints per-query old/new/ratio sorted by ratio, and a
 summary. The r7 verdict (item 6) asked for exactly this to be
 computable from artifacts alone.
+
+``--normalize`` (r10 verdict item 7): when both artifacts carry
+``ambient_index`` ([scan_start, sched_start, scan_end, sched_end],
+the fixed calibration probes bench.py runs at suite start AND end),
+divide every per-query ratio by the geometric mean of the scan and
+scheduling ambient ratios — so a uniform VM slowdown normalizes to
+~1.0 and only structural changes stand out. The raw ratios are still
+printed; normalization is a second column, not a replacement (a
+probe pair can't capture every cost class — Arrow/Python-worker
+heavy queries track neither probe perfectly).
 """
 
 from __future__ import annotations
@@ -15,13 +25,31 @@ import json
 import sys
 
 
+def ambient_ratio(old: dict, new: dict) -> tuple[float, float, float] | None:
+    """(scan_ratio, sched_ratio, blend) from the two artifacts'
+    ambient_index fields, or None when either lacks the field.
+    Start/end probes are averaged — the drift between them is itself
+    printed so a mid-run swing is visible."""
+    a_old, a_new = old.get("ambient_index"), new.get("ambient_index")
+    if not a_old or not a_new or len(a_old) < 4 or len(a_new) < 4:
+        return None
+    scan_o, sched_o = (a_old[0] + a_old[2]) / 2, (a_old[1] + a_old[3]) / 2
+    scan_n, sched_n = (a_new[0] + a_new[2]) / 2, (a_new[1] + a_new[3]) / 2
+    if min(scan_o, sched_o, scan_n, sched_n) <= 0:
+        return None
+    rs, rq = scan_n / scan_o, sched_n / sched_o
+    return rs, rq, (rs * rq) ** 0.5
+
+
 def main() -> int:
-    if len(sys.argv) != 3:
+    argv = [a for a in sys.argv[1:] if a != "--normalize"]
+    normalize = "--normalize" in sys.argv[1:]
+    if len(argv) != 2:
         print(__doc__)
         return 2
-    with open(sys.argv[1]) as f:
+    with open(argv[0]) as f:
         old = json.load(f)
-    with open(sys.argv[2]) as f:
+    with open(argv[1]) as f:
         new = json.load(f)
     renames = new.get("renames") or {}
     oldq, newq = old["queries"], new["queries"]
@@ -39,19 +67,34 @@ def main() -> int:
             "artifacts (check the renames map / file pairing)"
         )
         return 1
-    print(f"{'ratio':>6}  {'old_s':>7}  {'new_s':>7}  query")
+    amb = ambient_ratio(old, new) if normalize else None
+    if normalize and amb is None:
+        print("--normalize: one of the artifacts lacks ambient_index; raw only")
+    norm = amb[2] if amb else 1.0
+    hdr_norm = f"  {'norm':>6}" if amb else ""
+    print(f"{'ratio':>6}{hdr_norm}  {'old_s':>7}  {'new_s':>7}  query")
     for ratio, oname, nname, t_old, t_new in rows:
         label = oname if oname == nname else f"{oname} -> {nname}"
-        print(f"{ratio:6.2f}  {t_old:7.3f}  {t_new:7.3f}  {label}")
+        col_norm = f"  {ratio / norm:6.2f}" if amb else ""
+        print(f"{ratio:6.2f}{col_norm}  {t_old:7.3f}  {t_new:7.3f}  {label}")
     joined_old = sum(r[3] for r in rows)
     joined_new = sum(r[4] for r in rows)
     import statistics
 
+    med = statistics.median(r[0] for r in rows)
     print(
         f"\njoined {len(rows)} queries: old {joined_old:.1f}s -> new "
         f"{joined_new:.1f}s (sum ratio {joined_new / joined_old:.2f}, "
-        f"median per-query ratio {statistics.median(r[0] for r in rows):.2f})"
+        f"median per-query ratio {med:.2f})"
     )
+    if amb:
+        rs, rq, blend = amb
+        print(
+            f"ambient: scan ratio {rs:.2f}, sched ratio {rq:.2f}, "
+            f"blend {blend:.2f} -> normalized sum ratio "
+            f"{joined_new / joined_old / blend:.2f}, normalized median "
+            f"{med / blend:.2f}"
+        )
     only_new = sorted(set(newq) - {renames.get(o, o) for o in oldq})
     if only_new:
         t = sum(newq[n] for n in only_new if newq[n] > 0)

@@ -20,6 +20,13 @@ O(delta) claim as wall time::
 
     python tools/text_index_bench.py release [scale ...]
 
+Fourth mode (r11, verdict item 4) — the INCREMENTAL DATA CARD's
+O(delta) claim as wall time (same growing-corpus/constant-delta
+device; incremental_data_card over a staged v1 feature artifact vs
+the from-scratch v2 card, parity asserted in-run)::
+
+    python tools/text_index_bench.py card [scale ...]
+
 Same synthetic growing-corpus device (hash-unique v1 scaled by
 ``scale``, CONSTANT delta: 100 removed + 150 modified + 250 added,
 50 of the adds planted near-dups), but the measured unit is the
@@ -152,12 +159,50 @@ def synthetic_mode(scales: list[int]) -> int:
     return 0
 
 
+#: the constant release delta both growing-corpus modes use
+_DELTA = dict(n_rem=100, n_mod=150, n_add=250, planted=50)
+
+
+def _release_pair(spark, n: int):
+    """(v1, v2) with the CONSTANT delta regardless of corpus size:
+    remove the first n_rem ids, append-modify the next n_mod, add
+    n_add new docs (planted near-dups perturb one trailing token,
+    J≈39/41≥0.8). Both checkpointed eagerly so generation cost never
+    leaks into the timed paths."""
+    from pyspark.sql import functions as F
+
+    n_rem, n_mod, n_add, planted = (
+        _DELTA["n_rem"], _DELTA["n_mod"], _DELTA["n_add"], _DELTA["planted"]
+    )
+    v1 = _synthetic_docs(spark, n, "c").localCheckpoint(eager=True)
+    kept = v1.filter(F.col("doc_id") >= n_rem)
+    modified = F.col("doc_id") < n_rem + n_mod
+    v2_body = kept.select(
+        "doc_id",
+        F.when(modified, F.concat(F.col("text"), F.lit(" modxx")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    uniq = _synthetic_docs(spark, n_add - planted, "a", id_offset=100_000_000)
+    near = (
+        v1.filter(F.col("doc_id") % (n // planted) == 1)
+        .limit(planted)
+        .select(
+            (F.col("doc_id") + 200_000_000).alias("doc_id"),
+            F.concat(
+                F.expr("substring(text, 1, length(text) - 7)"),
+                F.lit(" zz9end"),
+            ).alias("text"),
+        )
+    )
+    v2 = v2_body.unionByName(uniq).unionByName(near).localCheckpoint(eager=True)
+    return v1, v2
+
+
 def release_mode(scales: list[int]) -> int:
     import shutil
     import tempfile
     import time
-
-    from pyspark.sql import functions as F
 
     from trendr_data_pipeline_spark.operators.release import (
         incremental_release_update,
@@ -167,38 +212,15 @@ def release_mode(scales: list[int]) -> int:
     from trendr_data_pipeline_spark.session import get_spark
 
     spark = get_spark("release-bench")
-    base_n, n_rem, n_mod, n_add, planted = 5_000, 100, 150, 250, 50
+    base_n = 5_000
     print(
-        f"release mode: base={base_n} delta=({n_rem} removed, {n_mod} modified, "
-        f"{n_add} added incl. {planted} planted near-dups) thr=0.8"
+        f"release mode: base={base_n} delta=({_DELTA['n_rem']} removed, "
+        f"{_DELTA['n_mod']} modified, {_DELTA['n_add']} added incl. "
+        f"{_DELTA['planted']} planted near-dups) thr=0.8"
     )
     for scale in scales:
         n = base_n * scale
-        v1 = _synthetic_docs(spark, n, "c").localCheckpoint(eager=True)
-        # constant delta regardless of corpus size: remove the first
-        # n_rem ids, append-modify the next n_mod, add n_add new docs
-        # (planted near-dups perturb one trailing token, J≈39/41≥0.8)
-        kept = v1.filter(F.col("doc_id") >= n_rem)
-        modified = F.col("doc_id") < n_rem + n_mod
-        v2_body = kept.select(
-            "doc_id",
-            F.when(modified, F.concat(F.col("text"), F.lit(" modxx")))
-            .otherwise(F.col("text"))
-            .alias("text"),
-        )
-        uniq = _synthetic_docs(spark, n_add - planted, "a", id_offset=100_000_000)
-        near = (
-            v1.filter(F.col("doc_id") % (n // planted) == 1)
-            .limit(planted)
-            .select(
-                (F.col("doc_id") + 200_000_000).alias("doc_id"),
-                F.concat(
-                    F.expr("substring(text, 1, length(text) - 7)"),
-                    F.lit(" zz9end"),
-                ).alias("text"),
-            )
-        )
-        v2 = v2_body.unionByName(uniq).unionByName(near).localCheckpoint(eager=True)
+        v1, v2 = _release_pair(spark, n)
         with tempfile.TemporaryDirectory() as d:
             idx = f"{d}/v1_idx"
             t0 = time.time()
@@ -235,6 +257,91 @@ def release_mode(scales: list[int]) -> int:
     return 0
 
 
+def card_mode(scales: list[int]) -> int:
+    """Fourth mode (r11, verdict item 4) — c44's O(delta) claim as
+    WALL TIME, the c38 treatment applied to the data card: growing
+    corpus, constant delta; ``incremental_data_card`` over a staged
+    v1 feature artifact vs the from-scratch v2 card, parity asserted
+    in-run at every scale. Expected shape (and the honest difference
+    from the release cycle): the incremental card avoids the
+    re-FEATURIZE pass (tokenize/quality/entropy — the dominant cost)
+    but still scans the maintained feature frame to aggregate, so
+    the ratio grows toward featurize:scan, not unboundedly like the
+    partition-pruned index probe. SCALING.md records the curve."""
+    import tempfile
+    import time
+
+    from trendr_data_pipeline_spark.plans.data_card import (
+        card_from_features,
+        doc_card_features,
+        incremental_data_card,
+    )
+    from trendr_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("card-bench")
+    base_n = 5_000
+    print(
+        f"card mode: base={base_n} delta=({_DELTA['n_rem']} removed, "
+        f"{_DELTA['n_mod']} modified, {_DELTA['n_add']} added)"
+    )
+    for scale in scales:
+        n = base_n * scale
+        v1, v2 = _release_pair(spark, n)
+        with tempfile.TemporaryDirectory() as d:
+            feat_path = f"{d}/feat_v1"
+            t0 = time.time()
+            doc_card_features(v1).write.parquet(feat_path)
+            t_stage = time.time() - t0
+            spark.catalog.clearCache()
+
+            feat_v1 = spark.read.parquet(feat_path)
+            t0 = time.time()
+            got = {
+                tuple(r)
+                for r in incremental_data_card(feat_v1, v1, v2).collect()
+            }
+            t_inc = time.time() - t0
+            spark.catalog.clearCache()
+
+            # shared-diff variant: the release run's own c33 diff
+            # handed in (c38's cycle computes it anyway — the card
+            # piggybacks), so the timed path is the card's OWN work:
+            # featurize the delta, merge, aggregate
+            from trendr_data_pipeline_spark.operators.ingestion import (
+                snapshot_diff,
+            )
+
+            diff = snapshot_diff(v1, v2).localCheckpoint(eager=True)
+            t0 = time.time()
+            got_shared = {
+                tuple(r)
+                for r in incremental_data_card(
+                    feat_v1, v1, v2, diff=diff
+                ).collect()
+            }
+            t_shared = time.time() - t0
+            spark.catalog.clearCache()
+
+            t0 = time.time()
+            want = {
+                tuple(r)
+                for r in card_from_features(doc_card_features(v2)).collect()
+            }
+            t_fresh = time.time() - t0
+            spark.catalog.clearCache()
+        ratio = t_fresh / t_inc if t_inc > 0 else float("inf")
+        ratio_s = t_fresh / t_shared if t_shared > 0 else float("inf")
+        ok = got == want and got_shared == want
+        print(
+            f"scale={scale:>3} corpus={n:>7} feat_stage={t_stage:6.2f}s "
+            f"incremental={t_inc:6.2f}s shared_diff={t_shared:6.2f}s "
+            f"from_scratch={t_fresh:6.2f}s ratio={ratio:5.2f}x "
+            f"ratio_shared={ratio_s:5.2f}x rows={len(got)} "
+            f"parity={'OK' if ok else 'MISMATCH'}"
+        )
+    return 0
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "synthetic":
         scales = [int(x) for x in sys.argv[2:]] or [1, 4, 16]
@@ -242,6 +349,9 @@ def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "release":
         scales = [int(x) for x in sys.argv[2:]] or [1, 4, 16]
         return release_mode(scales)
+    if len(sys.argv) > 1 and sys.argv[1] == "card":
+        scales = [int(x) for x in sys.argv[2:]] or [1, 4, 16]
+        return card_mode(scales)
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     thr = float(sys.argv[2]) if len(sys.argv) > 2 else 0.8
     replicate = int(sys.argv[3]) if len(sys.argv) > 3 else 1

@@ -433,7 +433,10 @@ def card_from_features(feat: DataFrame) -> DataFrame:
 
 
 def incremental_data_card(
-    feat_v1: DataFrame, v1: DataFrame, v2: DataFrame
+    feat_v1: DataFrame,
+    v1: DataFrame,
+    v2: DataFrame,
+    diff: DataFrame | None = None,
 ) -> DataFrame:
     """⊕A19 incremental (r10, verdict item 5 — the c38 device applied
     to REPORTING, the natural final verb of the release cycle: the
@@ -446,11 +449,24 @@ def incremental_data_card(
     the merged frame aggregates through :func:`card_from_features`.
     The c44 gate hash-checks this against a from-scratch v2 card.
 
+    ``diff`` (r11): pass the release run's own c33 snapshot diff to
+    skip recomputing it — the diff is the one O(corpus) term left in
+    this path (two md5 projections + a full-outer join), and a
+    production release computes it ONCE anyway (c38's cycle starts
+    with the same diff; the card piggybacks). The r11 card-mode
+    wall-time table (SCALING.md) measures both variants: with the
+    diff shared, the refresh is delta-bound as claimed; computing
+    its own diff, the ratio saturates near featurize:md5-scan.
+    Must have c33's schema: (doc_id, status ∈ added/removed/
+    modified/...).
+
     Caching contract (the module posture): the diff frame is
     persisted; callers clearCache after materializing the card."""
     from ..operators.ingestion import snapshot_diff
 
-    diff = snapshot_diff(v1, v2).persist()
+    if diff is None:
+        diff = snapshot_diff(v1, v2)
+    diff = diff.persist()
     gone = diff.filter(F.col("status").isin("removed", "modified")).select(
         "doc_id"
     )
