@@ -57,6 +57,29 @@ def test_approx_count_distinct_bound(spark):
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.1
 
 
+def test_approx_percentile_bound(spark):
+    """A7's approximate twin (r11): ``percentile_approx`` is the
+    100 TB fast path for score-distribution cuts (one pass, bounded
+    sketch memory, mergeable across partitions) where e06 pins the
+    exact nearest-rank form cross-engine. Pin the approximation to
+    the exact ``percentile`` within 1 % relative error at accuracy
+    10 000 so a future Spark upgrade can't silently degrade the
+    sketch the calibration/quality operators would lean on."""
+    from pyspark.sql import functions as F
+
+    from trendr_data_pipeline_spark.io import read_table
+
+    events = read_table(spark, SMOKE_SF, "events")
+    row = events.agg(
+        F.expr("percentile(value, array(0.5, 0.95, 0.99))").alias("exact"),
+        F.expr(
+            "percentile_approx(value, array(0.5, 0.95, 0.99), 10000)"
+        ).alias("approx"),
+    ).first()
+    for ex, ap in zip(row["exact"], row["approx"]):
+        assert abs(ap - ex) <= 0.01 * max(abs(ex), 1e-9), (ex, ap)
+
+
 def test_query_schemas_stable_across_sf(spark):
     """The driver smoke-checks entry() for a stable schema; extend the
     guarantee to every query: identical column names and types at
@@ -100,7 +123,7 @@ def test_cap_window_holds_only_oracle_queries():
         "c26_", "c27_", "c28_", "c29_", "c30_", "c31_", "c32_", "c33_",
         "c34_", "c35_", "c36_", "c37_", "c38_", "c39_", "c40_", "c41_", "c42_",
         "c43_", "c44_", "c45_", "c46_", "c47_", "c48_", "c49_", "c50_",
-        "c51_", "c52_", "c53_",
+        "c51_", "c52_", "c53_", "c54_",
     ):
         assert any(n.startswith(must_sign) for n in in_cap), must_sign
     # review finding (r8): a NEW oracle-bearing registration sorting
@@ -203,10 +226,9 @@ def test_bench_compact_line_fits_driver_stdout_window():
             if n.startswith(("c05_", "c18_", "p02_", "zp08_"))
         ],
         "operator_total": 9999.999,
-        "staging_s": {"c38": 99.999, "c53": 99.999},
+        "staging_s": {"c38": 99.999, "c53": 99.999, "c54": 99.999},
         "ambient_index": [99.999, 99.999, 99.999, 99.999],
         "zpushed": len(bench.RENAMES),
-        "queries_key": "ids; full names in BENCH_local_latest.json",
     }
     assert len(compact["queries"]) == len(names), "duplicate id prefix"
     line = json.dumps(compact)

@@ -130,3 +130,40 @@ def test_dynamic_partition_pruning_via_dim_join(spark):
         )
     )
     assert sorted(map(tuple, rows)) == sorted(map(tuple, want.collect()))
+
+
+def test_bucketed_join_plan_is_exchange_free(spark):
+    """c54 (r11): orders and customer co-bucketed on the customer key
+    must join AND aggregate with ZERO Exchange nodes — the scans'
+    HashPartitioning satisfies the SMJ's distribution and the
+    per-customer aggregate's clustering, so the only network cost at
+    1000 executors is the scans themselves. Also pins value parity
+    with the plain unbucketed join (the layout must change the plan,
+    never the rows)."""
+    from trendr_data_pipeline_spark.plans.layout_ops import (
+        bucketed_spend_per_customer,
+    )
+
+    df = bucketed_spend_per_customer(spark, SMOKE_SF)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+
+    got = sorted(map(tuple, df.collect()))
+    o = read_table(spark, SMOKE_SF, "orders")
+    c = read_table(spark, SMOKE_SF, "customer")
+    want = sorted(
+        map(
+            tuple,
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy(o.o_custkey.alias("custkey"), "c_name")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+                .cast("double")
+                .alias("total_spend"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want

@@ -109,6 +109,111 @@ def pruned_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: staged co-bucketed orders/customer tables:
+#: abs(sf_dir) -> (orders_table, customer_table)
+_STAGED_BUCKETED: dict[str, tuple[str, str]] = {}
+_C54_BUCKETS = 8
+
+
+def staged_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Stage (once per process per fixture dir) orders and customer
+    CO-BUCKETED on the customer key — same key, same bucket count —
+    via ``operators.skew.write_bucketed``. External tables under a
+    per-process temp dir (no cross-process warehouse collisions);
+    catalog names carry the pid + a per-dir ordinal for the same
+    reason. Staging seconds publish under ``staging_s.c54``."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from ..operators.skew import write_bucketed
+
+    key = os.path.abspath(sf_dir)
+    if key not in _STAGED_BUCKETED:
+        base = tempfile.mkdtemp(prefix="bucketed_join_stage_")
+        atexit.register(lambda d=base: shutil.rmtree(d, ignore_errors=True))
+        tag = f"{os.getpid()}_{len(_STAGED_BUCKETED)}"
+        t_orders, t_cust = f"c54_orders_{tag}", f"c54_customer_{tag}"
+        t0 = time.time()
+        write_bucketed(
+            read_table(spark, sf_dir, "orders").withColumnRenamed(
+                "o_custkey", "custkey"
+            ),
+            t_orders,
+            "custkey",
+            buckets=_C54_BUCKETS,
+            path=os.path.join(base, "orders"),
+        )
+        write_bucketed(
+            read_table(spark, sf_dir, "customer").withColumnRenamed(
+                "c_custkey", "custkey"
+            ),
+            t_cust,
+            "custkey",
+            buckets=_C54_BUCKETS,
+            path=os.path.join(base, "customer"),
+        )
+        STAGING_SECONDS[f"c54:{key}"] = round(time.time() - t0, 3)
+        _STAGED_BUCKETED[key] = (t_orders, t_cust)
+    return _STAGED_BUCKETED[key]
+
+
+def bucketed_spend_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join the co-bucketed tables on the bucket key and aggregate on
+    the same key — the plan must contain ZERO Exchange nodes: both
+    scans report HashPartitioning(custkey, 8), the sort-merge join
+    consumes the sorted buckets directly, and the aggregation's
+    clustering requirement is satisfied by the same partitioning."""
+    t_orders, t_cust = staged_bucketed_tables(spark, sf_dir)
+    o = spark.table(t_orders)
+    c = spark.table(t_cust)
+    from ._numeric import dsum
+
+    # MERGE hint: at fixture scale the dim fits the broadcast
+    # threshold and Catalyst would pick BHJ (+ a shuffle for the
+    # aggregate); at the layout's target scale BOTH sides are large
+    # and SMJ-over-buckets is the plan — the hint pins that plan so
+    # the zero-exchange property is what the gate demonstrates
+    return (
+        o.join(c.hint("merge"), "custkey")
+        .groupBy("custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum("o_totalprice").alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "c54_bucketed_join",
+    """
+    SELECT o_custkey AS custkey, c_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+               AS total_spend
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY o_custkey, c_name
+    """,
+    doc="""Co-bucketed shuffle-free join (r11): the OTHER half of the
+    100 TB layout story next to c53's partition pruning — fact and
+    dimension persisted bucket-partitioned on the join key
+    (``write_bucketed``, 8 sorted buckets each, staged once per
+    process), joined and aggregated on that key with a plan carrying
+    ZERO Exchange nodes (scans expose HashPartitioning, the SMJ and
+    the per-customer aggregate both reuse it; pinned by
+    tests/test_io_layout.py and visible as exchanges=0 in
+    tools/plan_audit.py). At 1000 executors this is the difference
+    between a nightly fact⋈dim costing a full network shuffle of the
+    fact and costing zero network beyond the scans. Oracle = the
+    plain unbucketed join — the layout must change the plan, never
+    the rows.""",
+)
+def c54_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bucketed_spend_per_customer(spark, sf_dir)
+
+
 @register(
     "c53_partition_pruned_stats",
     f"""

@@ -269,7 +269,7 @@ _KEYWORDS = ["spark", "join", "merge", "stream", "window"]
 
 
 @register(
-    "p04_keyword_trends",
+    "zp04_keyword_trends",
     f"""
     SELECT kw,
            COUNT(CASE WHEN regexp_matches(lower(text), '\\b' || kw || '\\b') THEN 1 END)
