@@ -49,8 +49,10 @@ consumption (IDs are prefixes of the registry names, so the join is
 mechanical).
 
 Ambient index (r10 verdict item 7): two fixed calibration probes — a
-scan-bound lineitem aggregate and a scheduling-bound 2048-empty-task
-count — run median-of-3 at suite START and END and publish
+scan-bound lineitem aggregate and a scheduling-bound 512-trivial-task
+count (trimmed from 2048 in r11; tools/bench_diff.py --normalize
+comparisons against pre-r11 artifacts should know the sched probe
+unit changed) — run median-of-3 at suite START and END and publish
 ``ambient_index`` [scan0, sched0, scan1, sched1] in the JSON. Three
 rounds of verdicts had to prove VM drift forensically (re-running an
 old checkout); ``tools/bench_diff.py --normalize`` now does it

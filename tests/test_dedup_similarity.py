@@ -1776,6 +1776,31 @@ def test_canonical_keep_giant_cluster_two_phase(spark):
     assert by_id[3001][3] and not by_id[3002][3] and not by_id[3003][3]
 
 
+def test_canonical_keep_null_component_rows_survive(spark):
+    """r11 review finding: the flag join must be NULL-SAFE — rows with
+    a NULL component are one cluster to the window semantics the
+    aggregate replaces (SQL windows put all NULLs in one partition,
+    and groupBy groups them the same way), so a plain inner equi-join
+    would silently DROP them from the output. c49 never produces NULL
+    components; the generic helper must keep them."""
+    from pyspark.sql import functions as F
+
+    from trendr_data_pipeline_spark.plans.dedup_ops import canonical_keep
+
+    labeled = spark.createDataFrame(
+        [
+            (1, None, 0.5),
+            (2, None, 0.9),   # NULL cluster: highest quality → keeper
+            (3, None, None),
+            (4, 10, 0.1),     # singleton in a real component
+        ],
+        "doc_id long, component long, quality double",
+    )
+    got = {r["doc_id"]: r for r in canonical_keep(labeled).collect()}
+    assert sorted(got) == [1, 2, 3, 4], "NULL-component rows were dropped"
+    assert [d for d in got if got[d]["keep"]] == [2, 4]
+
+
 def test_dedup_cdc_chunks_random_vs_python_oracle(spark):
     """⊕D21 seed-sweep fuzz (the containment-pairs pattern — Spark
     cost per example dominates, so sweep seeds rather than

@@ -116,7 +116,7 @@ def test_cap_window_holds_only_oracle_queries():
         "rename them past the cap (x/z prefix) or add an oracle"
     )
     # and the window boundary is where COVERAGE.md documents it
-    # (r11: c51-c53 displaced q01/p08/p07 — all z-pushed, RENAMES_R11)
+    # (r11: c51-c54 displaced q01/p08/p07/p04 — all z-pushed, RENAMES_R11)
     assert in_cap[0].startswith("c05") and in_cap[-1].startswith("p05"), in_cap[-1]
     for must_sign in (
         "c05_", "c18_", "c24_", "c25_",

@@ -1013,11 +1013,19 @@ def canonical_keep(
                 )
             ).alias("_w")
         )
-        .select(component_col, (-F.col("_w.neg_id")).alias("_keep_id"))
+        .select(F.col(component_col).alias("_cc"), (-F.col("_w.neg_id")).alias("_keep_id"))
     )
-    return labeled.join(win, component_col).withColumn(
-        "keep", F.col(id_col) == F.col("_keep_id")
-    ).drop("_keep_id")
+    # null-safe flag join (r11 review finding): the SQL window this
+    # aggregate replaces puts NULL components into ONE partition, and
+    # groupBy groups NULLs the same way — but a plain inner equi-join
+    # would silently drop those rows. <=> is still an equi-condition
+    # to Catalyst, so the join stays a hash/SMJ, not a BNL. c49 never
+    # produces NULL components; the helper is generic.
+    return (
+        labeled.join(win, F.col(component_col).eqNullSafe(F.col("_cc")))
+        .withColumn("keep", F.col(id_col) == F.col("_keep_id"))
+        .drop("_cc", "_keep_id")
+    )
 
 
 @register(
