@@ -23,6 +23,54 @@ from __future__ import annotations
 
 import json
 import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def _registry_prefix_map() -> dict[str, str]:
+    """id-prefix → full registry name, from the live registry (the
+    compact driver line keys queries by the unique prefix before the
+    first underscore; bench.py asserts uniqueness every run)."""
+    import __spark_entry__ as e
+
+    return {n.split("_", 1)[0]: n for n in e.queries()}
+
+
+def load_artifact(path: str, prefix_map: dict[str, str]) -> dict:
+    """Normalize a bench artifact to the full-name shape bench.py
+    writes locally (r11 verdict: this tool crashed on the COMMITTED
+    driver artifacts, which wrap the compact stdout line under
+    ``parsed``, key queries by id prefix, and omit ``renames``/
+    pre-r11 ``ambient_index``).
+
+    - unwrap the ``{"n": ..., "tail": ..., "parsed": {...}}`` driver
+      envelope;
+    - expand id-prefix query keys through the registry map — a prefix
+      unknown to the CURRENT registry is retried with the ``z``
+      prefix (the freeze rule makes every rename old → "z"+old, so an
+      old artifact's ``q01`` resolves to today's
+      ``zq01_pricing_summary``), else kept verbatim;
+    - a missing ``ambient_index`` (pre-r11 artifacts) stays missing —
+      ``--normalize`` degrades to raw-only with a notice."""
+    with open(path) as f:
+        data = json.load(f)
+    if "queries" not in data and isinstance(data.get("parsed"), dict):
+        data = data["parsed"]
+    if data.get("parsed") is None and "queries" not in data:
+        raise SystemExit(
+            f"{path}: no per-query map (driver artifact with 'parsed': null — "
+            "the compact stdout line overflowed that round's 2000-char window)"
+        )
+    q = {}
+    for k, t in data["queries"].items():
+        if "_" in k:
+            q[k] = t
+        else:
+            q[prefix_map.get(k) or prefix_map.get("z" + k, k)] = t
+    data = dict(data)
+    data["queries"] = q
+    return data
 
 
 def ambient_ratio(old: dict, new: dict) -> tuple[float, float, float] | None:
@@ -47,15 +95,16 @@ def main() -> int:
     if len(argv) != 2:
         print(__doc__)
         return 2
-    with open(argv[0]) as f:
-        old = json.load(f)
-    with open(argv[1]) as f:
-        new = json.load(f)
+    prefix_map = _registry_prefix_map()
+    old = load_artifact(argv[0], prefix_map)
+    new = load_artifact(argv[1], prefix_map)
     renames = new.get("renames") or {}
     oldq, newq = old["queries"], new["queries"]
     rows = []
     for oname, t_old in sorted(oldq.items()):
         nname = renames.get(oname, oname)
+        if nname not in newq and "z" + nname in newq:
+            nname = "z" + nname  # freeze-rule z-push, renames map absent
         t_new = newq.get(nname)
         if t_new is None or t_old <= 0 or t_new <= 0:
             continue
