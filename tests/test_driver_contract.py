@@ -116,14 +116,15 @@ def test_cap_window_holds_only_oracle_queries():
         "rename them past the cap (x/z prefix) or add an oracle"
     )
     # and the window boundary is where COVERAGE.md documents it
-    # (r11: c51-c54 displaced q01/p08/p07/p04 — all z-pushed, RENAMES_R11)
-    assert in_cap[0].startswith("c05") and in_cap[-1].startswith("p05"), in_cap[-1]
+    # (r11: c51-c54 displaced q01/p08/p07/p04; r12: c55-c56 displaced
+    # p02/p05 — all z-pushed, RENAMES_R11/RENAMES_R12)
+    assert in_cap[0].startswith("c05") and in_cap[-1].startswith("m03"), in_cap[-1]
     for must_sign in (
         "c05_", "c18_", "c24_", "c25_",
         "c26_", "c27_", "c28_", "c29_", "c30_", "c31_", "c32_", "c33_",
         "c34_", "c35_", "c36_", "c37_", "c38_", "c39_", "c40_", "c41_", "c42_",
         "c43_", "c44_", "c45_", "c46_", "c47_", "c48_", "c49_", "c50_",
-        "c51_", "c52_", "c53_", "c54_",
+        "c51_", "c52_", "c53_", "c54_", "c55_", "c56_",
     ):
         assert any(n.startswith(must_sign) for n in in_cap), must_sign
     # review finding (r8): a NEW oracle-bearing registration sorting
@@ -220,14 +221,13 @@ def test_bench_compact_line_fits_driver_stdout_window():
         "queries": {n.split("_", 1)[0]: 99.99 for n in names},
         "reps": 3,
         "sf": 0.1,
-        "harness_queries": [
-            n.split("_", 1)[0]
-            for n in names
-            if n.startswith(("c05_", "c18_", "p02_", "zp08_"))
-        ],
+        "harness_n": sum(
+            n.startswith(("c05_", "c18_", "zp02_", "zp08_")) for n in names
+        ),
         "operator_total": 9999.999,
         "staging_s": {"c38": 99.999, "c53": 99.999, "c54": 99.999},
         "ambient_index": [99.999, 99.999, 99.999, 99.999],
+        "noisy": False,
         "zpushed": len(bench.RENAMES),
     }
     assert len(compact["queries"]) == len(names), "duplicate id prefix"

@@ -8,13 +8,16 @@ partition spec — the "move all data to a single partition" shape that
 kills at 100×) and asserts them against the documented allowlist of
 deliberately bounded frames below; exits non-zero on a violation.
 
-KNOWN BLIND SPOT (review finding): a query that returns a
-``localCheckpoint`` frame explains as a LogicalRDD scan, so windows
-executed BEFORE the checkpoint are invisible here (c26/c27/c28 are
-this shape — their upstream windows are doc_id-partitioned or
-runtime-guarded, audited at dev time pre-checkpoint). The audit is a
-regression tripwire for the declarative plans, not a substitute for
-explaining a new operator's pre-checkpoint subtree when it is added.
+CHECKPOINT SUBTREES (r12, closing the r11 blind spot): a query that
+returns a ``localCheckpoint`` frame explains as a LogicalRDD scan, so
+windows executed BEFORE the checkpoint used to be invisible here
+(c26/c27/c28 were audited by dev-time narration). Every checkpoint
+site now routes through ``plan_debug.note_subtree``; this tool turns
+capture on, drains the pre-checkpoint frames recorded while each
+query BUILT (eager checkpoints execute at build time, which is
+exactly why the top-level explain can't see them), and audits each
+captured subtree with the same metrics and the same global-window
+tripwire — mechanically, every round, not by narration.
 
 Usage: python tools/plan_audit.py [sf_dir] [query ...]
 """
@@ -36,6 +39,13 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "x04_sequence_packing": "bucket-total base rows (packing.py:75)",
     "x06_budget_selection": "bucket-total base rows (packing.py:75)",
     "x22_zipf_stats": "top-50 tokens only (TakeOrderedAndProject feeds it)",
+    # first catch of the r12 subtree audit (formerly the blind spot):
+    # the distinct-ppl histogram cumsum, RUNTIME-GUARDED at
+    # _PPL_HIST_SINGLE_PARTITION_MAX rows with a two-phase
+    # global_running_offsets fallback above the bound
+    # (text_ops.py c28; hash-equality across the threshold is
+    # pytest-pinned)
+    "c28_bigram_perplexity": "distinct-ppl histogram rows, guarded ≤ 262144 + two-phase fallback",
 }
 
 
@@ -87,17 +97,16 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    from trendr_data_pipeline_spark import plan_debug
     from trendr_data_pipeline_spark.plans.registry import all_queries
     from trendr_data_pipeline_spark.session import get_spark
 
     spark = get_spark("plan-audit")
-    violations: list[str] = []
-    for name, q in sorted(all_queries().items()):
-        if only and name not in only:
-            continue
+    plan_debug.start_capture()
+
+    def explain(df) -> str:
         try:
-            df = q.fn(spark, sf_dir)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
                 df._jdf.queryExecution(), "formatted"
             )
         except Exception:  # noqa: BLE001
@@ -105,41 +114,66 @@ def main() -> int:
             from contextlib import redirect_stdout
 
             buf = io.StringIO()
-            try:
-                df = q.fn(spark, sf_dir)
-                with redirect_stdout(buf):
-                    df.explain("formatted")
-                plan = buf.getvalue()
-            except Exception as ex:  # noqa: BLE001
-                print(f"{name}: ERROR {ex}")
-                continue
-        n_scans = plan.count("Scan parquet")
-        pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
-        # partition-layout evidence (r10 verdict item 6): scans with a
-        # non-empty PartitionFilters spec, and how many of those are
-        # DYNAMIC (runtime dim-driven pruning — the c53 gate's shape)
-        part_f = len(re.findall(r"PartitionFilters: \[[^\]]", plan))
-        dpp = plan.count("dynamicpruningexpression")
-        bhj = plan.count("BroadcastHashJoin")
-        smj = plan.count("SortMergeJoin")
-        shj = plan.count("ShuffledHashJoin")
-        bnl = plan.count("BroadcastNestedLoopJoin")
-        exch = plan.count("Exchange")
-        wsc = len(set(re.findall(r"\[codegen id : (\d+)\]", plan)))
-        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-        widest = max((s.count(",") + 1 for s in schemas), default=0)
-        gwin = count_global_windows(plan)
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            return buf.getvalue()
+
+    violations: list[str] = []
+    for name, q in sorted(all_queries().items()):
+        if only and name not in only:
+            continue
+        plan_debug.drain()  # a fresh ledger per query
+        try:
+            df = q.fn(spark, sf_dir)
+            plan = explain(df)
+        except Exception as ex:  # noqa: BLE001
+            print(f"{name}: ERROR {ex}")
+            continue
+        subtrees = plan_debug.drain()
+        def audit_line(label: str, plan_text: str) -> int:
+            n_scans = plan_text.count("Scan parquet")
+            pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan_text))
+            # partition-layout evidence (r10 verdict item 6): scans
+            # with a non-empty PartitionFilters spec, and how many are
+            # DYNAMIC (runtime dim-driven pruning — the c53 shape)
+            part_f = len(re.findall(r"PartitionFilters: \[[^\]]", plan_text))
+            dpp = plan_text.count("dynamicpruningexpression")
+            bhj = plan_text.count("BroadcastHashJoin")
+            smj = plan_text.count("SortMergeJoin")
+            shj = plan_text.count("ShuffledHashJoin")
+            bnl = plan_text.count("BroadcastNestedLoopJoin")
+            exch = plan_text.count("Exchange")
+            wsc = len(set(re.findall(r"\[codegen id : (\d+)\]", plan_text)))
+            schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan_text)
+            widest = max((s.count(",") + 1 for s in schemas), default=0)
+            gwin = count_global_windows(plan_text)
+            allowed = name in GLOBAL_WINDOW_ALLOWLIST
+            print(
+                f"{label}: scans={n_scans} pushedFilters={pushed} "
+                f"joins[bhj={bhj} smj={smj} shj={shj} bnl={bnl}] "
+                f"exchanges={exch} codegen={wsc} widestScan={widest}cols"
+                f" globalWindows={gwin}"
+                + (f" partFilters={part_f} dpp={dpp}" if part_f or dpp else "")
+                + (" ALLOWED" if gwin and allowed else "")
+                + (" VIOLATION" if gwin and not allowed else "")
+            )
+            return gwin
+
+        gwin = audit_line(name, plan)
         if gwin and name not in GLOBAL_WINDOW_ALLOWLIST:
             violations.append(name)
-        print(
-            f"{name}: scans={n_scans} pushedFilters={pushed} "
-            f"joins[bhj={bhj} smj={smj} shj={shj} bnl={bnl}] "
-            f"exchanges={exch} codegen={wsc} widestScan={widest}cols"
-            f" globalWindows={gwin}"
-            + (f" partFilters={part_f} dpp={dpp}" if part_f or dpp else "")
-            + (" ALLOWED" if gwin and name in GLOBAL_WINDOW_ALLOWLIST else "")
-            + (" VIOLATION" if gwin and name not in GLOBAL_WINDOW_ALLOWLIST else "")
-        )
+        # audit every pre-checkpoint subtree the query recorded while
+        # building (same tripwire, attributed to the query's name; one
+        # line per DISTINCT label — iterative loops re-note a label
+        # per round with the same plan shape)
+        seen_labels: set[str] = set()
+        for label, sub in subtrees:
+            if label in seen_labels:
+                continue
+            seen_labels.add(label)
+            sub_g = audit_line(f"  {name} ⊂ {label}", explain(sub))
+            if sub_g and name not in GLOBAL_WINDOW_ALLOWLIST:
+                violations.append(f"{name}⊂{label}")
     if violations:
         print(
             f"GLOBAL-WINDOW VIOLATIONS ({len(violations)}): {violations} — "

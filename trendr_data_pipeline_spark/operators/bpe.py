@@ -234,11 +234,14 @@ def learn_bpe_merges(
     ``(accepted_this_round, topk_len)`` tuple per Spark round — the
     instrumentation behind the rounds-vs-merges curve in SCALING.md."""
     batch = max(1, batch)
-    vocab = (
-        word_frequencies(docs, text_col, ngram=ngram)
-        .withColumn("syms", _chars_udf()(F.col("word")))
-        .localCheckpoint()
-    )
+    from ..plan_debug import note_subtree
+
+    vocab = note_subtree(
+        "bpe.vocab0",
+        word_frequencies(docs, text_col, ngram=ngram).withColumn(
+            "syms", _chars_udf()(F.col("word"))
+        ),
+    ).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
     while len(merges) < num_merges:
         remaining = num_merges - len(merges)
@@ -274,7 +277,10 @@ def learn_bpe_merges(
         for left, right, wcnt in accepted:
             merges.append((len(merges) + 1, left, right, wcnt))
         applied = [(left, right) for left, right, _ in accepted]
-        nxt = vocab.withColumn("syms", _merge_udf(applied)(F.col("syms"))).localCheckpoint()
+        nxt = note_subtree(
+            "bpe.vocab_round",
+            vocab.withColumn("syms", _merge_udf(applied)(F.col("syms"))),
+        ).localCheckpoint()
         vocab.unpersist()
         vocab = nxt
     return merges, vocab

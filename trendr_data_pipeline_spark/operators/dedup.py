@@ -1378,14 +1378,16 @@ def fingerprint_match_pairs(
     )
     capped = fps.join(rare, "fp", "left_semi")
     a, b = capped.alias("a"), capped.alias("b")
-    out = (
+    from ..plan_debug import note_subtree
+
+    out = note_subtree(
+        "winnowing.matches",
         a.join(b, "fp")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("shared_fps"))
-        .filter(F.col("shared_fps") >= min_shared)
-        .localCheckpoint(eager=True)
-    )
+        .filter(F.col("shared_fps") >= min_shared),
+    ).localCheckpoint(eager=True)
     fps.unpersist()
     return out
 

@@ -110,17 +110,19 @@ def connected_components(
     generators only emit nodes that HAVE a near-dup, but the
     canonical-keep decision needs every document labeled.
     """
-    e = (
+    from ..plan_debug import note_subtree
+
+    e = note_subtree(
+        "cc.edges",
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+        .distinct(),
+    ).localCheckpoint(eager=True)
 
     if algorithm == "two_phase":
         sig = _signature(e)
         for _ in range(max_iter):
-            e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            e = note_subtree("cc.star_round", _small_star(_large_star(e))).localCheckpoint(eager=True)
             new_sig = _signature(e)
             if new_sig == sig:
                 break
@@ -132,30 +134,30 @@ def connected_components(
         centers = e.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
         labels = members.union(centers).distinct()
     elif algorithm == "label_prop":
-        sym = _sym(e).localCheckpoint(eager=True)
-        labels = (
+        sym = note_subtree("cc.sym", _sym(e)).localCheckpoint(eager=True)
+        labels = note_subtree(
+            "cc.labels0",
             sym.select("u")
             .union(sym.select("v"))
             .distinct()
-            .select(F.col("u").alias("node"), F.col("u").alias("component"))
-            .localCheckpoint(eager=True)
-        )
+            .select(F.col("u").alias("node"), F.col("u").alias("component")),
+        ).localCheckpoint(eager=True)
         for _ in range(max_iter):
             nbr_min = (
                 sym.join(labels, sym["v"] == labels["node"])
                 .groupBy(sym["u"].alias("node2"))
                 .agg(F.min("component").alias("nbr_comp"))
             )
-            new_labels = (
+            new_labels = note_subtree(
+                "cc.labels_round",
                 labels.join(nbr_min, labels["node"] == nbr_min["node2"], "left")
                 .select(
                     "node",
                     F.least(
                         "component", F.coalesce("nbr_comp", F.col("component"))
                     ).alias("component"),
-                )
-                .localCheckpoint(eager=True)
-            )
+                ),
+            ).localCheckpoint(eager=True)
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "node")

@@ -902,7 +902,11 @@ def index_extend_sink(
                 F.col("ce.cell").alias("cell"),
                 F.col("ce.codes").alias("codes"),
             )
-        assigned = assigned.dropDuplicates(["neighbor_id"]).localCheckpoint()
+        from ..plan_debug import note_subtree
+
+        assigned = note_subtree(
+            "ann_index.extend.assigned", assigned.dropDuplicates(["neighbor_id"])
+        ).localCheckpoint()
         cells = [
             int(r["cell"]) for r in assigned.select("cell").distinct().collect()
         ]
@@ -911,7 +915,10 @@ def index_extend_sink(
             .filter(F.col("cell").isin(cells))
             .select("neighbor_id")
         )
-        new_only = assigned.join(stored_ids, "neighbor_id", "left_anti").localCheckpoint()
+        new_only = note_subtree(
+            "ann_index.extend.new_only",
+            assigned.join(stored_ids, "neighbor_id", "left_anti"),
+        ).localCheckpoint()
         if new_only.take(1):
             _publish_extend(new_only, index_dir, partitioned=True)
 
@@ -957,7 +964,11 @@ def index_remove_sink(
     conflict guard turns a race into a loud RuntimeError)."""
 
     def do_remove(batch: DataFrame, batch_id: int) -> None:
-        ids = batch.select(id_col).dropDuplicates([id_col]).localCheckpoint()
+        from ..plan_debug import note_subtree
+
+        ids = note_subtree(
+            "ann_index.remove.ids", batch.select(id_col).dropDuplicates([id_col])
+        ).localCheckpoint()
         if ids.take(1):
             remove_from_index(ids, index_dir, id_col=id_col)
 

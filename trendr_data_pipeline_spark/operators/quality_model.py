@@ -132,7 +132,9 @@ def train_and_score_quality(
     # per call in a long-lived session (pinned by
     # tests/test_dedup_similarity.py::test_quality_model_scopes_its_cache),
     # while the scoring pass still reads the materialized frame.
-    labeled = labeled.localCheckpoint(eager=True)
+    from ..plan_debug import note_subtree
+
+    labeled = note_subtree("quality_model.labeled", labeled).localCheckpoint(eager=True)
     asm = VectorAssembler(inputCols=FEATURES, outputCol="_rawf")
     scaler = StandardScaler(inputCol="_rawf", outputCol="_f", withMean=True, withStd=True)
     # maxIter bounds the number of L-BFGS jobs (each iteration is one

@@ -225,14 +225,15 @@ def dsir_log_weights(
     # join below both read it — without this the whole bucket-count
     # corpus pass re-executes per reader (plan-audited: 3 corpus
     # scans → 2)
-    counts = (
-        toks.groupBy("bucket")
-        .agg(
+    from ..plan_debug import note_subtree
+
+    counts = note_subtree(
+        "dsir.bucket_counts",
+        toks.groupBy("bucket").agg(
             F.count(F.lit(1)).alias("craw"),
             F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("ctgt"),
-        )
-        .localCheckpoint(eager=True)
-    )
+        ),
+    ).localCheckpoint(eager=True)
     # full bucket domain (smoothing needs zero-count buckets too)
     domain = spark.range(dim).select(F.col("id").alias("bucket"))
     model = (

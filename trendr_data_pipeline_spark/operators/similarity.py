@@ -360,7 +360,9 @@ def embedding_near_dup_join(
         # of vectors. Checkpoint storage is ContextCleaner-managed
         # (reclaimed when the returned frame is dropped), so nothing
         # outlives the caller's use of the result.
-        out = out.localCheckpoint(eager=True)
+        from ..plan_debug import note_subtree
+
+        out = note_subtree("embedding_near_dup.pairs", out).localCheckpoint(eager=True)
         c_side.unpersist()
     return out
 

@@ -134,9 +134,12 @@ def write_minhash_index(
     # checkpoint each would recompute the full tokenize+minhash UDF
     # pass over the corpus (review finding — the build cost doubled,
     # contradicting the "one signature pass" contract)
-    sig = _sign(corpus, tokenizer, n_hashes, bands, id_col, text_col).localCheckpoint(
-        eager=True
-    )
+    from ..plan_debug import note_subtree
+
+    sig = note_subtree(
+        "text_index.signature",
+        _sign(corpus, tokenizer, n_hashes, bands, id_col, text_col),
+    ).localCheckpoint(eager=True)
 
     def parts(tmp: str) -> None:
         spark.createDataFrame(
@@ -176,7 +179,9 @@ def extend_minhash_index(
         )
         sig = sig.join(existing, "doc_id", "left_anti")
     # the signature feeds two writes — materialize once, not twice
-    sig = sig.localCheckpoint(eager=True)
+    from ..plan_debug import note_subtree
+
+    sig = note_subtree("text_index.extend_sig", sig).localCheckpoint(eager=True)
     if sig.isEmpty():
         # nothing genuinely new (the replay shape): a true no-op —
         # no link-tree, no swap, inodes untouched (review finding;

@@ -28,3 +28,5 @@ def load_all() -> None:
     from . import decontam_ops  # noqa: F401
     from . import pii_ops  # noqa: F401
     from . import layout_ops  # noqa: F401
+    from . import spatial_ops  # noqa: F401
+    from . import grid_ops  # noqa: F401

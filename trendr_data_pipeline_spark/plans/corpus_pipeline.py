@@ -217,7 +217,9 @@ def build_training_corpus(
     # totals) — materialize it ONCE so the ladder/pair/CC lineage
     # doesn't re-execute per consumer (checkpoint storage is
     # ContextCleaner-managed, reclaimed with the returned frame)
-    survivors = survivors.localCheckpoint(eager=True)
+    from ..plan_debug import note_subtree
+
+    survivors = note_subtree("c23.survivors", survivors).localCheckpoint(eager=True)
 
     # 3e. optional span-level dedup (c25, the ExactSubstr rewrite):
     # doc-level canonicalization keeps distinct documents that still

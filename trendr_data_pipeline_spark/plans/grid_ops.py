@@ -1,0 +1,252 @@
+"""c56 — driver gate for the H3 grid scheduler state machine (F8/H3/H4).
+
+r11 verdict item 2: the grid work-queue subsystem (reference
+``scripts/h3_scheduler.py:165-543``) had pytest-only verification.
+The deterministic square-grid provider's cell arithmetic is pure
+integer math (``sq{res}_{row}_{col}``, child ratio 2×2, centroid
+``(i+0.5)·edge``), so the c51/c55 synthetic device applies: both
+engines build the SAME cell-state table from ``customer`` keys and
+replay one full scheduler cycle —
+
+1. **state** — one row per distinct ``(r, c) = (k % N, (k//N) % N)``
+   cell (a bijection, so the state is corpus-grain), fields derived
+   from the seed ``j = 7r + 13c`` (which mixes BOTH coordinates under
+   every modulus used — ``r·N + c`` collapses mod 2/4/5/50 because
+   N = 200 divides them): two cities, a pending/scanned/split status
+   mix, NULL-sprinkled ``next_due_at`` (j%4=0) and ``results_last``
+   (j%7=0), non-zero ``attempts``.
+2. **F8 due_cells** — 'metropolis', not-split, due-or-never-scanned,
+   ordered (res, next_due NULLS FIRST, h3), LIMIT 200 (binding at
+   sf0.01+; the whole point of the work queue).
+3. **H4 update_scanned** — scan results ``(j·11)%100`` applied: status
+   scanned/saturated at cap 60, ``last_scanned = as_of``,
+   ``next_due = as_of + 7d`` (UTC epoch arithmetic — exactly 604800 s),
+   attempts+1; untouched rows pass through.
+4. **H3 split_saturated** — every saturated cell (``results_last ≥ 60``,
+   including pre-existing backlog rows never scanned this cycle)
+   flips to 'split'; its 4 children (res 10) survive only if their
+   centroid falls inside the cell's CITY polygon (pandas centroid +
+   ray-cast UDFs on the Spark side, arithmetic + BETWEEN in the twin)
+   — cities are sub-squares, so high-coordinate cells lose children.
+
+The hashed output is the full post-cycle state (timestamps projected
+to epoch seconds — the internal columns stay real timestamps; the
+projection dodges nothing since the values are pure arithmetic).
+Centroid/boundary float safety: centroids are ``(i+0.5)·0.002`` and
+city bounds end in .xxx5 ≥ 5·10⁻⁴ away from any centroid, five
+orders of magnitude above the ray-caster's 1e-12 collinearity
+tolerance — both engines compute the identical IEEE doubles.
+
+Scale shape: the state table is the corpus here (one row per cell —
+millions at planet scale); due-selection is a bounded global top-k
+(TakeOrderedAndProject, the work-queue contract), the scan update is
+one keyed join against the ≤limit-row scan frame, and the split is a
+semi/anti-join pair plus a 4×-explode of the saturated slice joined
+to the BROADCAST city dim. No global windows, no corpus self-joins.
+
+The real-``h3`` library path stays pytest-pinned
+(tests/test_spatial_grid.py); this gate pins the provider-agnostic
+DataFrame state machine cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from .registry import register
+
+#: grid extent (cells per axis) — keys spread over a 200×200 lattice
+#: via the bijection (r, c) = (k % N, (k // N) % N), so the state
+#: table is CORPUS-GRAIN (one cell per customer key up to N², i.e.
+#: 150 / 1 500 / 15 000 rows at the three fixture SFs) — a modular
+#: product like (13k % N, 7k % N) collapses to N cells because both
+#: coordinates are functions of k mod N
+_N = 200
+#: epoch base for synthetic due dates; as-of = base + 25 days
+_T_BASE = 1_700_000_000
+_AS_OF_S = _T_BASE + 25 * 86_400
+_RESCAN_DAYS = 7
+_SCAN_CAP = 60
+_DUE_LIMIT = 200
+
+#: city polygons (rectangles; bounds end in .xxx5 — see module doc);
+#: res-10 child centroids span [0.001, 0.799], so each city covers
+#: roughly half and high-coordinate cells lose children to the filter
+_CITIES = {
+    "metropolis": (-0.0005, 0.4035, -0.0005, 0.4035),
+    "gotham": (0.1235, 0.7995, 0.1235, 0.7995),
+}
+
+
+def _city_geo(x0: float, x1: float, y0: float, y1: float) -> str:
+    import json
+
+    return json.dumps(
+        {
+            "type": "Polygon",
+            "coordinates": [[[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]],
+        }
+    )
+
+
+def synthetic_grid_state(customer: DataFrame) -> DataFrame:
+    """The pre-cycle cell-state frame (same columns as
+    :func:`operators.grid.seed_cells` emits), derived from customer
+    keys — every field has a byte-identical SQL twin."""
+    cells = customer.select(
+        (F.col("c_custkey") % _N).cast("int").alias("r"),
+        ((F.col("c_custkey") / _N).cast("long") % _N).cast("int").alias("c"),
+    ).distinct()
+    j = (F.col("r") * 7 + F.col("c") * 13).cast("long")
+    return cells.select(
+        F.format_string("sq9_%d_%d", F.col("r"), F.col("c")).alias("h3"),
+        F.when(j % 2 == 0, "metropolis").otherwise("gotham").alias("city_slug"),
+        F.lit(9).alias("res"),
+        F.lit(None).cast("string").alias("parent_h3"),
+        F.when(j % 3 == 0, "pending")
+        .when(j % 3 == 1, "scanned")
+        .otherwise("split")
+        .alias("status"),
+        F.lit(False).alias("saturated"),
+        F.lit(None).cast("timestamp").alias("last_scanned_at"),
+        F.when(
+            j % 4 != 0, F.timestamp_seconds(F.lit(_T_BASE) + (j % 50) * 86_400)
+        ).alias("next_due_at"),
+        F.when(j % 7 != 0, j % 80).cast("long").alias("results_last"),
+        (j % 5).cast("long").alias("attempts"),
+    )
+
+
+_SQL_STATE = f"""
+    cells AS (
+        SELECT DISTINCT c_custkey % {_N} AS r, (c_custkey // {_N}) % {_N} AS c
+        FROM customer
+    ),
+    st AS (
+        SELECT 'sq9_' || r || '_' || c AS h3, r, c, r * 7 + c * 13 AS j,
+               CASE WHEN (r * 7 + c * 13) % 2 = 0 THEN 'metropolis' ELSE 'gotham' END AS city_slug,
+               9 AS res, CAST(NULL AS VARCHAR) AS parent_h3,
+               CASE (r * 7 + c * 13) % 3 WHEN 0 THEN 'pending'
+                                         WHEN 1 THEN 'scanned'
+                                         ELSE 'split' END AS status,
+               FALSE AS saturated,
+               CAST(NULL AS BIGINT) AS last_scanned_s,
+               CASE WHEN (r * 7 + c * 13) % 4 <> 0
+                    THEN {_T_BASE} + ((r * 7 + c * 13) % 50) * 86400 END AS next_due_s,
+               CASE WHEN (r * 7 + c * 13) % 7 <> 0
+                    THEN CAST((r * 7 + c * 13) % 80 AS BIGINT) END AS results_last,
+               CAST((r * 7 + c * 13) % 5 AS BIGINT) AS attempts
+        FROM cells
+    )
+"""
+
+_SQL_CITY_VALUES = ", ".join(
+    f"('{slug}', {x0}, {x1}, {y0}, {y1})" for slug, (x0, x1, y0, y1) in _CITIES.items()
+)
+
+_SQL_GRID_SCAN_CYCLE = f"""
+    WITH {_SQL_STATE},
+    due AS (
+        SELECT h3, j FROM st
+        WHERE city_slug = 'metropolis' AND status <> 'split'
+          AND (next_due_s IS NULL OR next_due_s <= {_AS_OF_S})
+        ORDER BY res ASC, next_due_s ASC NULLS FIRST, h3 ASC
+        LIMIT {_DUE_LIMIT}
+    ),
+    scans AS (SELECT h3, (j * 11) % 100 AS results FROM due),
+    upd AS (
+        SELECT st.h3, st.r, st.c, st.city_slug, st.res, st.parent_h3,
+               CASE WHEN s.h3 IS NULL THEN st.status
+                    WHEN s.results >= {_SCAN_CAP} THEN 'saturated'
+                    ELSE 'scanned' END AS status,
+               CASE WHEN s.h3 IS NULL THEN st.saturated
+                    ELSE s.results >= {_SCAN_CAP} END AS saturated,
+               CASE WHEN s.h3 IS NULL THEN st.last_scanned_s
+                    ELSE {_AS_OF_S} END AS last_scanned_s,
+               CASE WHEN s.h3 IS NULL THEN st.next_due_s
+                    ELSE {_AS_OF_S} + {_RESCAN_DAYS} * 86400 END AS next_due_s,
+               CASE WHEN s.h3 IS NULL THEN st.results_last
+                    ELSE CAST(s.results AS BIGINT) END AS results_last,
+               CASE WHEN s.h3 IS NULL THEN st.attempts
+                    ELSE st.attempts + 1 END AS attempts
+        FROM st LEFT JOIN scans s USING (h3)
+    ),
+    sat AS (
+        SELECT * FROM upd
+        WHERE results_last >= {_SCAN_CAP} AND res < 11 AND status <> 'split'
+    ),
+    kids AS (
+        SELECT 'sq10_' || (2 * u.r + d.dr) || '_' || (2 * u.c + d.dc) AS h3,
+               u.city_slug, 10 AS res, u.h3 AS parent_h3,
+               'pending' AS status, FALSE AS saturated,
+               CAST(NULL AS BIGINT) AS last_scanned_s,
+               CAST(NULL AS BIGINT) AS next_due_s,
+               CAST(NULL AS BIGINT) AS results_last,
+               CAST(0 AS BIGINT) AS attempts,
+               ((2 * u.r + d.dr) + 0.5) * 0.002 AS clat,
+               ((2 * u.c + d.dc) + 0.5) * 0.002 AS clng
+        FROM sat u CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) AS d(dr, dc)
+    ),
+    cities(slug, x0, x1, y0, y1) AS (VALUES {_SQL_CITY_VALUES}),
+    kept_kids AS (
+        SELECT k.h3, k.city_slug, k.res, k.parent_h3, k.status, k.saturated,
+               k.last_scanned_s, k.next_due_s, k.results_last, k.attempts
+        FROM kids k JOIN cities ci ON k.city_slug = ci.slug
+        WHERE k.clng >= ci.x0 AND k.clng <= ci.x1
+          AND k.clat >= ci.y0 AND k.clat <= ci.y1
+    )
+    SELECT u.h3, u.city_slug, u.res, u.parent_h3,
+           CASE WHEN s.h3 IS NULL THEN u.status ELSE 'split' END AS status,
+           u.saturated, u.last_scanned_s, u.next_due_s, u.results_last, u.attempts
+    FROM upd u LEFT JOIN sat s ON u.h3 = s.h3
+    UNION ALL
+    SELECT * FROM kept_kids
+"""
+
+
+@register(
+    "c56_grid_scan_cycle",
+    _SQL_GRID_SCAN_CYCLE,
+    doc="""H3 scheduler state-machine driver gate (r11 verdict item 2,
+    c51/c55 synthetic device): one full due→scan→update→split cycle
+    over a cell-state table derived from customer keys, run through
+    the REAL operators (due_cells, update_scanned, split_saturated —
+    reference h3_scheduler.py:165-543) with the deterministic
+    square-grid provider's integer cell arithmetic; the DuckDB twin
+    replays the cycle relationally. Hashes the complete post-cycle
+    state including split parents, centroid-filtered children, the
+    NULL next_due/results legs, and epoch-exact rescan dates.""",
+)
+def c56_grid_scan_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.grid import due_cells, split_saturated, update_scanned
+
+    state = synthetic_grid_state(read_table(spark, sf_dir, "customer"))
+    as_of = F.timestamp_seconds(F.lit(_AS_OF_S))
+
+    due = due_cells(state, "metropolis", as_of, _DUE_LIMIT)
+    parts = F.split(F.col("h3"), "_")
+    j = parts[1].cast("long") * 7 + parts[2].cast("long") * 13
+    scans = due.select("h3", ((j * 11) % 100).cast("long").alias("results"))
+
+    state1 = update_scanned(
+        state, scans, as_of, rescan_days=_RESCAN_DAYS, scan_cap=_SCAN_CAP
+    )
+    cities = spark.createDataFrame(
+        [(slug, _city_geo(*b)) for slug, b in sorted(_CITIES.items())],
+        "city_slug string, geometry string",
+    )
+    state2 = split_saturated(state1, cities, scan_cap=_SCAN_CAP, max_res=11)
+    return state2.select(
+        "h3",
+        "city_slug",
+        "res",
+        "parent_h3",
+        "status",
+        "saturated",
+        F.col("last_scanned_at").cast("long").alias("last_scanned_s"),
+        F.col("next_due_at").cast("long").alias("next_due_s"),
+        "results_last",
+        "attempts",
+    )

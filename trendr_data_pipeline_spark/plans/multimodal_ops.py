@@ -169,7 +169,9 @@ def _ppm_payload():
 
 
 @register(
-    "p05_photo_quality",
+    # z-pushed r12 (RENAMES_R12): admits c56_grid_scan_cycle into the
+    # driver window; driver-signed as p05 in r9-r11 windows
+    "zp05_photo_quality",
     f"""
     SELECT * FROM ({_photo_quality_twin_sql()})
     UNION ALL

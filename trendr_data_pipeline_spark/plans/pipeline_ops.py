@@ -179,7 +179,9 @@ def _replay_events(
 
 
 @register(
-    "p02_streaming_sessions",
+    # z-pushed r12 (RENAMES_R12): admits c55_spatial_association into
+    # the driver window; driver-signed as p02 in r9-r11 windows
+    "zp02_streaming_sessions",
     # same session assignment as e02's batch sessionizer; session_window
     # merges events exactly gap apart, so a new session starts only at
     # diff > gap, and the window end is last_ts + gap (half-open)

@@ -218,6 +218,32 @@ def t02_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "zt02_trained_langid",
+    None,  # iterative L-BFGS fit — no SQL twin (x15/x16 posture)
+    doc="""⊕T2's TRAINED leg (r11 verdict item 6; fastText-langid
+    practice): hashed char-bigram features → multinomial pyspark.ml
+    LogisticRegression over a PLANTED language-marked corpus (the
+    c51/c55 synthetic device — the fixture's lang column is
+    uncorrelated with its text, measured r12, so an honest accuracy
+    pin needs planted signal; see operators/langid_model.py). Each
+    doc carries 3 true-language + 1 decoy marker, so the model must
+    weigh counts, not detect presence. Returns the per-split
+    confusion grid vs planted truth AND the t02 heuristic; pytest
+    pins held-out accuracy ≥ 0.9 and heuristic agreement ≥ 0.9.
+    z-named bench-only leg (BENCH_ONLY_LEGS): oracle-less by nature,
+    registered PAST the driver window at creation.""",
+)
+def zt02_trained_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.langid_model import train_and_score_langid
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    scored = train_and_score_langid(docs)
+    return scored.groupBy("is_train", "lang_true", "lang_pred", "lang_heur").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
 # ---------------------------------------------------------------------------
 # t03 — quality scoring, merged r4 with t04's content fingerprints
 # (same doc grain; one gate under the driver's 50-query correctness
@@ -1639,11 +1665,14 @@ def bigram_perplexity(
         .when(F.col("cc") * 3 <= F.col("nd") * 2, F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
-    out = (
-        joined.crossJoin(F.broadcast(nd))
-        .select("doc_id", "n_big", "avg_nll", "ppl", band.alias("band"))
-        .localCheckpoint(eager=True)
-    )
+    from ..plan_debug import note_subtree
+
+    out = note_subtree(
+        "c28.banded_ppl",
+        joined.crossJoin(F.broadcast(nd)).select(
+            "doc_id", "n_big", "avg_nll", "ppl", band.alias("band")
+        ),
+    ).localCheckpoint(eager=True)
     d2.unpersist()
     return out
 
