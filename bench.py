@@ -221,6 +221,8 @@ RENAMES_R12: dict[str, str] = {
     "p02_streaming_sessions": "zp02_streaming_sessions",
     # admits c56_grid_scan_cycle (H3 scheduler state machine)
     "p05_photo_quality": "zp05_photo_quality",
+    # admits c57_near_dup_screen (⊕SS13 streaming screen, driver-gated)
+    "m03_ivf_topk": "zm03_ivf_topk",
 }
 
 #: combined rename map for round-over-round joins (each round's
@@ -328,7 +330,7 @@ def main() -> None:
     harness = sorted(
         n
         for n in timings
-        if n.startswith(("c05_", "c18_", "zp02_", "zp08_"))
+        if n.startswith(("c05_", "c18_", "c57_", "zp02_", "zp08_"))
     )
     # one-time staging work (absorbed by the first rep, excluded from
     # the medians) — the staging/operator split, published: c38's

@@ -121,7 +121,9 @@ def m01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "m03_ivf_topk",
+    # z-pushed r12 (RENAMES_R12): admits c57_near_dup_screen into the
+    # driver window; driver-signed as m03 in the r8-r11 windows
+    "zm03_ivf_topk",
     _ORACLE_TOPK,
     doc="""IVF ANN, hash-gated via the full-probe degenerate case: at
     ``nprobe == nlist`` every cell is probed, so IVF reduces to exact
