@@ -71,3 +71,60 @@ def test_bench_diff_reads_committed_artifacts():
             nname = "z" + nname
         joined += nname in new["queries"]
     assert joined >= 100, joined
+
+
+def test_plan_debug_capture_lifecycle():
+    """note_subtree is a zero-cost identity outside an audit run and a
+    per-query drainable ledger inside one (the plan_audit contract)."""
+    from trendr_data_pipeline_spark import plan_debug
+
+    sentinel = object()
+    # capture OFF: identity, nothing recorded
+    plan_debug.stop_capture()
+    assert plan_debug.note_subtree("x", sentinel) is sentinel
+    assert plan_debug.drain() == []
+    # capture ON: recorded under the label, drain clears but stays on
+    plan_debug.start_capture()
+    try:
+        assert plan_debug.note_subtree("a.b", sentinel) is sentinel
+        assert plan_debug.drain() == [("a.b", sentinel)]
+        assert plan_debug.drain() == []
+        plan_debug.note_subtree("c.d", sentinel)
+        assert [lbl for lbl, _ in plan_debug.drain()] == ["c.d"]
+    finally:
+        plan_debug.stop_capture()
+    assert plan_debug.note_subtree("e", sentinel) is sentinel
+    assert plan_debug.drain() == []
+
+
+def test_plan_audit_subtree_tripwire_sees_through_checkpoint(spark):
+    """The r11 blind spot, closed end to end: a GLOBAL window hidden
+    behind a localCheckpoint is invisible in the returned frame's plan
+    but visible in the captured pre-checkpoint subtree — the audit's
+    global-window counter must flag exactly the latter."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from tools.plan_audit import count_global_windows
+    from trendr_data_pipeline_spark import plan_debug
+
+    def explain(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    bad = spark.range(100).withColumn(
+        "rk", F.row_number().over(Window.orderBy("id"))
+    )
+    plan_debug.start_capture()
+    try:
+        out = plan_debug.note_subtree("demo.bad", bad).localCheckpoint(eager=True)
+        (label, sub), = plan_debug.drain()
+    finally:
+        plan_debug.stop_capture()
+    assert label == "demo.bad"
+    assert count_global_windows(explain(out)) == 0  # hidden top-level
+    # an executed AQE frame explains with BOTH the final and the
+    # initial plan sections, so the node can print twice — the
+    # tripwire only needs non-zero
+    assert count_global_windows(explain(sub)) >= 1  # caught in subtree

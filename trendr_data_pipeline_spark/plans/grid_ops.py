@@ -222,17 +222,39 @@ _SQL_GRID_SCAN_CYCLE = f"""
 def c56_grid_scan_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.grid import due_cells, split_saturated, update_scanned
 
-    state = synthetic_grid_state(read_table(spark, sf_dir, "customer"))
+    # the state frame feeds SIX consumers across the cycle (due
+    # selection, the update's join + anti legs, the split's semi/anti/
+    # children legs) — materialize it once or the synthesis (distinct
+    # + derivations) re-executes per consumer. In production the state
+    # IS a table scan and each leg re-reads cheaply; a checkpoint here
+    # mirrors that posture (ContextCleaner-managed, reclaimed with the
+    # returned frame — the c_side/quality_model pattern).
+    from ..plan_debug import note_subtree
+
+    state = note_subtree(
+        "c56.state",
+        synthetic_grid_state(read_table(spark, sf_dir, "customer")),
+    ).localCheckpoint(eager=True)
     as_of = F.timestamp_seconds(F.lit(_AS_OF_S))
 
     due = due_cells(state, "metropolis", as_of, _DUE_LIMIT)
     parts = F.split(F.col("h3"), "_")
     j = parts[1].cast("long") * 7 + parts[2].cast("long") * 13
-    scans = due.select("h3", ((j * 11) % 100).cast("long").alias("results"))
+    # ≤ limit rows by construction; the update consumes it twice
+    # (inner join + anti), so pin the top-k to one execution
+    scans = note_subtree(
+        "c56.scans",
+        due.select("h3", ((j * 11) % 100).cast("long").alias("results")),
+    ).localCheckpoint(eager=True)
 
-    state1 = update_scanned(
-        state, scans, as_of, rescan_days=_RESCAN_DAYS, scan_cap=_SCAN_CAP
-    )
+    # same posture for the post-update state: split_saturated reads it
+    # four times (sat filter, semi, anti, children explode)
+    state1 = note_subtree(
+        "c56.state1",
+        update_scanned(
+            state, scans, as_of, rescan_days=_RESCAN_DAYS, scan_cap=_SCAN_CAP
+        ),
+    ).localCheckpoint(eager=True)
     cities = spark.createDataFrame(
         [(slug, _city_geo(*b)) for slug, b in sorted(_CITIES.items())],
         "city_slug string, geometry string",
