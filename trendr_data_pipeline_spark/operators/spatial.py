@@ -27,7 +27,6 @@ import math
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..functions.math_geo import haversine_km
 
@@ -213,20 +212,35 @@ def associate_pois(pois: DataFrame, urban_areas: DataFrame) -> DataFrame:
         ),
         F.lit(9),
     )
-    w = Window.partitionBy("id", "admin_level").orderBy(
-        F.col("a_area").asc(), prio.asc(), F.col("area_name").asc()
-    )
-    best = cand.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)
-    districts = best.filter(F.col("admin_level") == "9").select(
-        "id", F.col("area_name").alias("district_name")
-    )
-    neigh = best.filter(F.col("admin_level") == "10").select(
-        "id", F.col("area_name").alias("neighbourhood_name")
+    # best-per-(poi, level) as ONE partial-aggregated argmin instead of
+    # a row_number window + two per-level joins (r12): the rank key
+    # (area, prio, name) packs into a struct whose field-wise ordering
+    # IS the ORDER BY, so min(struct) two-phases through Tungsten —
+    # map tasks reduce their slice of each (id, level) group before
+    # the exchange — and one conditional aggregation per level folds
+    # both association columns in the same pass. Net plan: the old
+    # shape shuffled the candidate frame for the window, then the fact
+    # table twice more (district join + neighbourhood join); this one
+    # shuffles candidates once and the fact table once.
+    best = cand.groupBy("id").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("admin_level") == lvl,
+                    F.struct(
+                        F.col("a_area").alias("a"),
+                        prio.alias("p"),
+                        F.col("area_name").alias("n"),
+                    ),
+                )
+            )["n"].alias(out_col)
+            for lvl, out_col in (("9", "district_name"), ("10", "neighbourhood_name"))
+        ]
     )
     # poi may already carry (null) association columns — the join result
     # replaces them (the reference's UPDATE semantics, db.py:247-278)
     base = pois.drop("district_name", "neighbourhood_name")
-    return base.join(districts, "id", "left").join(neigh, "id", "left")
+    return base.join(best, "id", "left")
 
 
 # ---------------------------------------------------------------------------
