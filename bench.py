@@ -46,7 +46,12 @@ part before the first underscore — ``q01``, ``x17``, …), which keeps
 all per-query times (108 as of r11) inside the window; the full-name map is written to
 ``BENCH_local_latest.json`` alongside this script for human/judge
 consumption (IDs are prefixes of the registry names, so the join is
-mechanical).
+mechanical). r13 squeezed the compact schema further (the 112-name
+registry left ~7 chars of headroom, r12 verdict item 3): per-query
+medians print as integer CENTISECONDS under ``q_cs``, and the
+envelope keys shorten to ``op_total``/``stg``/``amb``/``zp``/``hn``
+— see the inline schema note in ``main()``; ``tools/bench_diff.py``
+normalizes either schema back to the full-name full-unit shape.
 
 Ambient index (r10 verdict item 7): two fixed calibration probes — a
 scan-bound lineitem aggregate and a scheduling-bound 512-trivial-task
@@ -389,34 +394,44 @@ def main() -> None:
     # window is 2000 chars — see module docstring)
     with open(Path(__file__).resolve().parent / "BENCH_local_latest.json", "w") as f:
         json.dump(record, f, indent=1)
-    compact = dict(record)
-    # 2-dp per-query timings in the COMPACT line only (r10: the
-    # 99-name registry outgrew the stdout window at 3 dp; full 3-dp
-    # medians stay in BENCH_local_latest.json)
-    compact["queries"] = {n.split("_", 1)[0]: round(t, 2) for n, t in timings.items()}
-    # keep the printed line inside the driver's 2000-char stdout
-    # window (r10: the 102-name registry outgrew the id-prefix rename
-    # MAP; r11: the 107-name registry outgrew even the z-pushed
-    # prefix LIST): the compact line carries only the z-push count —
-    # the full map stays in BENCH_local_latest.json and the committed
-    # bench.RENAMES (every rename is old -> "z"+old by the freeze
-    # rule, so the map is reconstructible from the registry alone)
-    del compact["renames"]
-    # the per-query MIN map stays in the full-name file only; the
-    # compact line keeps the boolean noise flag (13 chars) — that is
-    # the part a judge reading only the driver artifact needs
-    del compact["queries_min"]
-    compact["zpushed"] = len(RENAMES)
+    # ------------------------------------------------------------------
+    # COMPACT driver line (r13 squeeze — the 112-name registry left
+    # only ~7 chars under the 1900-char budget, r12 verdict "Next
+    # round #3"; the full-name/full-precision record above is the
+    # human artifact, this line is the machine one). Key schema,
+    # documented here and normalized back by tools/bench_diff.py:
+    #   q_cs     per-query MEDIAN in integer CENTISECONDS keyed by the
+    #            unique id prefix (the unit lives in the key name; an
+    #            int is one char narrower than the old 2-dp float at
+    #            every magnitude, ~115 chars across the registry)
+    #   op_total / stg / amb / zp / hn =
+    #            operator_total / staging_s / ambient_index(2-dp) /
+    #            zpushed / harness_n of the full-name record
+    #   "unit" dropped: "value" stays seconds, q_cs self-describes.
+    # The old keys stay untouched in BENCH_local_latest.json, so
+    # longitudinal joins (bench_diff) read either schema.
+    # ------------------------------------------------------------------
+    compact = {
+        "metric": record["metric"],
+        "value": record["value"],
+        "q_cs": {
+            n.split("_", 1)[0]: int(round(t * 100)) for n, t in timings.items()
+        },
+        "reps": REPS,
+        "sf": record["sf"],
+        "op_total": operator_total,
+        "stg": {k: round(v, 2) for k, v in staging_s.items()},
+        "amb": [round(x, 2) for x in record["ambient_index"]],
+        "noisy": noisy,
+        # z-push count only — the full map stays in the local file and
+        # the committed bench.RENAMES (every rename is old -> "z"+old
+        # by the freeze rule, so the map is reconstructible)
+        "zp": len(RENAMES),
+        "hn": len(harness),
+    }
     # the frozen names have unique id prefixes; a future name reusing
     # one would silently drop a timing from the compact map — fail loud
-    assert len(compact["queries"]) == len(timings), "duplicate id prefix"
-    # (r11: the 108-name registry also outgrew the queries_key note —
-    # the id-prefix keying is documented here and in COVERAGE.md.
-    # r12: the harness LIST became a count — the 110-name registry
-    # left 2 chars of headroom; the full list is reconstructible from
-    # the startswith rule above and stays in BENCH_local_latest.json)
-    del compact["harness_queries"]
-    compact["harness_n"] = len(harness)
+    assert len(compact["q_cs"]) == len(timings), "duplicate id prefix"
     print(json.dumps(compact))
 
 

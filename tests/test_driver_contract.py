@@ -204,35 +204,45 @@ def test_bench_compact_line_fits_driver_stdout_window():
     """The driver records only the LAST 2000 chars of bench stdout
     (r6 finding); the compact JSON line must fit or the per-query map
     silently truncates to "parsed": null. Simulate the line exactly
-    as bench.main() prints it — id-prefix keys, worst-realistic
-    timing widths (xx.xx per query; the compact line rounds to 2 dp
-    since r10's 99-name registry, full 3-dp in the local file), the
-    current renames map and harness list — and assert headroom."""
+    as bench.main() prints it under the r13 compact schema (integer-
+    centisecond ``q_cs``, short envelope keys — r12 verdict item 3's
+    squeeze) at worst-realistic widths (9999 cs = 99.99 s per query),
+    and assert headroom BOTH at the current registry size and with
+    two more hypothetical gates, so the next round's insertions can't
+    land on an already-full line."""
     import json
 
     import bench
     import __spark_entry__ as e
 
     names = sorted(e.queries().keys())
-    compact = {
-        "metric": "total_query_wall_time",
-        "value": 9999.999,
-        "unit": "sec",
-        "queries": {n.split("_", 1)[0]: 99.99 for n in names},
-        "reps": 3,
-        "sf": 0.1,
-        "harness_n": sum(
-            n.startswith(("c05_", "c18_", "c57_", "zp02_", "zp08_")) for n in names
-        ),
-        "operator_total": 9999.999,
-        "staging_s": {"c38": 99.999, "c53": 99.999, "c54": 99.999},
-        "ambient_index": [99.999, 99.999, 99.999, 99.999],
-        "noisy": False,
-        "zpushed": len(bench.RENAMES),
-    }
-    assert len(compact["queries"]) == len(names), "duplicate id prefix"
-    line = json.dumps(compact)
-    assert len(line) <= 1900, (
-        f"bench compact line {len(line)} chars — within 100 of the "
-        "driver's 2000-char stdout window; shorten keys or drop a field"
+
+    def sim_line(sim_names: list[str]) -> str:
+        compact = {
+            "metric": "total_query_wall_time",
+            "value": 9999.999,
+            "q_cs": {n.split("_", 1)[0]: 9999 for n in sim_names},
+            "reps": 3,
+            "sf": 0.1,
+            "op_total": 9999.999,
+            "stg": {"c38": 99.99, "c53": 99.99, "c54": 99.99},
+            "amb": [99.99, 99.99, 99.99, 99.99],
+            "noisy": False,
+            "zp": len(bench.RENAMES) + (len(sim_names) - len(names)),
+            "hn": sum(
+                n.startswith(("c05_", "c18_", "c57_", "c58_", "zp02_", "zp08_"))
+                for n in sim_names
+            ),
+        }
+        assert len(compact["q_cs"]) == len(sim_names), "duplicate id prefix"
+        return json.dumps(compact)
+
+    assert len(sim_line(names)) <= 1840, (
+        f"bench compact line {len(sim_line(names))} chars — keep ≥60 chars "
+        "under the 1900 budget (driver stdout window is 2000)"
+    )
+    grown = names + ["c97_hypothetical_gate", "c98_hypothetical_gate"]
+    assert len(sim_line(grown)) <= 1900, (
+        "two more gates would overflow the 1900-char budget — squeeze "
+        "the compact schema BEFORE inserting them"
     )

@@ -52,6 +52,46 @@ def test_bench_diff_loads_local_artifact_unchanged(tmp_path):
     assert got["ambient_index"] == [1, 1, 1, 1]
 
 
+def test_bench_diff_loads_r13_compact_schema(tmp_path):
+    """The r13 squeeze (q_cs centiseconds + short envelope keys) must
+    normalize back to the canonical full-unit shape so round-over-round
+    diffs against pre-r13 artifacts keep working."""
+    from tools.bench_diff import _registry_prefix_map, ambient_ratio, load_artifact
+
+    pm = _registry_prefix_map()
+    art = {
+        "n": 13,
+        "rc": 0,
+        "tail": "…",
+        "parsed": {
+            "metric": "total_query_wall_time",
+            "value": 170.0,
+            "q_cs": {"c05": 411, "q01": 150},
+            "op_total": 150.0,
+            "stg": {"c38": 7.15},
+            "amb": [0.28, 3.39, 0.15, 2.54],
+            "noisy": True,
+            "zp": 23,
+            "hn": 6,
+        },
+    }
+    p = tmp_path / "BENCH_r13.json"
+    p.write_text(json.dumps(art))
+    got = load_artifact(str(p), pm)
+    assert got["queries"]["c05_streaming_interval_join"] == 4.11
+    assert got["queries"]["zq01_pricing_summary"] == 1.5
+    assert got["operator_total"] == 150.0
+    assert got["staging_s"] == {"c38": 7.15}
+    assert got["ambient_index"] == [0.28, 3.39, 0.15, 2.54]
+    assert got["zpushed"] == 23 and got["harness_n"] == 6
+    # and the normalize path joins the two schemas end to end
+    old = {"queries": {"c05_streaming_interval_join": 2.0}, "ambient_index": [1, 1, 1, 1]}
+    po = tmp_path / "BENCH_old.json"
+    po.write_text(json.dumps(old))
+    amb = ambient_ratio(load_artifact(str(po), pm), got)
+    assert amb is not None and amb[2] > 0
+
+
 def test_bench_diff_reads_committed_artifacts():
     """The exact invocation the r11 judge hit: both committed driver
     artifacts load, the r10 side lacking ambient_index degrades to

@@ -52,16 +52,35 @@ def load_artifact(path: str, prefix_map: dict[str, str]) -> dict:
       old artifact's ``q01`` resolves to today's
       ``zq01_pricing_summary``), else kept verbatim;
     - a missing ``ambient_index`` (pre-r11 artifacts) stays missing —
-      ``--normalize`` degrades to raw-only with a notice."""
+      ``--normalize`` degrades to raw-only with a notice;
+    - r13 compact-schema keys are mapped back to the canonical names:
+      ``q_cs`` (integer centiseconds) → ``queries`` (seconds),
+      ``op_total``/``stg``/``amb``/``zp``/``hn`` →
+      ``operator_total``/``staging_s``/``ambient_index``/``zpushed``/
+      ``harness_n``."""
     with open(path) as f:
         data = json.load(f)
-    if "queries" not in data and isinstance(data.get("parsed"), dict):
+    if not ("queries" in data or "q_cs" in data) and isinstance(
+        data.get("parsed"), dict
+    ):
         data = data["parsed"]
-    if data.get("parsed") is None and "queries" not in data:
+    if data.get("parsed") is None and "queries" not in data and "q_cs" not in data:
         raise SystemExit(
             f"{path}: no per-query map (driver artifact with 'parsed': null — "
             "the compact stdout line overflowed that round's 2000-char window)"
         )
+    data = dict(data)
+    if "q_cs" in data and "queries" not in data:
+        data["queries"] = {k: v / 100.0 for k, v in data.pop("q_cs").items()}
+    for short, full in (
+        ("op_total", "operator_total"),
+        ("stg", "staging_s"),
+        ("amb", "ambient_index"),
+        ("zp", "zpushed"),
+        ("hn", "harness_n"),
+    ):
+        if short in data and full not in data:
+            data[full] = data.pop(short)
     q = {}
     for k, t in data["queries"].items():
         if "_" in k:
