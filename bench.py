@@ -230,9 +230,19 @@ RENAMES_R12: dict[str, str] = {
     "m03_ivf_topk": "zm03_ivf_topk",
 }
 
+# r13 z-push records (same freeze rule; m01 was driver-signed under
+# that name in every window r4-r12).
+RENAMES_R13: dict[str, str] = {
+    # admits c58_stateful_dedup_replay (SS3 stateful ≤N-per-key dedup,
+    # replayed through the real applyInPandasWithState query)
+    "m01_cosine_topk": "zm01_cosine_topk",
+}
+
 #: combined rename map for round-over-round joins (each round's
 #: CORRECTNESS compares against the previous via this)
-RENAMES = {**RENAMES_R9, **RENAMES_R10, **RENAMES_R11, **RENAMES_R12}
+RENAMES = {
+    **RENAMES_R9, **RENAMES_R10, **RENAMES_R11, **RENAMES_R12, **RENAMES_R13,
+}
 
 #: bench-only legs — z-named PAST the driver window at creation,
 #: deliberately oracle-less: approximate by design (zc42, its
@@ -335,7 +345,7 @@ def main() -> None:
     harness = sorted(
         n
         for n in timings
-        if n.startswith(("c05_", "c18_", "c57_", "zp02_", "zp08_"))
+        if n.startswith(("c05_", "c18_", "c57_", "c58_", "zp02_", "zp08_"))
     )
     # one-time staging work (absorbed by the first rep, excluded from
     # the medians) — the staging/operator split, published: c38's

@@ -117,14 +117,15 @@ def test_cap_window_holds_only_oracle_queries():
     )
     # and the window boundary is where COVERAGE.md documents it
     # (r11: c51-c54 displaced q01/p08/p07/p04; r12: c55-c57 displaced
-    # p02/p05/m03 — all z-pushed, RENAMES_R11/RENAMES_R12)
-    assert in_cap[0].startswith("c05") and in_cap[-1].startswith("m01"), in_cap[-1]
+    # p02/p05/m03; r13: c58 displaced m01 — all z-pushed,
+    # RENAMES_R11/RENAMES_R12/RENAMES_R13)
+    assert in_cap[0].startswith("c05") and in_cap[-1].startswith("e09"), in_cap[-1]
     for must_sign in (
         "c05_", "c18_", "c24_", "c25_",
         "c26_", "c27_", "c28_", "c29_", "c30_", "c31_", "c32_", "c33_",
         "c34_", "c35_", "c36_", "c37_", "c38_", "c39_", "c40_", "c41_", "c42_",
         "c43_", "c44_", "c45_", "c46_", "c47_", "c48_", "c49_", "c50_",
-        "c51_", "c52_", "c53_", "c54_", "c55_", "c56_", "c57_",
+        "c51_", "c52_", "c53_", "c54_", "c55_", "c56_", "c57_", "c58_",
     ):
         assert any(n.startswith(must_sign) for n in in_cap), must_sign
     # review finding (r8): a NEW oracle-bearing registration sorting

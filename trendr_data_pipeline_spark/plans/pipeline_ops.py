@@ -654,3 +654,119 @@ def c57_near_dup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # left for process exit; each call re-replays into a fresh root
     # (bench reps time the full screen, not a cached read)
     return spark.read.parquet(target + "/bucket=*").select("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# c58 — SS3 stateful ≤N-per-key windowed dedup, driver-gated via the
+# c57 file-replay device (r12 verdict item 1)
+# ---------------------------------------------------------------------------
+
+#: admission cap per (user_id, event_type) across the whole replay —
+#: non-default on purpose (the operator's default is 2) so the gate
+#: proves the parameter is plumbed through the state function
+_C58_N = 3
+#: epoch base for the synthetic event times
+_C58_T0 = 1_700_000_000
+
+_SQL_STATEFUL_DEDUP = f"""
+    WITH m AS (
+        SELECT user_id, event_type, event_id,
+               {_C58_T0} + (event_id % 40) * 3600 AS ts_s
+        FROM events
+    ),
+    r AS (
+        SELECT user_id, event_type, event_id, ts_s,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts_s ASC, event_id ASC) AS rn
+        FROM m
+    )
+    SELECT user_id, event_type, event_id, ts_s FROM r WHERE rn <= {_C58_N}
+"""
+
+_c58_counter = 0
+
+
+@register(
+    "c58_stateful_dedup_replay",
+    _SQL_STATEFUL_DEDUP,
+    doc="""SS3 ≤N-per-key windowed dedup, STATEFUL side driver-gated
+    (r12 verdict item 1 — the reference's core 21-day mention dedup,
+    scripts/mention_scanner/dedup.py:47-96, whose
+    ``applyInPandasWithState`` implementation verified by pytest only
+    through r12). The c57 replay device: two deterministic waves
+    planted from event-id arithmetic (ts = T0 + (event_id%40) h; wave
+    1 = hours 0–19, wave 2 = hours 20–39) are replayed through the
+    REAL ``topn_dedup_stateful`` streaming query in two separate
+    micro-batches, so the per-key admission counter must SURVIVE the
+    batch boundary: at sf0.01, 32 keys enter wave 2 with a partial
+    count (fewer than N=3 admitted in wave 1) and 716 keys enter it
+    saturated — a state reset emits up to 2N rows per key and breaks
+    both the row count and the hash. Because every wave-1 timestamp
+    precedes every wave-2 timestamp per key, the operator's
+    arrival-order-greedy admission equals the event-time-canonical
+    ROW_NUMBER oracle (the zr02/batch-twin window form) — the same
+    twin-agreement condition token_bucket_admission documents.
+    Replay harness query (staging + two synchronous micro-batches
+    dominate wall time — tagged in bench ``harness`` via the c58
+    prefix).""",
+)
+def c58_stateful_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.jobs import topn_dedup_stateful
+
+    global _c58_counter
+    _c58_counter += 1
+    name = f"c58_stateful_dedup_out_{_c58_counter}"
+
+    ev = read_table(spark, sf_dir, "events")
+    hours = F.col("event_id") % 40
+    planted = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.timestamp_seconds(F.lit(_C58_T0) + hours * 3600).alias("ts"),
+    )
+    w1 = planted.filter(hours < 20)
+    w2 = planted.filter(hours >= 20)
+
+    root = tempfile.mkdtemp(prefix="c58_dedup_")
+    waves_dir = os.path.join(root, "waves")
+    ckpt = os.path.join(root, "ck")
+    os.makedirs(waves_dir)
+
+    def write_wave(i: int, df: DataFrame) -> None:
+        tmp = os.path.join(root, f"_w{i}")
+        df.coalesce(1).write.parquet(tmp)
+        for f in glob.glob(os.path.join(tmp, "*.parquet")):
+            shutil.move(f, os.path.join(waves_dir, f"wave{i}.parquet"))
+        shutil.rmtree(tmp)
+
+    stream = spark.readStream.schema(
+        "user_id long, event_type string, event_id long, ts timestamp"
+    ).parquet(waves_dir)
+    write_wave(1, w1)
+    q = (
+        topn_dedup_stateful(stream, max_per_key=_C58_N)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_wave(2, w2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    shutil.rmtree(root, ignore_errors=True)  # memory sink holds the rows
+    return spark.table(name).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.col("ts").cast("long").alias("ts_s"),
+    )

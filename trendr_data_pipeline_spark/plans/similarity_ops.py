@@ -92,7 +92,9 @@ def _lsh_twin_sql(dim: int = 64, bits: int = 4, tables: int = 16, k: int = 10) -
 
 
 @register(
-    "m01_cosine_topk",
+    # z-pushed r13 (RENAMES_R13): admits c58_stateful_dedup_replay into
+    # the driver window; driver-signed as m01 in every window r4-r12
+    "zm01_cosine_topk",
     f"""
     SELECT 'exact' AS method, * FROM ({_ORACLE_TOPK})
     UNION ALL
