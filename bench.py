@@ -236,6 +236,8 @@ RENAMES_R13: dict[str, str] = {
     # admits c58_stateful_dedup_replay (SS3 stateful ≤N-per-key dedup,
     # replayed through the real applyInPandasWithState query)
     "m01_cosine_topk": "zm01_cosine_topk",
+    # admits c59_radius_join (J8 radius join, synthetic-lattice device)
+    "e09_time_rollup": "ze09_time_rollup",
 }
 
 #: combined rename map for round-over-round joins (each round's

@@ -323,7 +323,9 @@ def e08_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "e09_time_rollup",
+    # z-pushed r13 (RENAMES_R13): admits c59_radius_join into the
+    # driver window; driver-signed as e09 in every window r4-r12
+    "ze09_time_rollup",
     f"""
     SELECT COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
            COALESCE(CAST(EXTRACT(hour FROM ts) AS BIGINT), -1) AS hour,
