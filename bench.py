@@ -238,6 +238,8 @@ RENAMES_R13: dict[str, str] = {
     "m01_cosine_topk": "zm01_cosine_topk",
     # admits c59_radius_join (J8 radius join, synthetic-lattice device)
     "e09_time_rollup": "ze09_time_rollup",
+    # admits c60_seed_cells (H1 polygon→cells seed, idempotent anti leg)
+    "e08_interval_join": "ze08_interval_join",
 }
 
 #: combined rename map for round-over-round joins (each round's

@@ -117,9 +117,9 @@ def test_cap_window_holds_only_oracle_queries():
     )
     # and the window boundary is where COVERAGE.md documents it
     # (r11: c51-c54 displaced q01/p08/p07/p04; r12: c55-c57 displaced
-    # p02/p05/m03; r13: c58/c59 displaced m01/e09 — all z-pushed,
-    # RENAMES_R11/RENAMES_R12/RENAMES_R13)
-    assert in_cap[0].startswith("c05") and in_cap[-1].startswith("e08"), in_cap[-1]
+    # p02/p05/m03; r13: c58/c59/c60 displaced m01/e09/e08 — all
+    # z-pushed, RENAMES_R11/RENAMES_R12/RENAMES_R13)
+    assert in_cap[0].startswith("c05") and in_cap[-1].startswith("e06"), in_cap[-1]
     for must_sign in (
         "c05_", "c18_", "c24_", "c25_",
         "c26_", "c27_", "c28_", "c29_", "c30_", "c31_", "c32_", "c33_",

@@ -282,7 +282,9 @@ def e07_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "e08_interval_join",
+    # z-pushed r13 (RENAMES_R13): admits c60_seed_cells into the
+    # driver window; driver-signed as e08 in every window r4-r12
+    "ze08_interval_join",
     f"""
     SELECT a.event_id, a.user_id,
            CAST(COUNT(b.event_id) AS BIGINT) AS n_follow,

@@ -272,3 +272,100 @@ def c56_grid_scan_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "results_last",
         "attempts",
     )
+
+
+# ---------------------------------------------------------------------------
+# c60 — H1 polygon→cells seed driver gate (r12 verdict item 2b)
+# ---------------------------------------------------------------------------
+
+#: disjoint city rectangles (x0, x1, y0, y1) = (lng, lng, lat, lat);
+#: bounds end in .xxx5 — every res-9 centroid is (i+0.5)·0.004, so the
+#: nearest centroid sits ≥ 5·10⁻⁴ degrees from any bound (the c56
+#: float discipline). metropolis starts at lng 0.0015 ON PURPOSE: the
+#: sf0.001 customer image is the single column (k, 0), so the seed's
+#: idempotent anti-join leg fires at EVERY SF only if column c=0
+#: (centroid lng 0.002) is inside a city.
+_C60_CITIES = {
+    "metropolis": (0.0015, 0.4195, 0.0515, 0.3085),
+    "gotham": (0.4515, 0.6395, 0.4515, 0.7085),
+}
+
+_SQL_C60_CITY_VALUES = ", ".join(
+    f"('{slug}', {x0}, {x1}, {y0}, {y1})"
+    for slug, (x0, x1, y0, y1) in _C60_CITIES.items()
+)
+
+_SQL_SEED_CELLS = f"""
+    WITH existing AS (
+        SELECT DISTINCT 'sq9_' || (c_custkey % {_N}) || '_'
+               || ((c_custkey // {_N}) % {_N}) AS h3
+        FROM customer
+    ),
+    cities(slug, x0, x1, y0, y1) AS (VALUES {_SQL_C60_CITY_VALUES}),
+    lattice AS (
+        SELECT ci.slug, r.r, c.c
+        FROM cities ci, generate_series(0, {_N - 1}) r(r),
+             generate_series(0, {_N - 1}) c(c)
+        WHERE (r.r + 0.5) * 0.004 > ci.y0 AND (r.r + 0.5) * 0.004 < ci.y1
+          AND (c.c + 0.5) * 0.004 > ci.x0 AND (c.c + 0.5) * 0.004 < ci.x1
+    )
+    SELECT 'sq9_' || r || '_' || c AS h3, slug AS city_slug, 9 AS res,
+           CAST(NULL AS VARCHAR) AS parent_h3, 'pending' AS status,
+           FALSE AS saturated, CAST(NULL AS BIGINT) AS last_scanned_s,
+           CAST(NULL AS BIGINT) AS next_due_s,
+           CAST(NULL AS BIGINT) AS results_last, CAST(0 AS BIGINT) AS attempts
+    FROM lattice l
+    WHERE NOT EXISTS (SELECT 1 FROM existing e
+                      WHERE e.h3 = 'sq9_' || l.r || '_' || l.c)
+"""
+
+
+@register(
+    "c60_seed_cells",
+    _SQL_SEED_CELLS,
+    doc="""H1 polygon→cells seed driver gate (r12 verdict item 2 —
+    the other spatial-family member with pytest-only verification;
+    reference ``scripts/h3_scheduler.py:80-163``). The c56 synthetic
+    device: two disjoint rectangle cities on the deterministic
+    square-grid provider's res-9 lattice, an existing-state frame
+    from the customer-key bijection (r, c) = (k % N, (k // N) % N).
+    Spark runs the REAL :func:`operators.grid.seed_cells` — the
+    ``cells_of_polygon`` pandas UDF (lattice scan + ray-cast per
+    candidate centroid) exploded per city, then the idempotent
+    left-anti against existing state; the DuckDB twin enumerates the
+    lattice relationally and anti-joins with NOT EXISTS. The anti leg
+    is load-bearing at every SF (64 / 512 / 4 800 metropolis cells
+    already exist at sf0.001/0.01/0.1 and must vanish from the hash);
+    gotham's block (c ≥ 113) sits wholly outside every SF's customer
+    image and must survive intact. Scale shape: the seeded frame is
+    city-polygon-grain (bounded), the anti-join's big side is the
+    EXISTING state (corpus-grain at planet scale) — exactly the
+    reference's seed-only-if-absent contract.""",
+)
+def c60_seed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.grid import seed_cells
+
+    cities = spark.createDataFrame(
+        [(slug, _city_geo(*b)) for slug, b in sorted(_C60_CITIES.items())],
+        "city_slug string, geometry string",
+    )
+    existing = read_table(spark, sf_dir, "customer").select(
+        F.format_string(
+            "sq9_%d_%d",
+            (F.col("c_custkey") % _N).cast("int"),
+            ((F.col("c_custkey") / _N).cast("long") % _N).cast("int"),
+        ).alias("h3")
+    )
+    seeded = seed_cells(cities, existing, res=9)
+    return seeded.select(
+        "h3",
+        "city_slug",
+        "res",
+        "parent_h3",
+        "status",
+        "saturated",
+        F.col("last_scanned_at").cast("long").alias("last_scanned_s"),
+        F.col("next_due_at").cast("long").alias("next_due_s"),
+        "results_last",
+        "attempts",
+    )
