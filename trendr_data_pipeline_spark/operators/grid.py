@@ -146,7 +146,18 @@ def seed_cells(cities: DataFrame, existing: DataFrame | None, res: int = 9) -> D
         F.lit(0).cast("long").alias("attempts"),
     )
     if existing is not None:
-        seeded = seeded.join(existing.select("h3"), "h3", "left_anti")
+        # 100 TB shape: ``existing`` is the corpus-grain state table
+        # while the seeded frame is city-polygon-grain (bounded). A
+        # direct left-anti would broadcast or shuffle the corpus side;
+        # instead semi-reduce existing by broadcasting the bounded
+        # seeded keys into its scan, then anti against the ≤|seeded|
+        # intersection — existing is scanned once, never shuffled,
+        # never broadcast (the c60 gate pins the semantics, this
+        # keeps the plan's big side stream-only).
+        hits = existing.select("h3").join(
+            F.broadcast(seeded.select("h3")), "h3", "left_semi"
+        )
+        seeded = seeded.join(F.broadcast(hits), "h3", "left_anti")
     return seeded
 
 

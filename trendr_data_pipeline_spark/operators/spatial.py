@@ -264,16 +264,21 @@ def radius_join(
     everywhere except near the poles."""
     lat_delta = radius_km / 111.32
     lng_delta = lat_delta / F.cos(F.radians(F.col(center_lat)))
+    dist = haversine_km(F.col(poi_lat), F.col(poi_lng), F.col(center_lat), F.col(center_lng))
+    # ONE join condition with the cheap bbox conjuncts FIRST: the BNL
+    # predicate short-circuits left to right, so the trig refine runs
+    # only on rows inside the rectangle (a post-join .filter gets
+    # pushed into the condition ahead of the bbox, inverting that)
     cand = pois.join(
         F.broadcast(centers),
         (F.col(poi_lat) >= F.col(center_lat) - lat_delta)
         & (F.col(poi_lat) <= F.col(center_lat) + lat_delta)
         & (F.col(poi_lng) >= F.col(center_lng) - lng_delta)
-        & (F.col(poi_lng) <= F.col(center_lng) + lng_delta),
+        & (F.col(poi_lng) <= F.col(center_lng) + lng_delta)
+        & (dist <= radius_km),
         "inner",
     )
-    dist = haversine_km(F.col(poi_lat), F.col(poi_lng), F.col(center_lat), F.col(center_lng))
-    return cand.withColumn("distance_km", dist).filter(F.col("distance_km") <= radius_km)
+    return cand.withColumn("distance_km", dist)
 
 
 # ---------------------------------------------------------------------------
