@@ -174,15 +174,74 @@ def main() -> int:
             sub_g = audit_line(f"  {name} ⊂ {label}", explain(sub))
             if sub_g and name not in GLOBAL_WINDOW_ALLOWLIST:
                 violations.append(f"{name}⊂{label}")
+    # standing skew probe (r12 verdict item 4): a planted 30 %-hot-key
+    # SMJ executed with data-scaled thresholds must be re-planned by
+    # AQE's skew handler — runtime evidence, like c53's pruning pin,
+    # because the decision never appears in a static explain. A Spark
+    # upgrade or session-conf drift that silently disables the skew
+    # path turns this line into a violation. Skipped when auditing a
+    # named subset (pass 'skewprobe' to force it).
+    if not only or "skewprobe" in only:
+        n = run_skew_probe(spark)
+        if n == 0:
+            violations.append("skewprobe:skewJoin=0")
     if violations:
         print(
-            f"GLOBAL-WINDOW VIOLATIONS ({len(violations)}): {violations} — "
-            "either repartition the window (two-phase bucket prefix, "
+            f"AUDIT VIOLATIONS ({len(violations)}): {violations} — "
+            "global windows: repartition (two-phase bucket prefix, "
             "packing.global_running_offsets) or document the cardinality "
-            "bound and add the query to GLOBAL_WINDOW_ALLOWLIST"
+            "bound in GLOBAL_WINDOW_ALLOWLIST; skewprobe: AQE skew "
+            "handling stopped activating (tests/test_skew.py pins the "
+            "same shape)"
         )
         return 1
     return 0
+
+
+def run_skew_probe(spark) -> int:
+    """Execute the tests/test_skew.py probe shape and print its
+    runtime counters; returns the skew-join activation count."""
+    from pyspark.sql import functions as F
+
+    keys = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001
+            saved[k] = None
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 3, 0)
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(200)))
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("pay"),
+        )
+        dim = spark.range(200).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = fact.join(dim, "k", "inner")
+        rows = len(j.collect())
+        plan = j._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        n_skew = plan.count("skew=true")
+        print(
+            f"skewprobe: skewJoin={n_skew} "
+            f"aqeShuffleRead={plan.count('AQEShuffleRead')} rows={rows}"
+        )
+        return n_skew
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 if __name__ == "__main__":
