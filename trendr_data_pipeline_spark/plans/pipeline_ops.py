@@ -628,6 +628,14 @@ def c57_near_dup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = os.path.join(root, "accepted")
     ckpt = os.path.join(root, "ck")
     os.makedirs(waves_dir)
+    # the returned frame lazily reads the staged target (driver/bench
+    # collect AFTER this returns), so the root can't be dropped here —
+    # but three bench reps × two SFs used to accumulate ~6 replay
+    # roots per process (r12 verdict finding): reclaim them at exit
+    import atexit
+    import functools
+
+    atexit.register(functools.partial(shutil.rmtree, root, ignore_errors=True))
 
     def write_wave(i: int, df: DataFrame) -> None:
         tmp = os.path.join(root, f"_w{i}")
