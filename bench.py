@@ -240,6 +240,10 @@ RENAMES_R13: dict[str, str] = {
     "e09_time_rollup": "ze09_time_rollup",
     # admits c60_seed_cells (H1 polygon→cells seed, idempotent anti leg)
     "e08_interval_join": "ze08_interval_join",
+    # admits c61_rescan_timeout_replay (SS7 event-time timeouts)
+    "e06_value_percentiles": "ze06_value_percentiles",
+    # admits c62_cadence_replay (SS5 cadence state across batches)
+    "e03_asof_last_purchase": "ze03_asof_last_purchase",
 }
 
 #: combined rename map for round-over-round joins (each round's
@@ -349,7 +353,9 @@ def main() -> None:
     harness = sorted(
         n
         for n in timings
-        if n.startswith(("c05_", "c18_", "c57_", "c58_", "zp02_", "zp08_"))
+        if n.startswith(
+            ("c05_", "c18_", "c57_", "c58_", "c61_", "c62_", "zp02_", "zp08_")
+        )
     )
     # one-time staging work (absorbed by the first rep, excluded from
     # the medians) — the staging/operator split, published: c38's

@@ -120,7 +120,9 @@ def e02_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "e03_asof_last_purchase",
+    # z-pushed r13 (RENAMES_R13): admits c62_cadence_replay into the
+    # driver window; driver-signed as e03 in every window r4-r12
+    "ze03_asof_last_purchase",
     """
     WITH marked AS (
         SELECT event_id, user_id, ts, event_type, value,
@@ -217,7 +219,9 @@ def e05_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "e06_value_percentiles",
+    # z-pushed r13 (RENAMES_R13): admits c61_rescan_timeout_replay into
+    # the driver window; driver-signed as e06 in every window r4-r12
+    "ze06_value_percentiles",
     """
     WITH ranked AS (
         SELECT event_type, value,

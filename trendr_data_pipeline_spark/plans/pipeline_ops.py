@@ -719,16 +719,10 @@ _c58_counter = 0
     prefix).""",
 )
 def c58_stateful_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
-    import os
-    import shutil
-    import tempfile
-
     from ..streaming.jobs import topn_dedup_stateful
 
     global _c58_counter
     _c58_counter += 1
-    name = f"c58_stateful_dedup_out_{_c58_counter}"
 
     ev = read_table(spark, sf_dir, "events")
     hours = F.col("event_id") % 40
@@ -738,10 +732,93 @@ def c58_stateful_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.timestamp_seconds(F.lit(_C58_T0) + hours * 3600).alias("ts"),
     )
-    w1 = planted.filter(hours < 20)
-    w2 = planted.filter(hours >= 20)
+    out = _replay_waves(
+        spark,
+        [planted.filter(hours < 20), planted.filter(hours >= 20)],
+        lambda s: topn_dedup_stateful(s, max_per_key=_C58_N),
+        "c58_dedup_",
+        f"c58_stateful_dedup_out_{_c58_counter}",
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.col("ts").cast("long").alias("ts_s"),
+    )
 
-    root = tempfile.mkdtemp(prefix="c58_dedup_")
+
+# ---------------------------------------------------------------------------
+# c61 — SS7 rescan-scheduler timeouts, driver-gated via the replay
+# device; c62 — SS5 cadence gate, same device (r12 verdict item 1's
+# "natural second leg", completing the stateful streaming trio)
+# ---------------------------------------------------------------------------
+
+_C61_T0 = 1_700_000_000
+_C61_T1 = _C61_T0 + 30 * 86_400  # wave 2: +30 d (past every wave-1 deadline)
+#: wave 3 sits ~28 h after wave 2's base — close enough that the final
+#: watermark (max ts − 1 h) stays BELOW every wave-2/3 deadline (+7 d),
+#: so no timeout beyond class A can ever fire, with or without
+#: trailing no-data micro-batches
+_C61_T3 = _C61_T1 + 100_000
+_C61_WEEK = 7 * 86_400
+_C61_M = 400  #: cell count cap (j = c_custkey % 400)
+
+_SQL_RESCAN_TIMEOUT = f"""
+    WITH cells AS (SELECT DISTINCT c_custkey % {_C61_M} AS j FROM customer),
+    all_scans AS (
+        SELECT j, 1 AS wave, {_C61_T0} + (j % 24) * 3600 AS ts_s,
+               (j * 13) % 100 AS res
+        FROM cells WHERE j % 4 IN (0, 1)
+        UNION ALL
+        SELECT j, 2, {_C61_T1} + (j % 24) * 3600, (j * 17) % 100
+        FROM cells WHERE j % 4 IN (1, 2)
+        UNION ALL
+        SELECT j, 3, {_C61_T3} + (j % 24) * 3600, (j * 19) % 100
+        FROM cells WHERE j % 4 = 3
+    ),
+    numbered AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY j ORDER BY wave) AS att
+        FROM all_scans
+    )
+    SELECT 'cell_' || j AS h3,
+           CASE WHEN res >= 60 THEN 'saturated' ELSE 'scanned' END AS status,
+           CAST(att AS BIGINT) AS attempts,
+           CAST(res AS BIGINT) AS results_last,
+           ts_s + {_C61_WEEK} AS next_due_s,
+           FALSE AS due
+    FROM numbered
+    UNION ALL
+    SELECT 'cell_' || j, 'due', CAST(1 AS BIGINT),
+           CAST((j * 13) % 100 AS BIGINT),
+           {_C61_T0} + (j % 24) * 3600 + {_C61_WEEK}, TRUE
+    FROM cells WHERE j % 4 = 0
+"""
+
+
+def _replay_waves(
+    spark: SparkSession,
+    waves: list[DataFrame],
+    build,
+    prefix: str,
+    name: str,
+    shuffle_partitions: str = "8",
+):
+    """The c57/c58 file-replay harness, shared by every stateful gate:
+    stage each wave as one parquet file, drive the streaming query
+    synchronously between writes (one micro-batch per wave + any
+    no-data timeout batches), return the memory-sink table.
+
+    ``shuffle_partitions`` is pinned around the query start (the
+    ``_replay_events`` posture): Spark fixes the state-store count at
+    the query's FIRST micro-batch, and 32 near-empty stores × several
+    batches × Python worker round-trips dominated the replay wall
+    time at fixture scale (c61 measured ~3× slower at 32)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix=prefix)
     waves_dir = os.path.join(root, "waves")
     ckpt = os.path.join(root, "ck")
     os.makedirs(waves_dir)
@@ -753,28 +830,166 @@ def c58_stateful_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.move(f, os.path.join(waves_dir, f"wave{i}.parquet"))
         shutil.rmtree(tmp)
 
-    stream = spark.readStream.schema(
-        "user_id long, event_type string, event_id long, ts timestamp"
-    ).parquet(waves_dir)
-    write_wave(1, w1)
-    q = (
-        topn_dedup_stateful(stream, max_per_key=_C58_N)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .start()
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in waves[0].schema.fields
     )
+    stream = spark.readStream.schema(schema).parquet(waves_dir)
+    write_wave(1, waves[0])
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        q.processAllAvailable()
-        write_wave(2, w2)
-        q.processAllAvailable()
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_partitions)
+        q = (
+            build(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            for i, w in enumerate(waves[1:], start=2):
+                write_wave(i, w)
+                q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     shutil.rmtree(root, ignore_errors=True)  # memory sink holds the rows
-    return spark.table(name).select(
+    return spark.table(name)
+
+
+_c61_counter = 0
+
+
+@register(
+    "c61_rescan_timeout_replay",
+    _SQL_RESCAN_TIMEOUT,
+    doc="""SS7 rescan scheduler, STATEFUL side driver-gated —
+    EVENT-TIME TIMEOUTS in the hash (reference h3_scheduler.py's
+    ``next_due_at <= now`` poll, :516-526, push-based; the
+    applyInPandasWithState timer verified by pytest only through
+    r12). Three planted waves of scan results over cells from
+    customer keys: class A (j%4=0) scanned only in wave 1 — its
+    7-day deadline passes the watermark once wave 2 (+30 d) arrives,
+    so the TIMEOUT must fire exactly once, emitting the 'due' row
+    with the frozen wave-1 state and removing the key; class B
+    (j%4=1) is rescanned in wave 2, so its attempts counter must
+    carry across the batch boundary (emits attempts=2) AND its
+    re-armed deadline must suppress the timeout; wave 3 sits 28 h
+    after wave 2 so the final watermark can never reach any
+    remaining deadline — the due set is exactly class A regardless
+    of trailing no-data micro-batches. A state reset, a lost timer,
+    a timer that fires despite re-arming, or a duplicate fire each
+    break rows+hash. Replay harness query (bench-tagged via the c61
+    prefix).""",
+)
+def c61_rescan_timeout_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import rescan_scheduler
+
+    global _c61_counter
+    _c61_counter += 1
+
+    cells = (
+        read_table(spark, sf_dir, "customer")
+        .select((F.col("c_custkey") % _C61_M).alias("j"))
+        .distinct()
+    )
+    j = F.col("j")
+
+    def wave(base: int, mul: int, mods: list[int]) -> DataFrame:
+        return cells.filter((j % 4).isin(mods)).select(
+            F.concat(F.lit("cell_"), j.cast("string")).alias("h3"),
+            ((j * mul) % 100).cast("long").alias("results"),
+            F.timestamp_seconds(F.lit(base) + (j % 24) * 3600).alias("ts"),
+        )
+
+    out = _replay_waves(
+        spark,
+        [
+            wave(_C61_T0, 13, [0, 1]),
+            wave(_C61_T1, 17, [1, 2]),
+            wave(_C61_T3, 19, [3]),
+        ],
+        lambda s: rescan_scheduler(s, rescan_days=7.0, scan_cap=60),
+        "c61_rescan_",
+        f"c61_rescan_out_{_c61_counter}",
+    )
+    return out.select(
+        "h3",
+        "status",
+        "attempts",
+        "results_last",
+        F.col("next_due_at").cast("long").alias("next_due_s"),
+        "due",
+    )
+
+
+_C62_T0 = 1_700_000_000
+_C62_STEP = 4 * 86_400  #: 4-day event spacing vs the 7-day cadence
+
+_SQL_CADENCE_REPLAY = f"""
+    WITH m AS (
+        SELECT event_id, event_id // 10 AS k, event_id % 10 AS n
+        FROM events
+    )
+    SELECT k AS user_id, 'cad' AS event_type, event_id,
+           {_C62_T0} + (k % 1440) * 60 + n * {_C62_STEP} AS ts_s,
+           (event_id % 97) / 10.0 AS value
+    FROM m WHERE n % 2 = 0
+"""
+
+_c62_counter = 0
+
+
+@register(
+    "c62_cadence_replay",
+    _SQL_CADENCE_REPLAY,
+    doc="""SS5 cadence-gated append, STATEFUL side driver-gated (the
+    reference's ≥7-day rating-snapshot cadence,
+    google_places_ingester.py:516-555; applyInPandasWithState
+    last-emitted-ts state verified by pytest only through r12). The
+    planted corpus makes the sequential greedy chain ARITHMETIC: each
+    key (event_id // 10) carries ten events at exact 4-day spacing,
+    so the ≥7-day gate emits exactly the even sequence positions
+    (0, 2, 4, 6, 8 — every second event, 8-day effective cadence).
+    The two waves split each key's chain at n=5: wave 2 opens with an
+    ODD position whose gap to the last wave-1 emission (n=4) is only
+    4 days, so a state reset at the batch boundary admits it and
+    breaks rows+hash — the cross-batch last-emitted timestamp is
+    load-bearing for every key. Per-key minute offsets (k % 1440)
+    keep all waves inside the 30-day watermark at every SF. Replay
+    harness query (bench-tagged via the c62 prefix).""",
+)
+def c62_cadence_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import cadence_gated_append
+
+    global _c62_counter
+    _c62_counter += 1
+
+    ev = read_table(spark, sf_dir, "events")
+    k = (F.col("event_id") / 10).cast("long")
+    n = F.col("event_id") % 10
+    planted = ev.select(
+        k.alias("user_id"),
+        F.lit("cad").alias("event_type"),
+        "event_id",
+        F.timestamp_seconds(
+            F.lit(_C62_T0) + (k % 1440) * 60 + n * _C62_STEP
+        ).alias("ts"),
+        ((F.col("event_id") % 97) / 10.0).alias("value"),
+    )
+    out = _replay_waves(
+        spark,
+        [planted.filter(n < 5), planted.filter(n >= 5)],
+        lambda s: cadence_gated_append(s, interval_days=7.0),
+        "c62_cadence_",
+        f"c62_cadence_out_{_c62_counter}",
+    )
+    return out.select(
         "user_id",
         "event_type",
         "event_id",
         F.col("ts").cast("long").alias("ts_s"),
+        "value",
     )
