@@ -738,6 +738,9 @@ def c58_stateful_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s: topn_dedup_stateful(s, max_per_key=_C58_N),
         "c58_dedup_",
         f"c58_stateful_dedup_out_{_c58_counter}",
+        # state stores sized to key cardinality (7.5k keys at sf0.1):
+        # measured 28.7/9.4/6.1 s at 8/16/32 — parallelism wins here
+        shuffle_partitions="32",
     )
     return out.select(
         "user_id",
@@ -914,6 +917,9 @@ def c61_rescan_timeout_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s: rescan_scheduler(s, rescan_days=7.0, scan_cap=60),
         "c61_rescan_",
         f"c61_rescan_out_{_c61_counter}",
+        # ≤400 cells but 3 data + no-data timeout batches: store count
+        # dominates (measured 6.4 s at 16 vs 9.7 at 32, 35 s unpinned)
+        shuffle_partitions="16",
     )
     return out.select(
         "h3",
@@ -985,6 +991,9 @@ def c62_cadence_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s: cadence_gated_append(s, interval_days=7.0),
         "c62_cadence_",
         f"c62_cadence_out_{_c62_counter}",
+        # 10k keys at sf0.1 and a per-key Python loop in the state fn:
+        # parallelism wins (measured 17.2/9.7/7.1 s at 8/16/32)
+        shuffle_partitions="32",
     )
     return out.select(
         "user_id",
