@@ -3,9 +3,15 @@ the streaming surface exposed through the driver contract, plus the
 remaining small-operator coverage (F1/U3 allowlists, A12 keyword
 trends).
 
-The mention pipeline and streaming jobs are rows-only checks (difflib
-UDFs and streaming replay are not ANSI-SQL-expressible); their
-semantics are pinned by the pytest oracles instead.
+The mention pipeline stays a rows-only check (difflib UDFs are not
+ANSI-SQL-expressible; pytest pins its per-component semantics). The
+streaming surface graduated in stages: windowed/aggregating jobs
+replay against SQL twins (c05/c18), and since r12/r13 the STATEFUL
+jobs are oracle-gated too, via planted waves whose deterministic
+arithmetic makes the state machine SQL-replayable — c57 (foreachBatch
+near-dup screen), c58 (≤N-per-key dedup counters), c61 (event-time
+rescan timeouts), c62 (cadence last-emitted state); see each gate's
+docstring for what its device makes load-bearing.
 """
 
 from __future__ import annotations
