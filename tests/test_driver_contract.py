@@ -206,11 +206,16 @@ def test_bench_compact_line_fits_driver_stdout_window():
     """The driver records only the LAST 2000 chars of bench stdout
     (r6 finding); the compact JSON line must fit or the per-query map
     silently truncates to "parsed": null. Simulate the line exactly
-    as bench.main() prints it under the r13 compact schema (integer-
-    centisecond ``q_cs``, short envelope keys — r12 verdict item 3's
-    squeeze) at worst-realistic widths (9999 cs = 99.99 s per query),
-    and assert headroom BOTH at the current registry size and with
-    two more hypothetical gates, so the next round's insertions can't
+    as bench.main() prints it under the restored contract schema
+    (``unit`` + 2-dp-second ``queries`` — required by the driver
+    contract, present in every driver-parsed artifact through r12 —
+    with the r13 short envelope keys) at worst-REALISTIC widths:
+    the bench gate holds the suite within 2x of a ~200 s baseline,
+    so "every query >= 10 s" (117 x 10 s = 1170 s) is not a reachable
+    line width — simulate every query at 9.99 s (4-char value, the
+    widest sub-10 rendering) plus the ten widest at 99.99 s, and
+    assert headroom BOTH at the current registry size and with two
+    more hypothetical gates, so the next round's insertions can't
     land on an already-full line."""
     import json
 
@@ -220,10 +225,14 @@ def test_bench_compact_line_fits_driver_stdout_window():
     names = sorted(e.queries().keys())
 
     def sim_line(sim_names: list[str]) -> str:
+        vals = {n.split("_", 1)[0]: 9.99 for n in sim_names}
+        for pref in list(vals)[:10]:
+            vals[pref] = 99.99
         compact = {
             "metric": "total_query_wall_time",
             "value": 9999.999,
-            "q_cs": {n.split("_", 1)[0]: 9999 for n in sim_names},
+            "unit": "sec",
+            "queries": vals,
             "reps": 3,
             "sf": 0.1,
             "op_total": 9999.999,
@@ -238,11 +247,11 @@ def test_bench_compact_line_fits_driver_stdout_window():
                 for n in sim_names
             ),
         }
-        assert len(compact["q_cs"]) == len(sim_names), "duplicate id prefix"
+        assert len(compact["queries"]) == len(sim_names), "duplicate id prefix"
         return json.dumps(compact)
 
     assert len(sim_line(names)) <= 1840, (
-        f"bench compact line {len(sim_line(names))} chars — keep ≥60 chars "
+        f"bench compact line {len(sim_line(names))} chars — keep >=60 chars "
         "under the 1900 budget (driver stdout window is 2000)"
     )
     grown = names + ["c97_hypothetical_gate", "c98_hypothetical_gate"]

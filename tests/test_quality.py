@@ -318,4 +318,5 @@ def test_grouped_quantile_rank_hand_built(spark):
     assert {r["q_bucket"] for r in got if r["source"] == "b"} == {0}
     # top-decile-per-source selection keeps ~10% of each group
     top = [r for r in got if r["source"] == "a" and r["q_bucket"] >= 9]
-    assert [r["quality"] for r in top] == [19.0, 20.0]
+    # sorted: collect() row order is partition-scheduling-dependent
+    assert sorted(r["quality"] for r in top) == [19.0, 20.0]
