@@ -21,3 +21,11 @@ Package map
 """
 
 __version__ = "0.1.0"
+
+# allocator tuning at import: covers the driver AND every PySpark
+# worker (workers import the package when unpickling UDFs) — see
+# _malloctune's measured rationale; no-op off glibc, env-overridable
+from . import _malloctune as _mt
+
+_mt.tune_malloc()
+del _mt

@@ -32,6 +32,14 @@ def get_spark(app_name: str = "trendr-spark", cpus: str | int | None = None) -> 
     - UTC timezone so timestamp semantics match the DuckDB oracle.
     """
     n = str(cpus or _DEF_CPUS)
+    # allocator env for the JVM we are about to launch (and thus the
+    # Python workers it spawns): same rationale/values as
+    # _malloctune.tune_malloc (which covers processes already running);
+    # glibc reads these at process start
+    thresh = os.environ.get("SPARK_GRAFT_MALLOC_THRESHOLD", str(256 * 1024 * 1024))
+    if thresh != "0":
+        os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", thresh)
+        os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", thresh)
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
