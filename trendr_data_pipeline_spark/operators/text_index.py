@@ -274,14 +274,20 @@ def minhash_probe(
         .select("id_a", stored["doc_id"].alias("id_b"))
         .distinct()
     )
+    # verify on xxhash64-long arrays (r13, guide §2.3): intersect
+    # cardinality — all the Jaccard below reads — is hash-invariant,
+    # and long-array intersects skip per-element string work (see
+    # operators.dedup.hashed_toks for the collision argument)
+    from .dedup import hashed_toks
+
     toks_b = spark.read.parquet(os.path.join(root, "data", "toks")).select(
         F.col("doc_id").alias("id_b"),
-        F.col("toks").alias("toks_b"),
+        hashed_toks("toks").alias("toks_b"),
         F.col("size").alias("size_b"),
     )
     toks_a = sig.select(
         F.col("doc_id").alias("id_a"),
-        F.col("toks").alias("toks_a"),
+        hashed_toks("toks").alias("toks_a"),
         F.col("size").alias("size_a"),
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
@@ -421,18 +427,97 @@ def apply_snapshot_diff_to_index(
     to a fresh build over v2 (tests/test_text_index.py).
 
     Remove-then-extend order matters for modified docs, and the
-    extend runs with ``skip_existing=True`` so the verb is REPLAY
+    extend skips already-indexed non-doomed ids so the verb is REPLAY
     SAFE (review finding): re-running the same diff — or resuming
-    after a crash between the remove swap and the extend swap — must
-    not re-append ``added`` docs that are already indexed (duplicate
-    band/tok rows would make probes emit duplicate pairs). Modified
-    docs still re-add because their stale rows are gone by the time
-    the anti-join evaluates; already-applied added docs are skipped.
-    Idempotency is pytest-pinned (double-apply == single-apply)."""
-    doomed = diff.filter(F.col("status").isin("removed", "modified")).select(id_col)
-    remove_from_minhash_index(doomed, index_dir, id_col=id_col)
+    after a crash — must not re-append ``added`` docs that are
+    already indexed (duplicate band/tok rows would make probes emit
+    duplicate pairs). Modified docs still re-add because their stale
+    rows are excluded from the "existing" set. Idempotency is
+    pytest-pinned (double-apply == single-apply).
+
+    r13 optimization (guide §1.2 fewer passes / §5 driver work): the
+    refresh publishes through ONE guarded atomic swap instead of the
+    old remove-swap + extend-swap pair — one heal, one link-tree, one
+    conflict-guard listing, and both subtree rewrites and both new-row
+    stagings inside a single build. Row-level semantics are identical
+    (the old path's "existing" anti-join ran after the remove swap,
+    i.e. against current-minus-doomed ids — reproduced literally
+    below), and crash atomicity is strictly better: the old
+    crash-between-swaps intermediate state (doomed removed, fresh not
+    yet appended) can no longer be published."""
+    from urllib.parse import unquote, urlparse
+
+    spark = diff.sparkSession
+    _root, meta = _load_meta(spark, index_dir, heal=True)
+    doomed = (
+        diff.filter(F.col("status").isin("removed", "modified"))
+        .select(_long_id(F.col(id_col), "apply_snapshot_diff").alias("_rm_id"))
+        .distinct()
+    )
     changed = diff.filter(F.col("status").isin("added", "modified")).select(id_col)
     fresh = new_snapshot.join(changed, id_col, "left_semi")
-    extend_minhash_index(
-        fresh, index_dir, id_col=id_col, text_col=text_col, skip_existing=True
+    sig = _sign(
+        fresh, meta["tokenizer"], meta["n_hashes"], meta["bands"], id_col, text_col
     )
+    # "existing" = currently indexed ids minus the doomed set — exactly
+    # what the old extend-after-remove anti-joined against
+    toks_root = os.path.join(index_dir, "data", "toks")
+    bands_root = os.path.join(index_dir, "data", "bands")
+    existing = (
+        spark.read.parquet(toks_root)
+        .select("doc_id")
+        .join(doomed, F.col("doc_id") == F.col("_rm_id"), "left_anti")
+    )
+    sig = sig.join(existing, "doc_id", "left_anti")
+    from ..plan_debug import note_subtree
+
+    sig = note_subtree("text_index.refresh_sig", sig).localCheckpoint(eager=True)
+
+    # file discovery for the doomed rewrite: both subtrees in ONE job
+    # (the id column is all the semi-join needs; union the pruned scans)
+    stored_ids = (
+        spark.read.parquet(bands_root)
+        .select("doc_id", F.input_file_name().alias("_f"))
+        .unionByName(
+            spark.read.parquet(toks_root).select(
+                "doc_id", F.input_file_name().alias("_f")
+            )
+        )
+    )
+    hit_files = [
+        unquote(urlparse(r["_f"]).path)
+        for r in stored_ids.join(
+            doomed, F.col("doc_id") == F.col("_rm_id"), "left_semi"
+        )
+        .select("_f")
+        .distinct()
+        .collect()
+    ]
+    have_new = not sig.isEmpty()
+    if not hit_files and not have_new:
+        # nothing to delete, nothing genuinely new: TRUE no-op — no
+        # swap, inodes untouched (both old verbs' no-op contract)
+        return
+    by_dir: dict[str, list[str]] = {}
+    for p in hit_files:
+        by_dir.setdefault(os.path.dirname(p), []).append(p)
+
+    def build(tmp: str) -> None:
+        _link_tree(index_dir, tmp)
+        for d, files in by_dir.items():
+            out = os.path.join(tmp, os.path.relpath(d, index_dir))
+            for p in files:
+                base = os.path.basename(p)
+                for name in (base, f".{base}.crc"):
+                    linked = os.path.join(out, name)
+                    if os.path.exists(linked):
+                        os.remove(linked)
+            survivors = spark.read.parquet(*sorted(files)).join(
+                doomed, F.col("doc_id") == F.col("_rm_id"), "left_anti"
+            )
+            _stage_files(survivors.coalesce(1), out)
+        if have_new:
+            _stage_files(_band_rows(sig), os.path.join(tmp, "data", "bands"))
+            _stage_files(_tok_rows(sig), os.path.join(tmp, "data", "toks"))
+
+    _atomic_write(index_dir, _guarded_parts(index_dir, build))
