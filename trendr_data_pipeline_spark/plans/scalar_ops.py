@@ -80,8 +80,12 @@ def s01_flexible_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     (published_at, confidence, method — date_enricher.py:42-77) on the
     same orders grain."""
     from ..functions.dates import date_hierarchy
+    from ..io import spread
 
-    o = read_table(spark, sf_dir, "orders")
+    # the try_to_timestamp ladder evaluates 4+ parse attempts per row;
+    # a single-row-group input would run the whole ladder on one core
+    # (r13, guide §2.5 input skew) — spread is a no-op on real layouts
+    o = spread(read_table(spark, sf_dir, "orders"))
     month_arr = F.array(*[F.lit(m) for m in _MONTH_ABBR])
     d, m, y = F.dayofmonth("o_orderdate"), F.month("o_orderdate"), F.year("o_orderdate")
     raw = (
@@ -228,10 +232,14 @@ def s02_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Spark side (resolve_source preserves its input columns, so the
     URL-function columns ride through the resolution joins)."""
     from ..functions.text import apex_domain
+    from ..io import spread
     from ..operators.mentions import resolve_source
     from ..schemas import DOMAIN
 
-    o = read_table(spark, sf_dir, "orders")
+    # URL synthesis + normalize/apex regex chain per row — same
+    # single-row-group parallelization note as s01 (spread: no-op on
+    # properly laid-out inputs)
+    o = spread(read_table(spark, sf_dir, "orders"))
     url = F.concat(
         F.lit("https://www.blog"),
         (F.col("o_orderkey") % 7).cast("string"),
