@@ -421,14 +421,21 @@ def jaccard_topk_join(
     Returns (id_a, id_b, jaccard, rk) — id_a from incoming.
     """
     tokset = tokset_fn or token_set
+    # default word tokens explode as STRINGS; hash them to longs first
+    # (one vectorized transform per doc) so the freq agg, the hot-token
+    # routing and the pair equi-join all key on 8-byte longs — every
+    # downstream use is equality/cardinality-only, so results are
+    # unchanged (hashed_toks collision argument). tokset_fn overrides
+    # (d05's shingle_hashes) already emit longs and skip the rehash.
+    setrep = (lambda c: hashed_toks(tokset(c))) if tokset_fn is None else tokset
     ta = (
-        incoming.select(F.col(id_col).alias("id_a"), tokset(F.col(text_col)).alias("toks"))
+        incoming.select(F.col(id_col).alias("id_a"), setrep(F.col(text_col)).alias("toks"))
         .filter(F.size("toks") > 0)
         .select("id_a", F.size("toks").alias("size_a"), F.explode("toks").alias("token"))
     )
     tb = (
         spread(corpus)
-        .select(F.col(id_col).alias("id_b"), tokset(F.col(text_col)).alias("toks"))
+        .select(F.col(id_col).alias("id_b"), setrep(F.col(text_col)).alias("toks"))
         .filter(F.size("toks") > 0)
         .select("id_b", F.size("toks").alias("size_b"), F.explode("toks").alias("token"))
     )
