@@ -740,6 +740,24 @@ def _file_key_ranges(paths: list[str], key: str) -> list[tuple[str, object, obje
     return out
 
 
+def _materialize_batch(label: str, df: DataFrame) -> DataFrame:
+    """Materialize a micro-batch-grain frame ONCE before a sink body
+    that drives several actions over it. ``_pruned_bucket_upsert``
+    runs two actions on its input (the affected-keys ``collect`` and
+    the merged write), so a batch frame with an expensive upstream —
+    c57's LSH screen is two sketch joins over corpus ∪ accepted —
+    would otherwise recompute that upstream per action. The frame is
+    bounded by the micro-batch size (same order as the checkpoint
+    state the stream already carries), so the eager localCheckpoint
+    stores a few thousand narrow rows; storage is ContextCleaner-
+    managed and freed when the batch's frames are dropped. Routed
+    through :func:`~..plan_debug.note_subtree` so the pre-checkpoint
+    subtree stays visible to tools/plan_audit.py."""
+    from ..plan_debug import note_subtree
+
+    return note_subtree(label, df).localCheckpoint(eager=True)
+
+
 def _pruned_bucket_upsert(
     batch_part: DataFrame,
     target_dir: str,
@@ -1015,20 +1033,23 @@ def near_dup_screen_stream(
 
     Composition of gated machinery, per batch:
 
-    1. :func:`~..operators.similarity.embedding_near_dup_join` with
-       the small batch BROADCAST against the big reference side
-       (base corpus ∪ current target) — the asymmetric d06 shape, so
-       the reference side never shuffles;
+    1. ONE :func:`~..operators.similarity.embedding_near_dup_join`
+       with the small batch BROADCAST against the big tagged
+       reference side (base corpus ∪ current target ∪ the batch
+       itself, ``_self`` passthrough tag) — the asymmetric d06 shape,
+       so the reference side never shuffles, and the self-pair leg
+       shares the join instead of running a second one;
     2. rows with any match ≥ ``threshold`` are dropped (anti-join on
-       the pair frame's id_a);
-    3. survivors upsert through the bucket-partitioned merge layout
-       (same per-bucket crash-safe swap as
-       :func:`partitioned_merge_sink` — O(affected buckets) per
-       batch).
+       the pair frame's id_a; ``_self`` pairs count only in the
+       lower-id-survives orientation);
+    3. survivors are materialized ONCE (micro-batch grain) and upsert
+       through the bucket-partitioned merge layout (same per-bucket
+       crash-safe swap as :func:`partitioned_merge_sink` —
+       O(affected buckets) per batch).
 
     Within-batch duplicates: the self-pairs of the batch are screened
-    too (batch ∪ reference on the corpus side), keeping the LOWER id
-    of a colliding pair — deterministic under replay, so checkpoint
+    via the ``_self`` reference leg, keeping the LOWER id of a
+    colliding pair — deterministic under replay, so checkpoint
     recovery converges (pinned in tests/test_streaming.py).
 
     Returns the started StreamingQuery."""
@@ -1053,22 +1074,49 @@ def near_dup_screen_stream(
             else batch.limit(0)
         )
         # reference side = base corpus ∪ accepted ∪ the batch itself
-        # (self-screen keeps the lower id of a within-batch pair)
-        reference = corpus.select(id_col, vec_col).unionByName(
-            accepted.select(id_col, vec_col)
-        )
-        pairs_ref = embedding_near_dup_join(
-            batch, reference, threshold, id_col, vec_col, dim=dim
-        ).select(F.col("id_a").alias(id_col))
-        pairs_self = (
-            embedding_near_dup_join(
-                batch, batch, threshold, id_col, vec_col, dim=dim
+        # (self-screen keeps the lower id of a within-batch pair) —
+        # ONE tagged sketch join instead of one per reference class:
+        # the `_self` passthrough tag lets the batch-peer keep rule
+        # (lower id survives) apply after the shared join, so the
+        # batch is sketched once and there is a single broadcast/
+        # join/distinct per micro-batch instead of two of each.
+        # Orientation semantics are unchanged: q_id != c_id inside
+        # the join still excludes a row from pairing with its own id
+        # in ANY class (a redelivered id never self-matches against
+        # its accepted copy — exactly the two-join behavior), and
+        # within-batch identical-id copies still both survive.
+        reference = (
+            corpus.select(id_col, vec_col)
+            .withColumn("_self", F.lit(False))
+            .unionByName(
+                accepted.select(id_col, vec_col).withColumn(
+                    "_self", F.lit(False)
+                )
             )
-            .filter(F.col("id_a") > F.col("id_b"))
-            .select(F.col("id_a").alias(id_col))
+            .unionByName(
+                batch.select(id_col, vec_col).withColumn("_self", F.lit(True))
+            )
         )
-        dupes = pairs_ref.unionByName(pairs_self).distinct()
-        survivors = batch.join(dupes, id_col, "left_anti")
+        pairs = embedding_near_dup_join(
+            batch,
+            reference,
+            threshold,
+            id_col,
+            vec_col,
+            dim=dim,
+            corpus_extra_cols=("_self",),
+        )
+        dupes = (
+            pairs.filter((~F.col("_self")) | (F.col("id_a") > F.col("id_b")))
+            .select(F.col("id_a").alias(id_col))
+            .distinct()
+        )
+        # one evaluation of the screen per batch: the upsert below
+        # drives TWO actions over its input (keys collect + write),
+        # which would re-run both sketch joins without this
+        survivors = _materialize_batch(
+            "near_dup_screen.survivors", batch.join(dupes, id_col, "left_anti")
+        )
         # shared file-pruned upsert (within-batch dup copies are
         # still window-deduped there: an at-least-once source can
         # deliver the same vec_id twice in one batch, and self-pairs
