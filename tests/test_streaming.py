@@ -1629,3 +1629,63 @@ def test_nightly_ops_recipe_two_days_with_missed_slot(spark, tmp_path):
         for r in spark.read.parquet(quota_out).collect()
     }
     assert got_q == want_q
+
+
+def test_near_dup_screen_redelivered_id(spark, tmp_path):
+    """r13-opt O7 pin: the single tagged-reference join preserves the
+    two-join semantics on the redelivery edge — an id present in BOTH
+    the batch and the accepted target never matches its own accepted
+    copy (q_id != c_id applies across reference classes), while a
+    lower-id batch peer near-dup still screens both it and itself
+    against the accepted copy. wave2 redelivers accepted id 100
+    alongside id 50 = near(100): 50 drops (matches ACCEPTED 100
+    unconditionally, despite 50 < 100), the redelivered 100 drops
+    (lower-id batch peer 50 is a near-dup), and the target keeps
+    exactly the wave-1 row."""
+    import glob as g
+    import shutil as sh
+
+    import numpy as np
+
+    from trendr_data_pipeline_spark.streaming.jobs import near_dup_screen_stream
+
+    r = np.random.RandomState(99)
+    v100 = r.randn(64)
+    v100 = v100 / np.linalg.norm(v100)
+    v50 = v100 + 1e-4 * np.random.RandomState(7).randn(64)
+    v50 = v50 / np.linalg.norm(v50)
+    base = r.randn(64)
+    base = base / np.linalg.norm(base)
+
+    def frame(d):
+        return spark.createDataFrame(
+            [(int(i), [float(x) for x in vec]) for i, vec in sorted(d.items())],
+            "vec_id long, embedding array<double>",
+        )
+
+    corpus = frame({1: base})
+    waves = str(tmp_path / "waves")
+    os.makedirs(waves)
+    target = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ck")
+
+    def write_wave(i, d):
+        frame(d).coalesce(1).write.parquet(f"{waves}/w{i}")
+        for f in g.glob(f"{waves}/w{i}/*.parquet"):
+            sh.move(f, f"{waves}/wave{i}.parquet")
+        sh.rmtree(f"{waves}/w{i}")
+
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(waves)
+    write_wave(1, {100: v100})
+    q = near_dup_screen_stream(stream, corpus, target, ckpt, threshold=0.99, buckets=4)
+    try:
+        q.processAllAvailable()
+        write_wave(2, {100: v100, 50: v50})
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["vec_id"] for r in spark.read.parquet(target + "/bucket=*").collect()}
+    assert got == {100}, sorted(got)
