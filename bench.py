@@ -424,6 +424,13 @@ def main() -> None:
         # min-vs-median note above
         "queries_min": timings_min,
         "renames": RENAMES,
+        # r14 (verdict item 4): the r13 driver's 8-core run silently
+        # clobbered BENCH_local_latest.json and tools/bench_diff.py
+        # compared across core counts without noticing. Stamp the core
+        # count (and a record schema version) into the local record so
+        # the diff tool can refuse cross-cpu joins.
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "record_schema": 2,
     }
     # full-name record for humans and the judge (the driver's stdout
     # window is 2000 chars — see module docstring)

@@ -92,6 +92,32 @@ def test_bench_diff_loads_r13_compact_schema(tmp_path):
     assert amb is not None and amb[2] > 0
 
 
+def test_bench_diff_refuses_cross_cpu_join(tmp_path):
+    """r14 (r13 verdict item 4): the driver's 8-core run clobbered
+    BENCH_local_latest.json and the diff tool silently compared across
+    core counts. Records stamped with ``cpus`` must refuse the join
+    unless --allow-cross-cpu is passed; unstamped (pre-r14) records
+    still load with a notice."""
+    from tools.bench_diff import _registry_prefix_map, cpus_guard, load_artifact
+
+    pm = _registry_prefix_map()
+    a32 = {"queries": {"c05_streaming_interval_join": 2.0}, "cpus": 32}
+    a8 = {"queries": {"c05_streaming_interval_join": 4.0}, "cpus": 8}
+    legacy = {"queries": {"c05_streaming_interval_join": 3.0}}
+    # driver envelope carries cpus at the top level — must survive unwrap
+    env = {"n": 13, "cpus": 8, "tail": "…", "parsed": {"queries": {"c05": 4.0}}}
+    p = tmp_path / "env.json"
+    p.write_text(json.dumps(env))
+    assert load_artifact(str(p), pm)["cpus"] == 8
+    # mismatched stamps refuse; --allow-cross-cpu overrides; equal pass
+    assert cpus_guard(a32, a8, allow=False) is not None
+    assert cpus_guard(a32, a8, allow=True) is None
+    assert cpus_guard(a32, dict(a32), allow=False) is None
+    # missing stamp on either side degrades to a notice, not a refusal
+    assert cpus_guard(a32, legacy, allow=False) is None
+    assert cpus_guard(legacy, a8, allow=False) is None
+
+
 def test_bench_diff_reads_committed_artifacts():
     """The exact invocation the r11 judge hit: both committed driver
     artifacts load, the r10 side lacking ambient_index degrades to

@@ -63,7 +63,11 @@ def load_artifact(path: str, prefix_map: dict[str, str]) -> dict:
     if not ("queries" in data or "q_cs" in data) and isinstance(
         data.get("parsed"), dict
     ):
+        envelope_cpus = data.get("cpus")
         data = data["parsed"]
+        if envelope_cpus is not None and "cpus" not in data:
+            data = dict(data)
+            data["cpus"] = envelope_cpus
     if data.get("parsed") is None and "queries" not in data and "q_cs" not in data:
         raise SystemExit(
             f"{path}: no per-query map (driver artifact with 'parsed': null — "
@@ -108,15 +112,53 @@ def ambient_ratio(old: dict, new: dict) -> tuple[float, float, float] | None:
     return rs, rq, (rs * rq) ** 0.5
 
 
+def cpus_guard(old: dict, new: dict, allow: bool) -> str | None:
+    """r14 (verdict item 4): the r13 driver's 8-core run clobbered
+    BENCH_local_latest.json and this tool silently compared a 32-core
+    artifact against an 8-core one. Records stamped with ``cpus``
+    (bench.py record_schema>=2; driver artifacts carry a top-level
+    ``cpus`` too) are now REFUSED when they differ, unless
+    ``--allow-cross-cpu`` is passed. Returns an error string to abort
+    with, or None to proceed (a warning is printed when either side
+    lacks the stamp)."""
+    c_old, c_new = old.get("cpus"), new.get("cpus")
+    if c_old is not None and c_new is not None and c_old != c_new:
+        msg = (
+            f"core-count mismatch: old cpus={c_old}, new cpus={c_new} — "
+            "per-query ratios across core counts measure scheduling, not "
+            "code. Pass --allow-cross-cpu to compare anyway."
+        )
+        if allow:
+            print(f"WARNING (overridden): {msg}")
+            return None
+        return msg
+    if c_old is None or c_new is None:
+        print(
+            "note: cpus stamp missing from "
+            + ", ".join(
+                n for n, c in (("old", c_old), ("new", c_new)) if c is None
+            )
+            + " artifact (pre-r14 schema) — cross-cpu comparison undetectable"
+        )
+    return None
+
+
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--normalize"]
+    argv = [
+        a for a in sys.argv[1:] if a not in ("--normalize", "--allow-cross-cpu")
+    ]
     normalize = "--normalize" in sys.argv[1:]
+    allow_cross_cpu = "--allow-cross-cpu" in sys.argv[1:]
     if len(argv) != 2:
         print(__doc__)
         return 2
     prefix_map = _registry_prefix_map()
     old = load_artifact(argv[0], prefix_map)
     new = load_artifact(argv[1], prefix_map)
+    err = cpus_guard(old, new, allow_cross_cpu)
+    if err:
+        print(f"REFUSED: {err}")
+        return 3
     renames = new.get("renames") or {}
     oldq, newq = old["queries"], new["queries"]
     rows = []
