@@ -304,6 +304,16 @@ def embedding_near_dup_join(
     """
     from ..io import spread
 
+    # extras must not collide with the join's internal column names
+    # (r13 ADVICE: a caller passing one of these would get an
+    # ambiguous-column error or a silently wrong select downstream)
+    _reserved = {"tbl", "bucket", "q_id", "c_id", "q_v", "c_v", "id_a", "id_b", "_cos", "cosine_sim"}
+    bad = _reserved.intersection(corpus_extra_cols)
+    if bad:
+        raise ValueError(
+            f"corpus_extra_cols collides with internal names: {sorted(bad)}"
+        )
+
     sketch = _sketch_all_tables(dim, bits, tables)
 
     def sketched(

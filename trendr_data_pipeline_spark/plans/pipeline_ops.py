@@ -158,10 +158,26 @@ def _replay_events(
 
     stage = tempfile.mkdtemp(prefix="events_stream_")
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_ndmb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     try:
         shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet"))
         streams = [jobs.events_stream(spark, stage) for _ in range(n_streams)]
         spark.conf.set("spark.sql.shuffle.partitions", shuffle_partitions)
+        # r14 (the _replay_waves O2 treatment, applied after measuring
+        # batch counts per harness): the three COMPLETE-mode aggregates
+        # (zp02/zp08/c18) already run exactly ONE micro-batch either way
+        # (complete mode never emits on watermark advance, so Spark
+        # schedules no bookkeeping batch — measured at sf0.01), but the
+        # c05 stream-stream join ran a trailing no-data batch (2 → 1)
+        # whose only effect is state EVICTION before stop. Invariance:
+        # an INNER stream-stream join emits each match inside the data
+        # batch that completes the pair — emission is never
+        # watermark-gated (only outer-join null rows are, and c05's
+        # join is inner; the left-completion happens in batch SQL
+        # afterwards) — so dropping the eviction-only batch cannot
+        # change the sink. Measured rows identical (1110 at sf0.01);
+        # re-verified against the DuckDB oracle at 3 SFs.
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         q = (
             build(*streams)
             .writeStream.outputMode(output_mode)
@@ -175,6 +191,7 @@ def _replay_events(
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_ndmb)
         shutil.rmtree(stage, ignore_errors=True)
     return spark.table(name)
 

@@ -997,6 +997,14 @@ def cadence_gated_append(
         (last_ts,) = state.get if state.exists else (float("-inf"),)
         frames = list(pdfs)
         batch = frames[0] if len(frames) == 1 else pd.concat(frames)
+        # fail-loud on null timestamps (r13 ADVICE): the old per-row
+        # Timestamp.timestamp() raised on NaT; astype('int64') would
+        # map it to int64-min and silently emit/drop the row and
+        # poison last_ts instead
+        if batch["ts"].isna().any():
+            raise ValueError(
+                f"cadence_gated_append: null ts in batch for key {key}"
+            )
         ts_ns = batch["ts"].to_numpy().astype("int64")
         order = np.lexsort((batch["event_id"].to_numpy(), ts_ns))
         ts = np.round(ts_ns[order] / 1e9, 6)
@@ -1090,8 +1098,10 @@ def near_dup_screen_stream(
         # ONE tagged sketch join instead of one per reference class:
         # the `_self` passthrough tag lets the batch-peer keep rule
         # (lower id survives) apply after the shared join, so the
-        # batch is sketched once and there is a single broadcast/
-        # join/distinct per micro-batch instead of two of each.
+        # batch is sketched once PER SIDE (broadcast q-side + the
+        # _self leg of the c-side — 3 sketch evaluations → 2) and
+        # there is a single broadcast/join/distinct per micro-batch
+        # instead of two of each.
         # Orientation semantics are unchanged: q_id != c_id inside
         # the join still excludes a row from pairing with its own id
         # in ANY class (a redelivered id never self-matches against
