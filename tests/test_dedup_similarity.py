@@ -268,7 +268,8 @@ def test_jaccard_df_cap_boundary_equivalence(spark):
     base = result(None)
     assert base  # fixture has qualifying pairs
     assert result(n) == base        # no token exceeds n docs → no-op cap
-    assert result(int(0.78 * n)) == base  # the registered d05 setting
+    assert result(int(0.60 * n)) == base  # the registered d05 setting (r14)
+    assert result(int(0.78 * n)) == base  # the r4-r13 d05 setting
     assert result(int(0.30 * n)) == base  # aggressive: large H, correction still exact
 
 

@@ -139,13 +139,24 @@ _SQL_SHINGLE_TOPK = f"""
 
     r4: shingles are the vectorized packed-byte form (one numpy pass,
     injective — distinct counts equal the oracle's string shingles on
-    this ASCII corpus), and the df stop-list is ON: tokens in >78%% of
+    this ASCII corpus), and the df stop-list is ON: tokens in >60%% of
     corpus docs are routed off the join through the exact hot-token
-    correction (operators/dedup.jaccard_topk_join df_cap). 0.78·n is
-    the provable-safety point measured on this fixture: H = 24 hot
-    tokens at sf0.01 / 4 at sf0.1, while every qualifying pair shares
-    ≥31 rare tokens — results are bit-identical to the uncapped plan
-    (pinned by the gate hash and the cap-boundary test).""",
+    correction (operators/dedup.jaccard_topk_join df_cap).
+
+    r14 (guide §2.3, measured): the cap moved 0.78·n → 0.60·n. The
+    corpus has only ~2k distinct shingles (avg df ≈ n/10), so the pair
+    join's fan-out is dominated by the df-distribution head: at sf0.1
+    the 0.78 cap routed just H=4 tokens off the join (14.4 M pair rows
+    into the aggregate), while 0.60·n routes H=76 and cuts the fan-out
+    ~4.7× (14.4 M → 3.1 M). Exactness holds exactly when every
+    qualifying pair shares ≥1 non-hot token — measured directly at the
+    new cap: min shared-RARE tokens over qualifying pairs = 7 / 23 / 8
+    at sf0.001 / 0.01 / 0.1 (margin ≥7 everywhere; the df distribution
+    is flat between 0.40·n and 0.60·n, so H and therefore results are
+    unchanged anywhere in that band) — results are bit-identical to
+    the uncapped plan (pinned by the gate hash and the cap-boundary
+    test, which checks 0.60 alongside the old 0.78 and an aggressive
+    0.30).""",
 )
 def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import jaccard_topk_join, shingle_hashes
@@ -159,7 +170,7 @@ def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_topk_join(
         incoming, docs, threshold=0.25, k=10,
         tokset_fn=shingle_hashes,
-        df_cap=int(0.78 * n_docs),
+        df_cap=int(0.60 * n_docs),
     )
 
 
