@@ -15,9 +15,11 @@ sys.path.insert(0, str(REPO))
 # The slow set (r14, r13 verdict item 1). The driver's `pytest tests/
 # -x -q` must finish inside its verify window; VERIFY_r13 was TRUNCATED
 # at ~62% of a 3,272–3,951 s suite with zero failures. Every entry
-# below measured >10 s per call in the instrumented full run recorded
-# in OPTIMIZATION_r14.md (3,460 s total; these 70 calls carry ~2,160 s
-# of it). They are SKIPPED by default and run with
+# below measured >10 s per call (first block) or 7.5–10 s (second
+# block, trimmed after the first timed default run left only ~5%
+# window margin) in the instrumented full run recorded in
+# OPTIMIZATION_r14.md (3,460 s total; these ~102 calls carry
+# ~2,460 s of it). They are SKIPPED by default and run with
 # SPARK_GRAFT_FULL_TESTS=1 — the full suite stays the local release
 # gate, executed (and timed) every round before close-out. Coverage
 # note: the driver separately re-runs every declared query against its
@@ -107,6 +109,47 @@ SLOW_CALLS = {
     "test_text_selection.py::test_incremental_data_card_converges_and_noop",
     "test_text_selection.py::test_bm25_df_cap_prunes_hot_terms_exactly",
     "test_text_selection.py::test_stratified_sample_property_random_shapes",
+    # ------------------------------------------------------------------
+    # second trim (same round): the first default run measured 1,717 s
+    # under the active episode — inside the ~1,800 s target but with
+    # ~5% margin. The 7.5–10 s band below (34 calls, ~297 s in the
+    # instrumented run) buys the headroom; oracle-gate params
+    # (test_query_matches_oracle[*]) are deliberately NOT trimmed.
+    # ------------------------------------------------------------------
+    "test_determinism.py::test_query_is_deterministic[c62_cadence_replay]",
+    "test_determinism.py::test_query_is_deterministic[c05_streaming_interval_join]",
+    "test_determinism.py::test_query_is_deterministic[c57_near_dup_screen]",
+    "test_determinism.py::test_query_is_deterministic[c44_incremental_data_card]",
+    "test_determinism.py::test_query_is_deterministic[zt02_trained_langid]",
+    "test_dedup_similarity.py::test_ivf_recall_at_production_setting",
+    "test_dedup_similarity.py::test_minhash_verify_legs_agree",
+    "test_dedup_similarity.py::test_semantic_dedup_invariants",
+    "test_dedup_similarity.py::test_embedding_near_dup_finds_planted_pairs",
+    "test_dedup_similarity.py::test_fingerprint_match_pairs_scopes_its_persist",
+    "test_dedup_similarity.py::test_ivfpq_production_recall_and_determinism",
+    "test_dedup_similarity.py::test_ngram_contamination_flags",
+    "test_dedup_similarity.py::test_containment_pairs_df_cap_equivalence",
+    "test_text_index.py::test_remove_sink_streaming_takedowns",
+    "test_text_index.py::test_apply_snapshot_diff_refreshes_index_incrementally",
+    "test_text_index.py::test_remove_prunes_files_and_matches_fresh_build",
+    "test_text_index.py::test_streaming_sink_ingests_waves_replay_safe",
+    "test_property_text.py::test_word_ngram_hash_flags_match_string_flags",
+    "test_property_text.py::test_dedupe_key_property",
+    "test_index_store.py::test_remove_from_index_null_or_bad_id_raises",
+    "test_index_store.py::test_streaming_extend_then_compact_then_resume",
+    "test_index_store.py::test_ivfpq_index_roundtrip_identical",
+    "test_index_store.py::test_remove_composes_with_extend_and_compact",
+    "test_index_store.py::test_ivfpq_extend_sink_streaming",
+    "test_index_store.py::test_filtered_search_composes_with_lifecycle",
+    "test_index_store.py::test_index_kind_mismatch_fails_loudly",
+    "test_index_store.py::test_extend_heals_died_mid_swap",
+    "test_index_store.py::test_extend_ivf_index_adds_without_rewrite",
+    "test_index_store.py::test_extend_ivf_index_rejects_wrong_kind",
+    "test_index_store.py::test_compact_drops_crc_sidecars",
+    "test_streaming.py::test_partitioned_merge_sink_null_keys",
+    "test_text_selection.py::test_data_card_null_and_literal_all_source_parity",
+    "test_release.py::test_diff_and_release_oracles_null_content_parity",
+    "test_packing.py::test_chunk_documents_is_streaming_compatible",
 }
 
 
